@@ -1,13 +1,258 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.Dedup
+import graft.kg.{ConnectedComponents, Kg}
+import graft.ner.NerSpark
+import graft.sim.Ann
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7 stage 5): one `queries` entry per
+  * implemented operator, with equivalent DuckDB SQL in [[oracleSql]] where
+  * the operator is SQL-expressible. Column names and types are aligned
+  * between both sides — the driver sorts columns by name and hashes values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The dictionary as SQL VALUES, shared by the NER/KG oracles. */
+  private val DictValues =
+    """(VALUES ('TOOL','spark'),('OPERATION','hash join'),('OPERATION','table scan'),
+      |('OPERATION','merge'),('OPERATION','sort'),('ACTOR','customer'),
+      |('DATA','vector'),('DATA','stream'))""".stripMargin.replaceAll("\n", " ")
+
+  private val AliasValues =
+    """(VALUES ('TOOL','spark','ent:spark'),('OPERATION','hash join','ent:hash_join'),
+      |('OPERATION','table scan','ent:table_scan'),('OPERATION','merge','ent:merge'),
+      |('OPERATION','sort','ent:sort'),('ACTOR','customer','ent:customer'),
+      |('DATA','vector','ent:vector'),('DATA','stream','ent:stream'))"""
+      .stripMargin.replaceAll("\n", " ")
+
+  private val PredCase =
+    """CASE category WHEN 'TOOL' THEN 'uses_tool' WHEN 'OPERATION' THEN 'performs'
+      | WHEN 'ACTOR' THEN 'involves' WHEN 'DATA' THEN 'consumes' END"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** Flagship: the full KG pipeline (extract → link → triples) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    kgTriples(spark, "/root/testdata/sf0.001")
+
+  private def kgMentions(spark: SparkSession, dir: String): DataFrame =
+    NerSpark.mentions(spark, t(spark, dir, "documents"))
+
+  private def kgTriples(spark: SparkSession, dir: String): DataFrame = {
+    val linked = Kg.disambiguate(Kg.candidates(kgMentions(spark, dir), Kg.aliasDf(spark)))
+    Kg.triples(linked, NerSpark.Predicates)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (SURVEY.md §2 ops 2/4/17/18/21 + joins note) ----
+    "q01_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    }),
+    "q02_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q03_doc_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(stddev_pop(col("n_chars")), 4).as("std_chars"))
+    }),
+    "q04_rollup" -> ((s, dir) => {
+      t(s, dir, "documents").rollup("lang").agg(count(lit(1)).as("n_docs"))
+    }),
+    "q05_broadcast_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+    }),
+    "q06_window_top1" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+    "q07_anti_join" -> ((s, dir) => {
+      // resume-pattern analog (SURVEY.md §7 stage 4): rows with no
+      // already-materialized counterpart survive the left-anti
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").select("c_custkey")
+    }),
+    "q08_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      Kg.saltedJoin(li, o, "l_orderkey", "o_orderkey",
+          pmod(hash(col("l_partkey"), col("l_suppkey")), lit(8)), 8)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q09_window_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          // ts is TIMESTAMP_NTZ; session TZ is UTC so ntz→ltz→epoch matches
+          // DuckDB's epoch() on the same naive value
+          (floor(col("ts").cast("timestamp").cast("long") / 300) * 300).cast("long").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+    }),
+    // ---- NER pipeline (SURVEY.md §2 ops 5-18) ----
+    "q10_ner_mentions" -> ((s, dir) => kgMentions(s, dir)),
+    "q11_ner_micro" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = kgMentions(s, dir)
+      NerSpark.microMetrics(s, docs, m, m)
+    }),
+    // ---- KG construction (SURVEY.md §7 stage 3) ----
+    "q12_triples" -> ((s, dir) => kgTriples(s, dir)),
+    "q13_connected_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      val linked = Kg.disambiguate(
+        Kg.candidates(NerSpark.mentions(s, docs), Kg.aliasDf(s)))
+      val edges = linked
+        .select(concat(lit("d:"), col("doc_id").cast("string")).as("src"),
+          col("entity_id").as("dst"))
+        .distinct()
+      ConnectedComponents.run(s, edges)
+    }),
+    // ---- training-data ops ----
+    "q14_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "q15_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(s, t(s, dir, "documents"), 0.1)),
+    "q16_simhash" -> ((s, dir) => Dedup.simhash(s, t(s, dir, "documents"))),
+    "q17_text_quality" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks), 4)
+          .as("avg_word_len"))
+    }),
+    "q18_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Ann.bruteForceTopK(emb, q, 10)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+    "q19_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Ann.lshTopK(s, emb, q, 10, q.length, 8)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45",
+    "q02_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_rows
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", " "),
+    "q03_doc_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars,
+        | round(stddev_pop(n_chars),4) AS std_chars
+        | FROM documents GROUP BY lang""".stripMargin.replaceAll("\n", " "),
+    "q04_rollup" ->
+      "SELECT lang, count(*) AS n_docs FROM documents GROUP BY ROLLUP(lang)",
+    "q05_broadcast_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment""".stripMargin.replaceAll("\n", " "),
+    "q06_window_top1" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) WHERE rn = 1""".stripMargin.replaceAll("\n", " "),
+    "q07_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"""
+        .stripMargin.replaceAll("\n", " "),
+    "q08_salted_join" ->
+      """SELECT o_orderpriority, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_rows
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY o_orderpriority""".stripMargin.replaceAll("\n", " "),
+    "q09_window_events" ->
+      """SELECT (floor(epoch(ts)/300)*300)::bigint AS win_start, event_type,
+        | count(*) AS n_events, round(sum(value),4) AS sum_value
+        | FROM events GROUP BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "q10_ner_mentions" ->
+      s"""WITH dict(category, surface) AS $DictValues,
+         | pos AS (SELECT j FROM generate_series(1, 4096) g(j))
+         | SELECT d.doc_id, v.category, v.surface, (p.j - 1)::int AS begin_c,
+         |  (p.j - 1 + length(v.surface))::int AS end_c
+         | FROM documents d CROSS JOIN dict v
+         | JOIN pos p ON p.j <= length(d.text) - length(v.surface) + 1
+         | WHERE substr(d.text, p.j, length(v.surface)) = v.surface"""
+        .stripMargin.replaceAll("\n", " "),
+    "q11_ner_micro" ->
+      s"""WITH dict(category, surface) AS $DictValues,
+         | occ AS (SELECT d.doc_id, v.surface,
+         |  (length(d.text) - length(replace(d.text, v.surface, ''))) // length(v.surface) AS n,
+         |  len(string_split(v.surface, ' ')) AS tok
+         |  FROM documents d CROSS JOIN dict v)
+         | SELECT sum(n * tok)::double AS tp, 0.0::double AS fp, 0.0::double AS fn,
+         |  1.0::double AS precision, 1.0::double AS recall, 1.0::double AS f1
+         | FROM occ""".stripMargin.replaceAll("\n", " "),
+    "q12_triples" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues
+         | SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |  'doc://' || d.doc_id AS obj
+         | FROM documents d CROSS JOIN dict
+         | WHERE position(surface in d.text) > 0""".stripMargin.replaceAll("\n", " "),
+    "q13_connected_components" ->
+      s"""WITH RECURSIVE dict(category, surface, entity_id) AS $AliasValues,
+         | edges AS (SELECT DISTINCT 'd:' || d.doc_id AS src, entity_id AS dst
+         |  FROM documents d CROSS JOIN dict
+         |  WHERE d.doc_id % 7 = 0 AND position(surface in d.text) > 0),
+         | sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         | cc(node, label) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.node)
+         | SELECT node, min(label) AS component FROM cc GROUP BY node"""
+        .stripMargin.replaceAll("\n", " "),
+    "q14_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS rep_doc_id
+        | FROM documents GROUP BY 1""".stripMargin.replaceAll("\n", " "),
+    "q17_text_quality" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+'))::int AS n_tokens,
+        | list_unique(string_split_regex(trim(text), '\s+'))::int AS n_distinct,
+        | round(list_unique(string_split_regex(trim(text), '\s+'))::double
+        |   / len(string_split_regex(trim(text), '\s+')), 4) AS ttr,
+        | round(length(replace(text, ' ', ''))::double
+        |   / len(string_split_regex(trim(text), '\s+')), 4) AS avg_word_len
+        | FROM documents""".stripMargin.replaceAll("\n", " "),
+    "q18_ann_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        | SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS sim
+        | FROM embeddings e, q
+        | ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC, e.vec_id
+        | LIMIT 10""".stripMargin.replaceAll("\n", " "))
+    // q15_minhash_pairs / q16_simhash / q19_ann_lsh: seeded-hash ops — not
+    // SQL-expressible; driver records the weaker rows-only check.
 }

@@ -1,0 +1,154 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Large-scale training-data deduplication operators over a document table.
+  * All hashing is seeded and pure — reruns are byte-stable (north-rule
+  * determinism). Exact dedup is a hash-groupBy; near-dup detection is
+  * MinHash + LSH banding (shingle → minhash → band → bucket self-join),
+  * which keeps the candidate set linear-ish instead of the O(n²) all-pairs
+  * scan a naive Jaccard would need at 100 TB.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct text with
+    * the group size and representative (min) doc id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc_id"))
+
+  // --- MinHash ---------------------------------------------------------
+
+  val NumHashes = 64
+  val Bands = 16 // 16 bands x 4 rows
+  val RowsPerBand: Int = NumHashes / Bands
+  private val Prime = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a, b) coefficients for the k universal hash functions,
+    * drawn from a fixed-seed PRNG. */
+  private lazy val coeffs: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Word 2-shingle hash set of a text (MurmurHash3 — pure Scala,
+    * JVM-stable). */
+  def shingles(text: String): Set[Int] = {
+    val toks = graft.text.PyStr.split(text)
+    if (toks.length < 2) toks.map(MurmurHash3.stringHash(_, 42)).toSet
+    else toks.sliding(2).map(w => MurmurHash3.stringHash(w.mkString(" "), 42)).toSet
+  }
+
+  /** MinHash signature (length [[NumHashes]]) of a shingle set. */
+  def signature(sh: Set[Int]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    sh.foreach { s =>
+      val x = (s.toLong & 0xffffffffL)
+      var i = 0
+      while (i < NumHashes) {
+        val (a, b) = coeffs(i)
+        val h = (a * x + b) % Prime
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Candidate near-duplicate pairs via LSH banding: docs whose signatures
+    * agree on all rows of at least one band meet in a bucket; pairs are then
+    * scored by signature agreement (estimated Jaccard) and filtered.
+    * Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b, distinct.
+    *
+    * Scale shape: one narrow map to (band, bucket) keys, one shuffle on the
+    * bucket key, pair fan-out only within buckets. Hot buckets are bounded
+    * by the banding probability, not by data volume.
+    */
+  def minhashPairs(spark: SparkSession, docs: DataFrame, minJaccard: Double): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, signature(shingles(text))) }
+      .toDF("doc_id", "sig")
+
+    val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
+      (0 until Bands).map { b =>
+        val bandVals = sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
+        (b, MurmurHash3.arrayHash(bandVals, 42), id, sig)
+      }
+    }.toDF("band", "bucket", "doc_id", "sig")
+
+    val pairs = banded
+      .groupBy("band", "bucket")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .as[(Int, Int, Seq[(Long, Array[Long])])]
+      .flatMap { case (_, _, members) =>
+        val sorted = members.sortBy(_._1)
+        for {
+          i <- sorted.indices
+          j <- (i + 1) until sorted.length
+        } yield {
+          val (ida, siga) = sorted(i)
+          val (idb, sigb) = sorted(j)
+          val agree = siga.zip(sigb).count { case (x, y) => x == y }
+          (ida, idb, agree.toDouble / NumHashes)
+        }
+      }
+      .toDF("doc_a", "doc_b", "est_jaccard")
+
+    pairs.filter(col("est_jaccard") >= minJaccard)
+      .groupBy("doc_a", "doc_b")
+      .agg(round(max("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint per document (sign of per-bit weighted sums
+    * over token hashes). */
+  def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = graft.text.PyStr.split(text).groupBy(identity).view.mapValues(_.length)
+        val acc = new Array[Long](64)
+        counts.foreach { case (tok, n) =>
+          val h64 = (MurmurHash3.stringHash(tok, 1).toLong << 32) |
+            (MurmurHash3.stringHash(tok, 2).toLong & 0xffffffffL)
+          var b = 0
+          while (b < 64) {
+            if (((h64 >>> b) & 1L) == 1L) acc(b) += n else acc(b) -= n
+            b += 1
+          }
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+        (id, fp)
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Exact n-gram Jaccard similarity for a candidate pair list — the
+    * verification stage after LSH (join back to texts, compute exact overlap). */
+  def exactJaccard(spark: SparkSession, docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val texts = docs.select(col("doc_id").cast("long"), col("text"))
+    val joined = pairs
+      .join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+      .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+    joined.map { case (a, b, ta, tb) =>
+      val sa = shingles(ta)
+      val sb = shingles(tb)
+      val inter = sa.intersect(sb).size.toDouble
+      val union = sa.union(sb).size.toDouble
+      (a, b, if (union == 0) 0.0 else inter / union)
+    }.toDF("doc_a", "doc_b", "jaccard")
+      .withColumn("jaccard", round(col("jaccard"), 4))
+  }
+}

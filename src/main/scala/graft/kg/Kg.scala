@@ -1,0 +1,100 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Knowledge-graph construction operators (SURVEY.md §7 stage 3): candidate
+  * generation via a broadcast alias dictionary, skew-safe disambiguation via
+  * a salted hash join + top-1 window, and `(subj, pred, obj)` triple
+  * materialization. The reference has no joins at all (SURVEY.md §2, "joins"
+  * note) — these are the new first-class capabilities the north rule adds.
+  */
+object Kg {
+
+  /** The engine's demo alias dictionary: normalized surface → canonical
+    * entity id with a prior score. Small by construction → always broadcast. */
+  val Aliases: Seq[(String, String, Double)] = Seq(
+    ("spark", "ent:spark", 1.0),
+    ("hash join", "ent:hash_join", 0.9),
+    ("table scan", "ent:table_scan", 0.9),
+    ("merge", "ent:merge", 0.8),
+    ("sort", "ent:sort", 0.8),
+    ("customer", "ent:customer", 0.7),
+    ("vector", "ent:vector", 0.6),
+    ("stream", "ent:stream", 0.6))
+
+  def aliasDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Aliases.toDF("alias", "entity_id", "score")
+  }
+
+  /** Candidate generation: broadcast hash join of mentions × alias
+    * dictionary on the normalized surface (`lower(trim(surface))`).
+    * Left join — unresolved mentions survive with null entity_id so they can
+    * be routed via left-anti downstream (SURVEY.md §2 joins note). */
+  def candidates(mentions: DataFrame, aliases: DataFrame): DataFrame =
+    mentions.join(
+      broadcast(aliases),
+      lower(trim(mentions("surface"))) === aliases("alias"),
+      "left")
+
+  /** Generic salted equi-join for skewed keys: the big (probe) side gets a
+    * deterministic salt in `[0, saltFactor)`, the small (build) side is
+    * exploded over every salt value, and the join key becomes
+    * `(key, salt)` — splitting each hot key's rows across `saltFactor`
+    * shuffle partitions. Semantically identical to `big.join(small, keys)`
+    * (inner); the equality is oracle-checked by `q
+    * _salted_join`.
+    *
+    * `saltExpr` must be deterministic (north rule: reruns are byte-stable) —
+    * pass e.g. `pmod(hash(col("some_big_side_col")), lit(saltFactor))`.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      saltExpr: Column,
+      saltFactor: Int): DataFrame = {
+    val bigSalted = big.withColumn("__salt", saltExpr.cast("int"))
+    val smallExploded = small.withColumn(
+      "__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    bigSalted
+      .join(smallExploded,
+        bigSalted(bigKey) === smallExploded(smallKey) &&
+          bigSalted("__salt") === smallExploded("__salt"))
+      .drop("__salt")
+  }
+
+  /** Disambiguation: among a mention's candidate entities keep the top-1 by
+    * (score desc, entity_id asc) — `row_number` over a per-mention window
+    * (SURVEY.md §2 "window functions" note). Deterministic tie-break. */
+  def disambiguate(candidates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("doc_id", "category", "surface", "begin_c")
+      .orderBy(desc("score"), asc("entity_id"))
+    candidates
+      .filter(col("entity_id").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Materialize distinct `(subj, pred, obj)` triples with doc lineage:
+    * subj = linked entity, pred = category-mapped predicate, obj = document
+    * URI. Distinct collapses multi-occurrence mentions (set semantics —
+    * mirrors the reference's pair dedup at `ai/extractor_ner.py:100`). */
+  def triples(linked: DataFrame, predicates: Map[String, String]): DataFrame = {
+    val predCol = predicates.foldLeft(lit(null).cast("string")) {
+      case (acc, (cat, pred)) => when(col("category") === cat, lit(pred)).otherwise(acc)
+    }
+    linked
+      .select(
+        col("entity_id").as("subj"),
+        predCol.as("pred"),
+        concat(lit("doc://"), col("doc_id").cast("string")).as("obj"))
+      .filter(col("pred").isNotNull)
+      .distinct()
+  }
+}

@@ -1,0 +1,86 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline: a single narrow
+  * scan + a `TakeOrdered` (no shuffle of the vectors themselves). The
+  * LSH-bucketed variant is the 100 TB scale path: random-hyperplane signs
+  * bucket the vectors so each query probes one bucket (plus neighbors)
+  * instead of the full table.
+  *
+  * All arithmetic is done in doubles via codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no UDF in the hot path.
+  */
+object Ann {
+
+  /** Cosine similarity column between an array column and a literal query
+    * vector, computed with built-in HOFs. */
+  def cosineCol(vecCol: String, query: Array[Double]): org.apache.spark.sql.Column = {
+    val q = array(query.map(lit): _*)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val dot = aggregate(zip_with(v, q, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val nv = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nq = math.sqrt(query.map(x => x * x).sum)
+    dot / (nv * lit(nq))
+  }
+
+  /** Brute-force cosine top-k: (vec_id, sim) ordered by sim desc with a
+    * deterministic vec_id tie-break. */
+  def bruteForceTopK(embeddings: DataFrame, query: Array[Double], k: Int): DataFrame =
+    embeddings
+      .select(col("vec_id").cast("long"), cosineCol("embedding", query).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+
+  /** Random-hyperplane LSH bucket id (nBits sign bits) for each vector —
+    * the scale path's partitioning key. Hyperplanes come from a fixed-seed
+    * PRNG so bucketing is deterministic. */
+  def lshBuckets(spark: SparkSession, embeddings: DataFrame, dim: Int, nBits: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val planes: Array[Array[Double]] =
+      Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    val planesB = spark.sparkContext.broadcast(planes)
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        val v = emb.toArray
+        var bucket = 0
+        var b = 0
+        while (b < planesB.value.length) {
+          var dot = 0.0
+          val p = planesB.value(b)
+          var i = 0
+          while (i < v.length && i < p.length) { dot += v(i) * p(i); i += 1 }
+          if (dot > 0) bucket |= (1 << b)
+          b += 1
+        }
+        (id, bucket)
+      }
+      .toDF("vec_id", "bucket")
+  }
+
+  /** IVF-style ANN top-k: restrict the brute-force scan to the query's LSH
+    * bucket; falls back to the full scan when the bucket is smaller than k
+    * (recall guard). */
+  def lshTopK(spark: SparkSession, embeddings: DataFrame, query: Array[Double],
+      k: Int, dim: Int, nBits: Int): DataFrame = {
+    val buckets = lshBuckets(spark, embeddings, dim, nBits)
+    val rnd = new scala.util.Random(7)
+    val planes: Array[Array[Double]] = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    var qBucket = 0
+    for (b <- 0 until nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim && i < planes(b).length) { dot += query(i) * planes(b)(i); i += 1 }
+      if (dot > 0) qBucket |= (1 << b)
+    }
+    val candidates = embeddings.join(
+      buckets.filter(col("bucket") === qBucket).select("vec_id"), Seq("vec_id"))
+    val pool = if (candidates.limit(k).count() < k) embeddings else candidates
+    bruteForceTopK(pool, query, k)
+  }
+}
