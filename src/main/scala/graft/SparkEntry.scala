@@ -161,7 +161,48 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       Ann.lshTopK(s, emb, q, 10, q.length, 8)
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
-    }))
+    }),
+    // ---- north-rule pipeline on synthesized webtext (no external data) ----
+    "q20_kg_pipeline" -> ((s, _) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-q20-").toString
+      val pages = graft.fixtures.WebTextGen.pages(s, 500, 8).toDF()
+      graft.kg.KgPipeline.run(s, pages, graft.kg.KgPipeline.Config(out, numBuckets = 8))
+      s.read.parquet(s"$out/triples").select("subj", "pred", "obj", "url")
+    }),
+    // ---- text analysis ----
+    "q21_langid" -> ((s, dir) => {
+      import s.implicits._
+      graft.quality.TextQuality.langId(s, t(s, dir, "documents"))
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("pred_lang"), col("lang").as("labeled_lang"))
+    }),
+    "q22_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp_md5"))
+    }),
+    "q23_quality" -> ((s, dir) => {
+      graft.quality.TextQuality.qualitySignals(
+        t(s, dir, "documents"), Seq("the", "a", "of", "and", "to"))
+    }),
+    // ---- multimodal stubs (binary columns; decode is a deterministic stub) ----
+    "q24_media_features" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      graft.multimodal.Media.resizeMeta(
+        graft.multimodal.Media.decodeAndFeaturize(s, bin, "doc_id", "blob"), 256)
+        .select("id", "width", "height", "channels", "n_bytes", "out_width", "out_height")
+    }),
+    "q25_frame_sample" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      graft.multimodal.Media.sampleFrames(s, bin, "doc_id", "blob", 64, 2)
+    }),
+    // batched annotator path (reference sentences_per_call knob,
+    // ai/extractor_ner.py:72-85): documents have no newlines, so batching
+    // must not change the result — same oracle as q10
+    "q26_ner_batched" -> ((s, dir) =>
+      NerSpark.mentions(s, t(s, dir, "documents"), sentencesPerCall = 3)))
 
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -252,7 +293,21 @@ object SparkEntry {
         | SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS sim
         | FROM embeddings e, q
         | ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC, e.vec_id
-        | LIMIT 10""".stripMargin.replaceAll("\n", " "))
-    // q15_minhash_pairs / q16_simhash / q19_ann_lsh: seeded-hash ops — not
-    // SQL-expressible; driver records the weaker rows-only check.
+        | LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    "q22_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5
+        | FROM documents""".stripMargin.replaceAll("\n", " "),
+    "q26_ner_batched" ->
+      s"""WITH dict(category, surface) AS $DictValues,
+         | pos AS (SELECT j FROM generate_series(1, 4096) g(j))
+         | SELECT d.doc_id, v.category, v.surface, (p.j - 1)::int AS begin_c,
+         |  (p.j - 1 + length(v.surface))::int AS end_c
+         | FROM documents d CROSS JOIN dict v
+         | JOIN pos p ON p.j <= length(d.text) - length(v.surface) + 1
+         | WHERE substr(d.text, p.j, length(v.surface)) = v.surface"""
+        .stripMargin.replaceAll("\n", " "))
+    // q15_minhash_pairs / q16_simhash / q19_ann_lsh / q20_kg_pipeline /
+    // q21_langid / q23_quality / q24_media_features / q25_frame_sample:
+    // seeded-hash / self-synthesized-input ops — not DuckDB-expressible over
+    // the sf tables; driver records the weaker rows-only check.
 }

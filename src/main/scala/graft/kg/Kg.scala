@@ -23,6 +23,16 @@ object Kg {
     ("vector", "ent:vector", 0.6),
     ("stream", "ent:stream", 0.6))
 
+  /** Pipeline dictionary with duplicate-entity aliases: "spark" also maps to
+    * a lower-scored duplicate id, which the alias-graph connected components
+    * must canonicalize (SURVEY.md §7 stage 3c). Disambiguation still picks
+    * the top-scored candidate per mention. */
+  val AliasesExtended: Seq[(String, String, Double)] = Aliases ++ Seq(
+    ("spark", "ent:apache_spark", 0.95),
+    ("apache spark", "ent:apache_spark", 1.0),
+    ("merge", "ent:merge_op", 0.75),
+    ("merge operation", "ent:merge_op", 0.9))
+
   def aliasDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Aliases.toDF("alias", "entity_id", "score")
@@ -43,8 +53,7 @@ object Kg {
     * exploded over every salt value, and the join key becomes
     * `(key, salt)` — splitting each hot key's rows across `saltFactor`
     * shuffle partitions. Semantically identical to `big.join(small, keys)`
-    * (inner); the equality is oracle-checked by `q
-    * _salted_join`.
+    * (inner); the equality is oracle-checked by `q08_salted_join`.
     *
     * `saltExpr` must be deterministic (north rule: reruns are byte-stable) —
     * pass e.g. `pmod(hash(col("some_big_side_col")), lit(saltFactor))`.
@@ -65,6 +74,17 @@ object Kg {
           bigSalted("__salt") === smallExploded("__salt"))
       .drop("__salt")
   }
+
+  /** Static-dictionary disambiguation, precomputed driver-side: when the
+    * candidate score depends only on the alias (a prior), the top-1 choice
+    * per mention is the top-1 per ALIAS — computable once on the
+    * dictionary, broadcast, and joined with no window and no extra shuffle.
+    * This is the 100 TB path; [[disambiguate]] below is the general form
+    * for context-dependent scores. */
+  def winnersPerAlias(aliases: Seq[(String, String, Double)]): Seq[(String, String, Double)] =
+    aliases.groupBy(_._1).map { case (_, group) =>
+      group.minBy { case (_, e, s) => (-s, e) }
+    }.toSeq.sortBy(_._1)
 
   /** Disambiguation: among a mention's candidate entities keep the top-1 by
     * (score desc, entity_id asc) — `row_number` over a per-mention window

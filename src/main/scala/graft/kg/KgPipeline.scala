@@ -1,0 +1,220 @@
+package graft.kg
+
+import graft.html.HtmlText
+import graft.ner.NerSpark
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end, resumable KG-construction pipeline (the north rule):
+  *
+  *   web pages → deterministic HTML→text extraction (byte-verified against
+  *   the `text` column) → batched mention detection (mapPartitions-wrapped
+  *   annotator with prompt parity) → broadcast alias-dictionary candidate
+  *   generation → top-1 disambiguation → connected-components alias
+  *   canonicalization → `(subj, pred, obj)` triples partitioned by
+  *   `bucket = pmod(xxhash64(url), numBuckets)` + per-bucket lineage/metrics.
+  *
+  * Resumability: a bucket is the unit of work. Completed buckets are
+  * recorded in the metrics table; a re-run anti-joins the input against the
+  * completed set and only processes the remainder, writing with dynamic
+  * partition overwrite so a partially-written bucket (crash mid-job, no
+  * metrics row) is simply rewritten — idempotent because every upstream
+  * stage is a pure function of the input rows.
+  *
+  * Scale shape (the 100 TB story): extraction/mention detection are narrow
+  * (no shuffle) over the scan; the alias join is broadcast; the only wide
+  * stages are the per-mention top-1 window and the final distinct — both
+  * keyed by url-derived keys that hot-domain skew cannot concentrate
+  * (see [[Kg.saltedJoin]] for the non-broadcast dictionary fallback), and
+  * the tiny alias-alias CC runs on dictionary-sized data, never on the corpus.
+  */
+object KgPipeline {
+
+  /** @param useInputBucketColumn the input already carries a `bucket`
+    *        column (the Iceberg `bucket(N, url)` partition-transform case —
+    *        the standard table layout for this pipeline); trust it instead
+    *        of hashing urls
+    * @param alignedInput input tasks are bucket-aligned (each scan task
+    *        holds rows of ~one bucket, as an Iceberg bucket-partitioned scan
+    *        yields) — skip the pre-write repartition of the docs table, so
+    *        the whole extraction stage is narrow: scan → annotate → write */
+  final case class Config(
+      outDir: String,
+      numBuckets: Int = 64,
+      sentencesPerCall: Int = 0,
+      dict: Seq[(String, String)] = NerSpark.Dict,
+      aliases: Seq[(String, String, Double)] = Kg.AliasesExtended,
+      useInputBucketColumn: Boolean = false,
+      alignedInput: Boolean = false)
+
+  final case class RunStats(
+      runId: String,
+      bucketsProcessed: Long,
+      docs: Long,
+      mentions: Long,
+      triples: Long,
+      htmlMismatches: Long)
+
+  def bucketCol(numBuckets: Int) = pmod(xxhash64(col("url")), lit(numBuckets))
+
+  /** Buckets already committed (metrics row present). */
+  def completedBuckets(spark: SparkSession, outDir: String): Set[Long] = {
+    val metricsPath = s"$outDir/metrics"
+    if (!new java.io.File(metricsPath).exists()) Set.empty
+    else spark.read.parquet(metricsPath)
+      .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  /** Canonicalization map entity_id → canonical id: connected components
+    * over the alias-sharing graph (two entities sharing an alias string are
+    * the same real-world entity). The graph is DICTIONARY-sized, so this
+    * runs as driver-side union-find and is broadcast — never ship
+    * dictionary-scale work to the cluster (the DataFrame
+    * [[ConnectedComponents]] loop is for corpus-scale graphs). */
+  def canonicalMap(aliases: Seq[(String, String, Double)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: String, b: String): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    aliases.groupBy(_._1).values.foreach { group =>
+      group.map(_._2).distinct.sorted match {
+        case head +: tail => tail.foreach(union(head, _))
+        case _ =>
+      }
+    }
+    aliases.map(_._2).distinct.map(e => e -> find(e)).toMap
+  }
+
+  /** One annotated-document row of the materialized `docs/` table. */
+  final case class DocRow(
+      url: String,
+      lang: String,
+      html_ok: Boolean,
+      mentions: Seq[graft.core.Mention],
+      bucket: Long)
+
+  def run(spark: SparkSession, pages: DataFrame, cfg: Config): RunStats = {
+    import spark.implicits._
+    val runId = java.util.UUID.randomUUID().toString
+    val startMs = System.currentTimeMillis()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val done = completedBuckets(spark, cfg.outDir)
+    val withBucket =
+      if (cfg.useInputBucketColumn && pages.columns.contains("bucket")) pages
+      else pages.withColumn("bucket", bucketCol(cfg.numBuckets))
+    // the html-bearing (widest) relation is consumed exactly once below;
+    // nothing in this pipeline is persisted — intermediates are materialized
+    // to the docs/ table instead (at corpus scale nothing fits in cache, and
+    // 32-way MemoryStore writes were measured to serialize the scan stage)
+    val todo = if (done.isEmpty) withBucket
+               else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
+
+    // the emptiness probe costs a job — only pay it on resume, where all
+    // buckets may already be complete (a fresh run just proceeds; writing an
+    // empty slice is harmless)
+    if (done.nonEmpty && todo.isEmpty) {
+      return RunStats(runId, 0, 0, 0, 0, 0)
+    }
+
+    // 1. ONE narrow pass: deterministic HTML→text (byte-verified against the
+    //    text column — per-row invariant) + batched mention detection, then
+    //    materialize the annotated corpus as docs/ partitioned by bucket.
+    //    This is the only stage that touches html; everything downstream
+    //    reads the (much smaller) docs table with partition pruning.
+    val sysPromptByLang = Seq("en", "es", "it")
+      .map(l => l -> graft.annotate.Prompts.systemPrompt(l, NerSpark.Categories)).toMap
+    val dictLocal = cfg.dict
+    val spc = cfg.sentencesPerCall
+    val catsLocal = NerSpark.Categories
+
+    val annotated = todo
+      .select($"url", $"html", $"text".as("text_expected"), $"lang", col("bucket").cast("long"))
+      .as[(String, Array[Byte], String, String, Long)]
+      .mapPartitions { it =>
+        val annotator = graft.annotate.DictAnnotator(dictLocal)
+        it.map { case (url, html, expected, lang, bucket) =>
+          val text = HtmlText.extract(html)
+          val sys = sysPromptByLang.getOrElse(lang, sysPromptByLang("en"))
+          val ms = graft.annotate.MentionExtractor.extract(annotator, sys, catsLocal, text, spc)
+          DocRow(url, lang, text == expected, ms, bucket)
+        }
+      }
+      .toDF()
+    // bucket-aligned input (Iceberg bucketed scan): every task already holds
+    // ~one bucket, so the write is narrow; otherwise one exchange co-locates
+    // each bucket into a single writing task
+    (if (cfg.alignedInput) annotated
+     else annotated.repartition(cfg.numBuckets, col("bucket")))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"${cfg.outDir}/docs")
+
+    def freshOnly(df: DataFrame): DataFrame =
+      if (done.isEmpty) df else df.filter(!col("bucket").isin(done.toSeq: _*))
+    // partition-pruned on resume (bucket is the partition column)
+    val freshDocs = freshOnly(spark.read.parquet(s"${cfg.outDir}/docs"))
+
+    // 2. candidate generation + disambiguation in ONE broadcast join: the
+    //    alias priors are static, so top-1 per alias is precomputed on the
+    //    driver ([[Kg.winnersPerAlias]]) — no per-mention window; alias-graph
+    //    CC canonicalization (dictionary-sized union-find) is folded into
+    //    the same broadcast dictionary
+    val canon = canonicalMap(cfg.aliases)
+    val winners = Kg.winnersPerAlias(cfg.aliases)
+      .map { case (a, e, s) => (a, canon.getOrElse(e, e), s) }
+    val winnersDf = winners.toDF("alias", "entity_id", "score")
+
+    val mentionRows = freshDocs
+      .select(col("url"), col("bucket"), explode(col("mentions")).as("m"))
+      .select(col("url"), col("bucket"),
+        col("m.category").as("category"), col("m.surface").as("surface"))
+    val linked = mentionRows.join(broadcast(winnersDf),
+      lower(trim(col("surface"))) === col("alias"), "inner")
+
+    // 3. triples with lineage: map-side pre-dedup in the partial
+    //    HashAggregate of distinct; the single wide exchange is repartitioned
+    //    by bucket so each task writes exactly one partition directory
+    val predCol = NerSpark.Predicates.foldLeft(lit(null).cast("string")) {
+      case (acc, (cat, p)) => when(col("category") === cat, lit(p)).otherwise(acc)
+    }
+    linked
+      .select(col("entity_id").as("subj"), predCol.as("pred"),
+        concat(lit("page://"), col("url")).as("obj"), col("url"), col("bucket"))
+      .filter(col("pred").isNotNull)
+      .distinct()
+      .repartition(cfg.numBuckets, col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"${cfg.outDir}/triples")
+
+    // 4. per-bucket lineage + extraction metrics (reference op 19
+    //    replacement) — pure aggregation over the two materialized tables
+    val freshTriples = freshOnly(spark.read.parquet(s"${cfg.outDir}/triples"))
+    val docStats = freshDocs.groupBy("bucket").agg(
+      count(lit(1)).as("docs"),
+      sum(when(!col("html_ok"), 1L).otherwise(0L)).as("html_mismatches"),
+      sum(size(col("mentions")).cast("long")).as("mentions"))
+    val tStats = freshTriples.groupBy("bucket").agg(count(lit(1)).as("triples"))
+    val metrics = docStats.join(tStats, Seq("bucket"), "left")
+      .na.fill(0L, Seq("triples"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("wall_ms", lit(System.currentTimeMillis() - startMs))
+    metrics.write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/metrics")
+
+    // run stats come from the (bucket-sized) metrics table — no extra
+    // corpus-scale jobs just for counters
+    val rows = spark.read.parquet(s"${cfg.outDir}/metrics")
+      .filter(col("run_id") === runId).collect()
+    RunStats(
+      runId,
+      bucketsProcessed = rows.length.toLong,
+      docs = rows.map(_.getAs[Long]("docs")).sum,
+      mentions = rows.map(_.getAs[Long]("mentions")).sum,
+      triples = rows.map(_.getAs[Long]("triples")).sum,
+      htmlMismatches = rows.map(_.getAs[Long]("html_mismatches")).sum)
+  }
+}

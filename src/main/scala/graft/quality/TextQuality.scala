@@ -1,0 +1,74 @@
+package graft.quality
+
+import graft.text.PyStr
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language identification (character n-gram heuristic), quality scoring,
+  * token counting, and document fingerprinting. All pure functions of the
+  * text — deterministic across reruns and JVMs. */
+object TextQuality {
+
+  /** Tiny trigram profiles for the five fixture languages — the classic
+    * n-gram language-ID heuristic (Cavnar & Trenkle '94 shape) with
+    * hand-picked high-frequency trigrams; enough for a deterministic,
+    * dependency-free classifier. */
+  val Profiles: Map[String, Set[String]] = Map(
+    "en" -> Set(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng ", " to", "ion"),
+    "es" -> Set(" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ció", " qu", "que", "as "),
+    "it" -> Set(" di", "di ", " la", " il", "il ", "re ", " co", "to ", "ion", "one", "lla", "ell"),
+    "de" -> Set(" de", "der", "er ", "ie ", " di", "die", "ch ", "ein", " ei", "und", " un", "sch"),
+    "fr" -> Set(" de", "de ", " le", "le ", "es ", " la", "ent", "nt ", "ion", " et", "et ", "que"))
+
+  def trigrams(text: String): Iterator[String] = {
+    val t = " " + PyStr.split(text.toLowerCase).mkString(" ") + " "
+    if (t.length < 3) Iterator.empty else t.sliding(3)
+  }
+
+  /** Predict language by trigram-profile overlap; deterministic tie-break on
+    * language code; "und" (undetermined) when nothing matches. */
+  def detectLang(text: String): String = {
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    trigrams(text).foreach { g =>
+      Profiles.foreach { case (lang, prof) => if (prof.contains(g)) counts(lang) += 1 }
+    }
+    if (counts.isEmpty) "und"
+    else counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+  }
+
+  def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, detectLang(text)) }
+      .toDF("doc_id", "pred_lang")
+  }
+
+  /** Deterministic 64-bit rolling polynomial fingerprint (Rabin–Karp style)
+    * of the whitespace-normalized, lowercased text. */
+  def fingerprint(text: String): Long = {
+    val norm = PyStr.split(text.toLowerCase).mkString(" ")
+    var h = 1125899906842597L
+    var i = 0
+    while (i < norm.length) { h = 31 * h + norm.charAt(i); i += 1 }
+    h
+  }
+
+  /** Quality-signal columns computed with built-in (codegen'd) expressions:
+    * token count, punctuation ratio, stopword ratio, mean word length —
+    * the standard web-corpus quality heuristics. */
+  def qualitySignals(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      round(length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
+      round(size(array_intersect(toks, stopArr)).cast("double") / size(toks), 4)
+        .as("stopword_hit_ratio"),
+      round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(toks), 4)
+        .as("avg_word_len"))
+  }
+}
