@@ -202,7 +202,18 @@ object SparkEntry {
     // ai/extractor_ner.py:72-85): documents have no newlines, so batching
     // must not change the result — same oracle as q10
     "q26_ner_batched" -> ((s, dir) =>
-      NerSpark.mentions(s, t(s, dir, "documents"), sentencesPerCall = 3)))
+      NerSpark.mentions(s, t(s, dir, "documents"), sentencesPerCall = 3)),
+    // macro (per-document mean) metrics — reference op 18; with pred == gold
+    // every doc with ≥1 mention scores 1.0 and mention-free docs score 0.0,
+    // so the macro average equals the hit fraction (oracle below)
+    "q27_ner_macro" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = kgMentions(s, dir)
+      NerSpark.macroMetrics(s, docs, m, m)
+        .select(round(col("macro_precision"), 4).as("macro_precision"),
+          round(col("macro_recall"), 4).as("macro_recall"),
+          round(col("macro_f1"), 4).as("macro_f1"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -297,6 +308,14 @@ object SparkEntry {
     "q22_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5
         | FROM documents""".stripMargin.replaceAll("\n", " "),
+    "q27_ner_macro" ->
+      """WITH hits AS (SELECT CASE WHEN position('spark' in text) > 0
+        |  OR position('hash join' in text) > 0 OR position('table scan' in text) > 0
+        |  OR position('merge' in text) > 0 OR position('sort' in text) > 0
+        |  OR position('customer' in text) > 0 OR position('vector' in text) > 0
+        |  OR position('stream' in text) > 0 THEN 1.0 ELSE 0.0 END AS hit FROM documents)
+        | SELECT round(avg(hit),4) AS macro_precision, round(avg(hit),4) AS macro_recall,
+        |  round(avg(hit),4) AS macro_f1 FROM hits""".stripMargin.replaceAll("\n", " "),
     "q26_ner_batched" ->
       s"""WITH dict(category, surface) AS $DictValues,
          | pos AS (SELECT j FROM generate_series(1, 4096) g(j))

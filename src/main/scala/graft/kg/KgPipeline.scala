@@ -45,7 +45,14 @@ object KgPipeline {
       dict: Seq[(String, String)] = NerSpark.Dict,
       aliases: Seq[(String, String, Double)] = Kg.AliasesExtended,
       useInputBucketColumn: Boolean = false,
-      alignedInput: Boolean = false)
+      alignedInput: Boolean = false,
+      /** link via an explicit salted shuffled hash join instead of a
+        * broadcast join — the path for alias dictionaries too large to
+        * broadcast, where head-entity aliases ("spark") would otherwise
+        * concentrate a shuffle key (north rule: salted hash-join
+        * disambiguation). Results are identical to the broadcast path. */
+      saltedLinking: Boolean = false,
+      saltFactor: Int = 8)
 
   final case class RunStats(
       runId: String,
@@ -173,8 +180,13 @@ object KgPipeline {
       .select(col("url"), col("bucket"), explode(col("mentions")).as("m"))
       .select(col("url"), col("bucket"),
         col("m.category").as("category"), col("m.surface").as("surface"))
-    val linked = mentionRows.join(broadcast(winnersDf),
-      lower(trim(col("surface"))) === col("alias"), "inner")
+      .withColumn("surface_norm", lower(trim(col("surface"))))
+    val linked =
+      if (cfg.saltedLinking)
+        Kg.saltedJoin(mentionRows, winnersDf, "surface_norm", "alias",
+          pmod(xxhash64(col("url"), col("surface")), lit(cfg.saltFactor)), cfg.saltFactor)
+      else
+        mentionRows.join(broadcast(winnersDf), col("surface_norm") === col("alias"), "inner")
 
     // 3. triples with lineage: map-side pre-dedup in the partial
     //    HashAggregate of distinct; the single wide exchange is repartitioned

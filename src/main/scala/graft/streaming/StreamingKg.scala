@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.annotate.{DictAnnotator, MentionExtractor, Prompts}
+import graft.kg.{Kg, KgPipeline}
+import graft.ner.NerSpark
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming face of the KG pipeline: the same per-row logic
+  * (HTML→text → mention extraction → broadcast winner-alias linking →
+  * triples) expressed over a streaming DataFrame. The north rule's
+  * incrementality is checkpoint-resume batch ([[KgPipeline]]); this variant
+  * covers continuous ingestion (`readStream` on an arriving-pages directory
+  * → append-mode triple stream). The per-row stages are stateless; the
+  * trailing `dropDuplicates` is Spark's stateful streaming dedup — bound its
+  * state with a watermark on `warc_ts` before production use at scale.
+  */
+object StreamingKg {
+
+  /** Transform a (streaming or batch) pages DataFrame into triples. */
+  def triplesStream(spark: SparkSession, pages: DataFrame,
+      dict: Seq[(String, String)] = NerSpark.Dict,
+      aliases: Seq[(String, String, Double)] = Kg.AliasesExtended): DataFrame = {
+    import spark.implicits._
+    val sysPromptByLang = Seq("en", "es", "it")
+      .map(l => l -> Prompts.systemPrompt(l, NerSpark.Categories)).toMap
+    val catsLocal = NerSpark.Categories
+    val dictLocal = dict
+
+    val mentions = pages
+      .select($"url", $"html", $"lang")
+      .as[(String, Array[Byte], String)]
+      .flatMap { case (url, html, lang) =>
+        val annotator = DictAnnotator(dictLocal)
+        val text = graft.html.HtmlText.extract(html)
+        val sys = sysPromptByLang.getOrElse(lang, sysPromptByLang("en"))
+        MentionExtractor.extract(annotator, sys, catsLocal, text)
+          .map(m => (url, m.category, m.surface))
+      }
+      .toDF("url", "category", "surface")
+
+    val canon = KgPipeline.canonicalMap(aliases)
+    val winners = Kg.winnersPerAlias(aliases)
+      .map { case (a, e, s) => (a, canon.getOrElse(e, e), s) }
+    val winnersDf = winners.toDF("alias", "entity_id", "score")
+
+    val predCol = NerSpark.Predicates.foldLeft(lit(null).cast("string")) {
+      case (acc, (cat, p)) => when(col("category") === cat, lit(p)).otherwise(acc)
+    }
+    mentions
+      .join(broadcast(winnersDf), lower(trim(col("surface"))) === col("alias"), "inner")
+      .select(col("entity_id").as("subj"), predCol.as("pred"),
+        concat(lit("page://"), col("url")).as("obj"), col("url"))
+      .filter(col("pred").isNotNull)
+      .dropDuplicates("subj", "pred", "obj")
+  }
+}

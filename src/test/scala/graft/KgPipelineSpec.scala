@@ -136,6 +136,20 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(s.bucketsProcessed == 0)
   }
 
+  test("salted-linking path yields identical triples to the broadcast path") {
+    import spark.implicits._
+    val outA = freshDir()
+    val outB = freshDir()
+    val pages = WebTextGen.pages(spark, 250, 4).toDF()
+    KgPipeline.run(spark, pages, KgPipeline.Config(outA, numBuckets = 8))
+    KgPipeline.run(spark, pages, KgPipeline.Config(outB, numBuckets = 8,
+      saltedLinking = true, saltFactor = 4))
+    def tset(out: String) = spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj", "url").as[(String, String, String, String)]
+      .collect().toSet
+    assert(tset(outA) == tset(outB))
+  }
+
   test("skew: hot domains concentrate urls but buckets stay balanced") {
     import spark.implicits._
     val pages = WebTextGen.pages(spark, 2000, 4).toDF()

@@ -56,4 +56,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0)
     assert(batch.except(streamed).count() == 0)
   }
+
+  test("streaming KG pipeline emits the same triples as the batch pipeline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // write a small page set as the "arriving" directory
+    val n = 150L
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pages-").toString + "/pages"
+    graft.fixtures.WebTextGen.pages(spark, n, 2).toDF().write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val stream = graft.streaming.StreamingKg.triplesStream(
+      spark, spark.readStream.schema(schema).parquet(dir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("kg_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("kg_stream")
+      .select("subj", "pred", "obj", "url").as[(String, String, String, String)]
+      .collect().toSet
+
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-batch-").toString
+    graft.kg.KgPipeline.run(spark, graft.fixtures.WebTextGen.pages(spark, n, 2).toDF(),
+      graft.kg.KgPipeline.Config(out, numBuckets = 4))
+    val batch = spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj", "url").as[(String, String, String, String)]
+      .collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
