@@ -31,6 +31,8 @@ object Bench {
       // core gets scan tasks (docs/ is ~hundreds of MB; the 128 MB default
       // gives local[32] only a handful of read tasks)
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // task-side commit (v2): avoids the driver-serial rename pass of v1
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     // shuffle/spill files on tmpfs — with 32 concurrent writers a disk-backed
     // local dir becomes the bottleneck and inverts the scaling curve
     if (new java.io.File("/dev/shm").isDirectory)
@@ -100,7 +102,7 @@ object Bench {
     // side is reported: this host shows sporadic ~60 s windows of 20%+ CPU
     // steal (noisy neighbor), and alternation keeps one side's samples from
     // all landing in a blackout.
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "3000000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1500000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
     var best = Map(8 -> Double.MaxValue, 32 -> Double.MaxValue)
     var triplesN = 0L

@@ -167,7 +167,7 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft-q20-").toString
       val pages = graft.fixtures.WebTextGen.pages(s, 500, 8).toDF()
       graft.kg.KgPipeline.run(s, pages, graft.kg.KgPipeline.Config(out, numBuckets = 8))
-      s.read.parquet(s"$out/triples").select("subj", "pred", "obj", "url")
+      s.read.parquet(s"$out/triples").select("subj", "pred", "obj")
     }),
     // ---- text analysis ----
     "q21_langid" -> ((s, dir) => {

@@ -194,9 +194,11 @@ object KgPipeline {
     val predCol = NerSpark.Predicates.foldLeft(lit(null).cast("string")) {
       case (acc, (cat, p)) => when(col("category") === cat, lit(p)).otherwise(acc)
     }
+    // lineage: obj IS the source-page URI, so no separate url column —
+    // one less string per row through the dedup shuffle
     linked
       .select(col("entity_id").as("subj"), predCol.as("pred"),
-        concat(lit("page://"), col("url")).as("obj"), col("url"), col("bucket"))
+        concat(lit("page://"), col("url")).as("obj"), col("bucket"))
       .filter(col("pred").isNotNull)
       .distinct()
       .repartition(cfg.numBuckets, col("bucket"))
@@ -215,12 +217,13 @@ object KgPipeline {
       .na.fill(0L, Seq("triples"))
       .withColumn("run_id", lit(runId))
       .withColumn("wall_ms", lit(System.currentTimeMillis() - startMs))
-    metrics.write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/metrics")
 
-    // run stats come from the (bucket-sized) metrics table — no extra
-    // corpus-scale jobs just for counters
-    val rows = spark.read.parquet(s"${cfg.outDir}/metrics")
-      .filter(col("run_id") === runId).collect()
+    // collect the (bucket-sized) metrics once, then append them from the
+    // driver — run stats need no extra corpus-scale jobs or read-backs
+    val rows = metrics.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/metrics")
     RunStats(
       runId,
       bucketsProcessed = rows.length.toLong,

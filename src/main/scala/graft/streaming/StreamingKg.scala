@@ -50,7 +50,7 @@ object StreamingKg {
     mentions
       .join(broadcast(winnersDf), lower(trim(col("surface"))) === col("alias"), "inner")
       .select(col("entity_id").as("subj"), predCol.as("pred"),
-        concat(lit("page://"), col("url")).as("obj"), col("url"))
+        concat(lit("page://"), col("url")).as("obj"))
       .filter(col("pred").isNotNull)
       .dropDuplicates("subj", "pred", "obj")
   }

@@ -99,10 +99,10 @@ class KgPipelineSpec extends AnyFunSuite {
 
     // resumed output equals the one-shot run exactly
     val a = spark.read.parquet(s"$outPartial/triples")
-      .select("subj", "pred", "obj", "url").as[(String, String, String, String)]
+      .select("subj", "pred", "obj").as[(String, String, String)]
       .collect().toSet
     val b = spark.read.parquet(s"$outFull/triples")
-      .select("subj", "pred", "obj", "url").as[(String, String, String, String)]
+      .select("subj", "pred", "obj").as[(String, String, String)]
       .collect().toSet
     assert(a == b)
 
@@ -125,7 +125,7 @@ class KgPipelineSpec extends AnyFunSuite {
       KgPipeline.Config(outB, numBuckets = 8,
         useInputBucketColumn = true, alignedInput = true))
     def tset(out: String) = spark.read.parquet(s"$out/triples")
-      .select("subj", "pred", "obj", "url").as[(String, String, String, String)]
+      .select("subj", "pred", "obj").as[(String, String, String)]
       .collect().toSet
     // bucket assignment differs (hash vs block), but the TRIPLES are identical
     assert(tset(outA) == tset(outB))
@@ -145,7 +145,7 @@ class KgPipelineSpec extends AnyFunSuite {
     KgPipeline.run(spark, pages, KgPipeline.Config(outB, numBuckets = 8,
       saltedLinking = true, saltFactor = 4))
     def tset(out: String) = spark.read.parquet(s"$out/triples")
-      .select("subj", "pred", "obj", "url").as[(String, String, String, String)]
+      .select("subj", "pred", "obj").as[(String, String, String)]
       .collect().toSet
     assert(tset(outA) == tset(outB))
   }

@@ -74,14 +74,14 @@ class StreamingSpec extends AnyFunSuite {
     try q.processAllAvailable()
     finally q.stop()
     val streamed = spark.table("kg_stream")
-      .select("subj", "pred", "obj", "url").as[(String, String, String, String)]
+      .select("subj", "pred", "obj").as[(String, String, String)]
       .collect().toSet
 
     val out = java.nio.file.Files.createTempDirectory("graft-stream-batch-").toString
     graft.kg.KgPipeline.run(spark, graft.fixtures.WebTextGen.pages(spark, n, 2).toDF(),
       graft.kg.KgPipeline.Config(out, numBuckets = 4))
     val batch = spark.read.parquet(s"$out/triples")
-      .select("subj", "pred", "obj", "url").as[(String, String, String, String)]
+      .select("subj", "pred", "obj").as[(String, String, String)]
       .collect().toSet
 
     assert(streamed == batch)
