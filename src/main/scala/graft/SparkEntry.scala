@@ -164,7 +164,10 @@ object SparkEntry {
     }),
     // ---- north-rule pipeline on synthesized webtext (no external data) ----
     "q20_kg_pipeline" -> ((s, _) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-q20-").toString
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+                 else System.getProperty("java.io.tmpdir")
+      val out = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get(base), "graft-q20-").toString
       val pages = graft.fixtures.WebTextGen.pages(s, 500, 8).toDF()
       graft.kg.KgPipeline.run(s, pages, graft.kg.KgPipeline.Config(out, numBuckets = 8))
       s.read.parquet(s"$out/triples").select("subj", "pred", "obj")

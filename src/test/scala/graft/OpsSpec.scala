@@ -1,0 +1,93 @@
+package graft
+
+import graft.kg.ConnectedComponents
+import graft.multimodal.Media
+import graft.quality.TextQuality
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit/fuzz coverage for the auxiliary operators: connected components vs
+  * a union-find reference, multimodal stubs, text-quality functions. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("connected components match union-find on random graphs (seeded fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    (1 to 3).foreach { _ =>
+      val nNodes = 40 + rnd.nextInt(40)
+      val edges = Seq.fill(nNodes)(
+        (f"n${rnd.nextInt(nNodes)}%03d", f"n${rnd.nextInt(nNodes)}%03d"))
+
+      // reference union-find with min-label roots
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: String, b: String): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(n => n -> find(n)).toMap
+
+      val got = ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("media decode stub is deterministic with plausible metadata") {
+    val bytes = "some binary payload".getBytes("UTF-8")
+    val (m1, f1) = Media.decodeStub(bytes)
+    val (m2, f2) = Media.decodeStub(bytes)
+    assert(m1 == m2 && f1.toSeq == f2.toSeq)
+    assert(m1.width >= 64 && m1.height >= 64 && m1.channels == 3)
+    assert(m1.n_bytes == bytes.length)
+    assert(f1.length == 8)
+  }
+
+  test("resizeMeta preserves aspect ratio within the target box") {
+    import spark.implicits._
+    val df = Seq((1, 1024, 512), (2, 100, 100)).toDF("id", "width", "height")
+    val out = Media.resizeMeta(df, 256).collect().map(r =>
+      r.getAs[Int]("id") -> (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))).toMap
+    assert(out(1) == (256, 128))
+    assert(out(2) == (100, 100)) // never upscale
+  }
+
+  test("frame sampling keeps every stride-th fixed-size frame") {
+    import spark.implicits._
+    val blob = Array.tabulate[Byte](300)(_.toByte)
+    val df = Seq((7L, blob)).toDF("id", "blob")
+    val frames = Media.sampleFrames(spark, df, "id", "blob", 64, 2).collect()
+    // 300 bytes → frames of 64,64,64,64,44 → indices 0,2,4 kept
+    assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2, 4))
+    assert(frames.find(_.getAs[Int]("frame_idx") == 4).get.getAs[Int]("frame_bytes") == 44)
+  }
+
+  test("language-ID picks the right profile on natural text") {
+    assert(TextQuality.detectLang("the house and the garden of the king") == "en")
+    assert(TextQuality.detectLang("la casa de la reina que canta") == "es")
+    assert(TextQuality.detectLang("die Kinder und die Schule sind schön") == "de")
+    assert(TextQuality.detectLang("") == "und")
+  }
+
+  test("fingerprint is whitespace/case-normalized and deterministic") {
+    val a = TextQuality.fingerprint("Hello   World")
+    val b = TextQuality.fingerprint("hello world")
+    val c = TextQuality.fingerprint("hello\tworld ")
+    assert(a == b && b == c)
+    assert(TextQuality.fingerprint("different text") != a)
+  }
+}
