@@ -24,7 +24,8 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++
-  sys.env.get("SPARK_GRAFT_GCLOG").map(p => s"-Xlog:gc:$p").toSeq ++ Seq(
+  sys.env.get("SPARK_GRAFT_GCLOG").map(p => s"-Xlog:gc:$p").toSeq ++
+  sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",

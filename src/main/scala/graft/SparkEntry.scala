@@ -206,6 +206,26 @@ object SparkEntry {
     // must not change the result — same oracle as q10
     "q26_ner_batched" -> ((s, dir) =>
       NerSpark.mentions(s, t(s, dir, "documents"), sentencesPerCall = 3)),
+    // grouping sets: cube over lang × source (SURVEY §2 grouping-sets note)
+    "q28_cube" -> ((s, dir) => {
+      t(s, dir, "documents").cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+    }),
+    // global top-k (order-by + limit with deterministic tie-break)
+    "q29_topk_docs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_chars", "lang")
+    }),
+    // set ops: union + except-style anti over partitioned slices
+    "q30_union_except" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val en = d.filter(col("lang") === "en").select("doc_id")
+      val long = d.filter(col("n_chars") > 300).select("doc_id")
+      en.union(long).distinct()
+        .except(d.filter(col("source") === "src0").select("doc_id"))
+    }),
     // macro (per-document mean) metrics — reference op 18; with pred == gold
     // every doc with ≥1 mention scores 1.0 and mention-free docs score 0.0,
     // so the macro average equals the hit fraction (oracle below)
@@ -311,6 +331,18 @@ object SparkEntry {
     "q22_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5
         | FROM documents""".stripMargin.replaceAll("\n", " "),
+    "q28_cube" ->
+      """SELECT lang, source, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars
+        | FROM documents GROUP BY CUBE(lang, source)""".stripMargin.replaceAll("\n", " "),
+    "q29_topk_docs" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        | ORDER BY n_chars DESC, doc_id ASC LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    "q30_union_except" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id FROM documents WHERE lang = 'en'
+        |  UNION SELECT doc_id FROM documents WHERE n_chars > 300)
+        | EXCEPT SELECT doc_id FROM documents WHERE source = 'src0'"""
+        .stripMargin.replaceAll("\n", " "),
     "q27_ner_macro" ->
       """WITH hits AS (SELECT CASE WHEN position('spark' in text) > 0
         |  OR position('hash join' in text) > 0 OR position('table scan' in text) > 0
