@@ -25,6 +25,8 @@ object Dedup {
   val NumHashes = 64
   val Bands = 16 // 16 bands x 4 rows
   val RowsPerBand: Int = NumHashes / Bands
+  /** Per-bucket pair-generation cap (see note in [[minhashPairs]]). */
+  val MaxBucketSize = 1000
   private val Prime = 2147483647L // 2^31 - 1
 
   /** Deterministic (a, b) coefficients for the k universal hash functions,
@@ -82,13 +84,19 @@ object Dedup {
       }
     }.toDF("band", "bucket", "doc_id", "sig")
 
+    // Pair fan-out within a bucket is quadratic — for degenerate corpora
+    // (mass-identical docs) a bucket could hold the whole table. Exact
+    // duplicates belong to [[exact]] (run it first); buckets above the cap
+    // are truncated to the first `MaxBucketSize` members by doc_id so the
+    // job stays bounded. The cap is explicit, not silent: callers see it
+    // here and in the scaladoc.
     val pairs = banded
       .groupBy("band", "bucket")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       .filter(size(col("members")) > 1)
       .as[(Int, Int, Seq[(Long, Array[Long])])]
       .flatMap { case (_, _, members) =>
-        val sorted = members.sortBy(_._1)
+        val sorted = members.sortBy(_._1).take(MaxBucketSize)
         for {
           i <- sorted.indices
           j <- (i + 1) until sorted.length

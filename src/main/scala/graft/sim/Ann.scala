@@ -35,30 +35,38 @@ object Ann {
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
 
+  /** Fixed-seed random hyperplanes — single source of truth so table-side
+    * bucketing and query-side bucketing can never drift apart. */
+  def hyperplanes(dim: Int, nBits: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket of one vector under the given hyperplanes. */
+  def bucketOf(v: Array[Double], planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var b = 0
+    while (b < planes.length) {
+      var dot = 0.0
+      val p = planes(b)
+      var i = 0
+      while (i < v.length && i < p.length) { dot += v(i) * p(i); i += 1 }
+      if (dot > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
   /** Random-hyperplane LSH bucket id (nBits sign bits) for each vector —
     * the scale path's partitioning key. Hyperplanes come from a fixed-seed
     * PRNG so bucketing is deterministic. */
   def lshBuckets(spark: SparkSession, embeddings: DataFrame, dim: Int, nBits: Int): DataFrame = {
     import spark.implicits._
-    val rnd = new scala.util.Random(7)
-    val planes: Array[Array[Double]] =
-      Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-    val planesB = spark.sparkContext.broadcast(planes)
+    val planesB = spark.sparkContext.broadcast(hyperplanes(dim, nBits))
     embeddings.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .map { case (id, emb) =>
-        val v = emb.toArray
-        var bucket = 0
-        var b = 0
-        while (b < planesB.value.length) {
-          var dot = 0.0
-          val p = planesB.value(b)
-          var i = 0
-          while (i < v.length && i < p.length) { dot += v(i) * p(i); i += 1 }
-          if (dot > 0) bucket |= (1 << b)
-          b += 1
-        }
-        (id, bucket)
+        (id, bucketOf(emb.map(_.toDouble).toArray, planesB.value))
       }
       .toDF("vec_id", "bucket")
   }
@@ -69,15 +77,7 @@ object Ann {
   def lshTopK(spark: SparkSession, embeddings: DataFrame, query: Array[Double],
       k: Int, dim: Int, nBits: Int): DataFrame = {
     val buckets = lshBuckets(spark, embeddings, dim, nBits)
-    val rnd = new scala.util.Random(7)
-    val planes: Array[Array[Double]] = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-    var qBucket = 0
-    for (b <- 0 until nBits) {
-      var dot = 0.0
-      var i = 0
-      while (i < dim && i < planes(b).length) { dot += query(i) * planes(b)(i); i += 1 }
-      if (dot > 0) qBucket |= (1 << b)
-    }
+    val qBucket = bucketOf(query, hyperplanes(dim, nBits))
     val candidates = embeddings.join(
       buckets.filter(col("bucket") === qBucket).select("vec_id"), Seq("vec_id"))
     val pool = if (candidates.limit(k).count() < k) embeddings else candidates
