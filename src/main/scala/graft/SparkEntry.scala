@@ -276,7 +276,7 @@ object SparkEntry {
         | FROM events GROUP BY 1, 2""".stripMargin.replaceAll("\n", " "),
     "q10_ner_mentions" ->
       s"""WITH dict(category, surface) AS $DictValues,
-         | pos AS (SELECT j FROM generate_series(1, 4096) g(j))
+         | pos AS (SELECT j FROM generate_series(1, 32768) g(j))
          | SELECT d.doc_id, v.category, v.surface, (p.j - 1)::int AS begin_c,
          |  (p.j - 1 + length(v.surface))::int AS end_c
          | FROM documents d CROSS JOIN dict v
@@ -353,7 +353,7 @@ object SparkEntry {
         |  round(avg(hit),4) AS macro_f1 FROM hits""".stripMargin.replaceAll("\n", " "),
     "q26_ner_batched" ->
       s"""WITH dict(category, surface) AS $DictValues,
-         | pos AS (SELECT j FROM generate_series(1, 4096) g(j))
+         | pos AS (SELECT j FROM generate_series(1, 32768) g(j))
          | SELECT d.doc_id, v.category, v.surface, (p.j - 1)::int AS begin_c,
          |  (p.j - 1 + length(v.surface))::int AS end_c
          | FROM documents d CROSS JOIN dict v
