@@ -54,4 +54,65 @@ object ConnectedComponents {
     sym.unpersist()
     labels.withColumnRenamed("label", "component")
   }
+
+  /** Alternating large-star / small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round rewires every node toward its neighborhood minimum —
+    *
+    *   large-star: for every node u, connect each neighbor v > u to
+    *               m(u) = min(Γ(u) ∪ {u});
+    *   small-star: connect each neighbor v ≤ u (and u itself) to m(u)
+    *               computed over the smaller neighbors.
+    *
+    * Converges in O(log²) rounds regardless of graph diameter — the scale
+    * path for long-chain graphs where [[run]]'s min-label propagation would
+    * need O(diameter) iterations. Output contract identical to [[run]]. */
+  def runStar(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v"))).distinct()
+      val w = Window.partitionBy("u")
+      val withMin = sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+      withMin.filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge from the larger endpoint to the smaller
+      val oriented = e.select(
+        greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v")).distinct()
+      val w = Window.partitionBy("u")
+      val withMin = oriented.withColumn("m", min(col("v")).over(w))
+      withMin.select(col("v").as("src"), col("m").as("dst"))
+        .union(withMin.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var e = edges.select("src", "dst").filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixpoint when the canonical edge multiset is unchanged
+      val changed = next.exceptAll(e).limit(1).count() > 0 ||
+        e.exceptAll(next).limit(1).count() > 0
+      e = next
+      converged = !changed
+      i += 1
+    }
+    // at fixpoint every surviving edge points a node at its component min;
+    // isolated component minima (and singleton inputs) label themselves
+    nodes.join(e.select(col("src").as("node"), col("dst").as("component")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
 }

@@ -47,6 +47,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("large-star/small-star CC matches min-label CC and union-find (seeded fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    (1 to 3).foreach { _ =>
+      val nNodes = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(nNodes)(
+        (f"n${rnd.nextInt(nNodes)}%03d", f"n${rnd.nextInt(nNodes)}%03d"))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("src", "dst")
+      val a = ConnectedComponents.run(spark, df)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val b = ConnectedComponents.runStar(spark, df)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(a == b)
+    }
+    // long chain: star variant must also find the single component
+    val chain = (0 until 20).map(i => (f"c$i%02d", f"c${i + 1}%02d")).toDF("src", "dst")
+    val got = ConnectedComponents.runStar(spark, chain).collect()
+    assert(got.length == 21 && got.forall(_.getString(1) == "c00"))
+  }
+
   test("media decode stub is deterministic with plausible metadata") {
     val bytes = "some binary payload".getBytes("UTF-8")
     val (m1, f1) = Media.decodeStub(bytes)
