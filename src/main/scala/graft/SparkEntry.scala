@@ -131,7 +131,9 @@ object SparkEntry {
         .select(concat(lit("d:"), col("doc_id").cast("string")).as("src"),
           col("entity_id").as("dst"))
         .distinct()
-      ConnectedComponents.run(s, edges)
+      // the O(log²)-round star variant — validated here against the
+      // DuckDB recursive-CTE oracle (and in OpsSpec against min-label CC)
+      ConnectedComponents.runStar(s, edges)
     }),
     // ---- training-data ops ----
     "q14_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -206,6 +208,16 @@ object SparkEntry {
     // must not change the result — same oracle as q10
     "q26_ner_batched" -> ((s, dir) =>
       NerSpark.mentions(s, t(s, dir, "documents"), sentencesPerCall = 3)),
+    // LSH candidates verified by exact n-gram Jaccard (the standard
+    // near-dup pipeline: cheap filter → exact verify)
+    "q31_neardup_verified" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val candidates = Dedup.minhashPairs(s, docs, 0.1).select("doc_a", "doc_b")
+      Dedup.exactJaccard(s, docs, candidates)
+    }),
+    // embedding-cosine near-duplicates via LSH bucket self-join
+    "q32_embedding_neardup" -> ((s, dir) =>
+      Ann.cosineNearDupPairs(s, t(s, dir, "embeddings"), 64, 4, 0.3)),
     // grouping sets: cube over lang × source (SURVEY §2 grouping-sets note)
     "q28_cube" -> ((s, dir) => {
       t(s, dir, "documents").cube("lang", "source")

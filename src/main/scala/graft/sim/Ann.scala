@@ -71,6 +71,44 @@ object Ann {
       .toDF("vec_id", "bucket")
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket self-join generates
+    * candidates (vectors agreeing on all sign bits), exact cosine verifies.
+    * Output: (vec_a, vec_b, sim) with vec_a < vec_b, sim ≥ minSim, rounded.
+    * Scale shape: one narrow bucketing pass, one shuffle on the bucket key,
+    * pair fan-out only inside buckets (expected size n / 2^nBits). */
+  def cosineNearDupPairs(spark: SparkSession, embeddings: DataFrame,
+      dim: Int, nBits: Int, minSim: Double): DataFrame = {
+    import spark.implicits._
+    val withBuckets = embeddings
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .join(lshBuckets(spark, embeddings, dim, nBits), "vec_id")
+    val pairs = withBuckets
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .as[(Int, Seq[(Long, Seq[Float])])]
+      .flatMap { case (_, members) =>
+        val sorted = members.sortBy(_._1)
+        for {
+          i <- sorted.indices
+          j <- (i + 1) until sorted.length
+        } yield {
+          val (ida, va) = sorted(i)
+          val (idb, vb) = sorted(j)
+          var dot, na, nb = 0.0
+          var k = 0
+          val n = math.min(va.length, vb.length)
+          while (k < n) {
+            dot += va(k) * vb(k); na += va(k) * va(k); nb += vb(k) * vb(k); k += 1
+          }
+          (ida, idb, dot / math.sqrt(na * nb))
+        }
+      }
+      .toDF("vec_a", "vec_b", "sim")
+    pairs.filter(col("sim") >= minSim)
+      .groupBy("vec_a", "vec_b").agg(round(max("sim"), 4).as("sim"))
+  }
+
   /** IVF-style ANN top-k: restrict the brute-force scan to the query's LSH
     * bucket; falls back to the full scan when the bucket is smaller than k
     * (recall guard). */
