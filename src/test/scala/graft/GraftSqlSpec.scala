@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL face of the engine: same semantics as the Dataset API, driven
+  * entirely through `spark.sql`. */
+class GraftSqlSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sql-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftSql.registerAll(s, sf)
+    s
+  }
+
+  test("find_all UDF grounds spans through SQL exactly like the extractor") {
+    val rows = spark.sql(
+      """SELECT doc_id, s.begin_c, s.end_c
+        |FROM documents
+        |LATERAL VIEW explode(find_all(text, 'spark')) AS s
+        |""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    // cross-check against the Dataset-API mentions query
+    val viaApi = SparkEntry.queries("q10_ner_mentions")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("surface") === "spark")
+      .count()
+    assert(rows.length.toLong == viaApi)
+  }
+
+  test("py_tokens matches Python str.split() through SQL") {
+    val r = spark.sql("SELECT py_tokens('  a\tb  c ') AS t").head()
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+  }
+
+  test("SQL join + agg over registered views") {
+    val n = spark.sql(
+      """SELECT c_mktsegment, count(*) AS n FROM orders
+        |JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment
+        |""".stripMargin).count()
+    assert(n > 0)
+  }
+
+  test("detect_lang and fingerprint64 register and run in SQL") {
+    val r = spark.sql(
+      "SELECT detect_lang('the house and the garden') AS l, fingerprint64('A  b') = fingerprint64('a b') AS same")
+      .head()
+    assert(r.getString(0) == "en")
+    assert(r.getBoolean(1))
+  }
+}
