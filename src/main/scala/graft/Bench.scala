@@ -26,6 +26,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       // split the read-back of intermediate tables finely enough that every
       // core gets scan tasks (docs/ is ~hundreds of MB; the 128 MB default

@@ -136,6 +136,38 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(s.bucketsProcessed == 0)
   }
 
+  test("crash-mid-run repair: bucket with data but no metrics row is rewritten") {
+    import spark.implicits._
+    val out = freshDir()
+    val pages = WebTextGen.pages(spark, 300, 4).toDF()
+    val cfg = KgPipeline.Config(out, numBuckets = 8)
+    KgPipeline.run(spark, pages, cfg)
+    val before = spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+
+    // simulate a crash AFTER the docs/triples write of buckets 2 and 5 but
+    // BEFORE their metrics commit: drop their metrics rows and corrupt
+    // their triples partitions
+    val kept = spark.read.parquet(s"$out/metrics")
+      .filter(!col("bucket").isin(2, 5))
+      .collect()
+    val schema = spark.read.parquet(s"$out/metrics").schema
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$out/metrics"))
+    spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
+      .coalesce(1).write.parquet(s"$out/metrics")
+    Seq(2, 5).foreach { b =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$out/triples/bucket=$b"))
+    }
+
+    // re-run: only the two uncommitted buckets are reprocessed, and the
+    // final output is byte-identical to the uninterrupted run
+    val s2 = KgPipeline.run(spark, pages, cfg)
+    assert(s2.bucketsProcessed == 2)
+    val after = spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(after == before)
+  }
+
   test("salted-linking path yields identical triples to the broadcast path") {
     import spark.implicits._
     val outA = freshDir()
