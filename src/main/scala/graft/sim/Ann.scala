@@ -19,7 +19,7 @@ object Ann {
   /** Cosine similarity column between an array column and a literal query
     * vector, computed with built-in HOFs. */
   def cosineCol(vecCol: String, query: Array[Double]): org.apache.spark.sql.Column = {
-    val q = array(query.map(lit): _*)
+    val q = array(query.toIndexedSeq.map(lit): _*)
     val v = transform(col(vecCol), x => x.cast("double"))
     val dot = aggregate(zip_with(v, q, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
     val nv = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
