@@ -48,7 +48,7 @@ object Bench {
     * the Iceberg-style bucket(N, url) layout ([[WebTextGen.pagesBucketed]]),
     * the standard table design for this pipeline — it keeps the whole
     * extraction stage shuffle-free. */
-  private def timePipeline(spark: SparkSession, nDocs: Long, partitions: Int,
+  private def timePipeline(spark: SparkSession, nDocs: Long,
       numBuckets: Int): (Double, Long) = {
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
       System.getProperty("java.io.tmpdir")
@@ -61,15 +61,6 @@ object Bench {
     val sec = (System.nanoTime() - t0) / 1e9
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     (sec, stats.triples)
-  }
-
-  /** best-of-3 identical warm runs: this host shows bursty CPU steal
-    * (~10% under load), so the minimum is the honest estimate of the
-    * engine's own cost. */
-  private def timePipelineBest3(spark: SparkSession, nDocs: Long, partitions: Int,
-      numBuckets: Int): (Double, Long) = {
-    val runs = (1 to 3).map(_ => timePipeline(spark, nDocs, partitions, numBuckets))
-    (runs.map(_._1).min, runs.head._2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -90,7 +81,7 @@ object Bench {
       }
 
     // Part 2: pipeline throughput at the configured parallelism
-    val (pipeSec, pipeTriples) = timePipeline(spark, benchDocs, cpus * 2, cpus * 2)
+    val (pipeSec, pipeTriples) = timePipeline(spark, benchDocs, cpus * 2)
     val triplesPerSec = pipeTriples / pipeSec
     val docsPerSec = benchDocs / pipeSec
     spark.stop()
@@ -110,15 +101,12 @@ object Bench {
     (1 to rounds).foreach { _ =>
       Seq(8, 32).foreach { c =>
         spark = session(c)
-        timePipeline(spark, scaleDocs / 50, 64, 64) // session warm-up, untimed
-        // the 32-core run is short, so a single noisy-neighbor burst can
-        // swallow it entirely — give it two attempts per round
-        val attempts = if (c == 32) 2 else 1
-        (1 to attempts).foreach { _ =>
-          val (sec, tr) = timePipeline(spark, scaleDocs, 64, 64)
-          best = best.updated(c, math.min(best(c), sec))
-          triplesN = tr
-        }
+        timePipeline(spark, scaleDocs / 50, 64) // session warm-up, untimed
+        // SAME number of attempts per side under the min statistic —
+        // asymmetric attempts would bias the efficiency ratio
+        val (sec, tr) = timePipeline(spark, scaleDocs, 64)
+        best = best.updated(c, math.min(best(c), sec))
+        triplesN = tr
         spark.stop()
       }
     }
@@ -131,8 +119,9 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    // headline value = throughput of the LARGE (3M-doc) run at local[32]:
-    // the small part-2 run is fixed-overhead-dominated and under-reports
+    // headline value = throughput of the large scaling run (SPARK_GRAFT_
+    // SCALE_DOCS, default 1.5M docs) at local[32]: the small part-2 run is
+    // fixed-overhead-dominated and under-reports
     val headline = math.max(triplesPerSec, tput32)
     println(
       s"""{"metric":"triples_per_sec","value":${f"$headline%.1f"},"unit":"triples/sec",""" +

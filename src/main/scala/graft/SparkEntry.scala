@@ -172,7 +172,13 @@ object SparkEntry {
         .createTempDirectory(java.nio.file.Paths.get(base), "graft-q20-").toString
       val pages = graft.fixtures.WebTextGen.pages(s, 500, 8).toDF()
       graft.kg.KgPipeline.run(s, pages, graft.kg.KgPipeline.Config(out, numBuckets = 8))
-      s.read.parquet(s"$out/triples").select("subj", "pred", "obj")
+      // materialize the (fixed 500-doc demo-sized) result, then delete the
+      // temp output so repeated Verify/Bench invocations don't leak tmpfs
+      val result = s.read.parquet(s"$out/triples").select("subj", "pred", "obj")
+      val rows = result.collect()
+      val schema = result.schema
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
     // ---- text analysis ----
     "q21_langid" -> ((s, dir) => {

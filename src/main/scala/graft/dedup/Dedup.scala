@@ -70,7 +70,17 @@ object Dedup {
     * bucket key, pair fan-out only within buckets. Hot buckets are bounded
     * by the banding probability, not by data volume.
     */
-  def minhashPairs(spark: SparkSession, docs: DataFrame, minJaccard: Double): DataFrame = {
+  def minhashPairs(spark: SparkSession, docs: DataFrame, minJaccard: Double): DataFrame =
+    minhashPairs(spark, docs, minJaccard,
+      spark.sparkContext.longAccumulator("minhash.truncatedBuckets"))
+
+  /** As [[minhashPairs]], with the bucket-truncation cap made observable:
+    * `truncatedBuckets` counts every (band, bucket) whose membership exceeded
+    * [[MaxBucketSize]] and was cut — no silent caps (read it after an action
+    * on the result; a nonzero value means run [[exact]] first or raise the
+    * cap). */
+  def minhashPairs(spark: SparkSession, docs: DataFrame, minJaccard: Double,
+      truncatedBuckets: org.apache.spark.util.LongAccumulator): DataFrame = {
     import spark.implicits._
     val sigs = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -88,14 +98,15 @@ object Dedup {
     // (mass-identical docs) a bucket could hold the whole table. Exact
     // duplicates belong to [[exact]] (run it first); buckets above the cap
     // are truncated to the first `MaxBucketSize` members by doc_id so the
-    // job stays bounded. The cap is explicit, not silent: callers see it
-    // here and in the scaladoc.
+    // job stays bounded. The cap is observable, not silent: every truncated
+    // bucket increments the `truncatedBuckets` accumulator.
     val pairs = banded
       .groupBy("band", "bucket")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       .filter(size(col("members")) > 1)
       .as[(Int, Int, Seq[(Long, Array[Long])])]
       .flatMap { case (_, _, members) =>
+        if (members.size > MaxBucketSize) truncatedBuckets.add(1L)
         val sorted = members.sortBy(_._1).take(MaxBucketSize)
         for {
           i <- sorted.indices

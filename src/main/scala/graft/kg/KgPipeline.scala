@@ -64,11 +64,14 @@ object KgPipeline {
 
   def bucketCol(numBuckets: Int) = pmod(xxhash64(col("url")), lit(numBuckets))
 
-  /** Buckets already committed (metrics row present). */
+  /** Buckets already committed (metrics row present). Existence is probed
+    * through the Hadoop FileSystem API, so resume works on HDFS/S3 paths,
+    * not only `file:` (the 100 TB deployment reads object storage). */
   def completedBuckets(spark: SparkSession, outDir: String): Set[Long] = {
-    val metricsPath = s"$outDir/metrics"
-    if (!new java.io.File(metricsPath).exists()) Set.empty
-    else spark.read.parquet(metricsPath)
+    val metricsPath = new org.apache.hadoop.fs.Path(s"$outDir/metrics")
+    val fs = metricsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metricsPath)) Set.empty
+    else spark.read.parquet(metricsPath.toString)
       .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0)).toSet
   }
 
@@ -106,10 +109,22 @@ object KgPipeline {
       bucket: Long)
 
   def run(spark: SparkSession, pages: DataFrame, cfg: Config): RunStats = {
+    // dynamic overwrite is a per-write requirement of THIS pipeline, not a
+    // session-wide policy — save and restore the caller's setting
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(overwriteKey)
+    spark.conf.set(overwriteKey, "dynamic")
+    try runInternal(spark, pages, cfg)
+    finally prevMode match {
+      case Some(v) => spark.conf.set(overwriteKey, v)
+      case None    => spark.conf.unset(overwriteKey)
+    }
+  }
+
+  private def runInternal(spark: SparkSession, pages: DataFrame, cfg: Config): RunStats = {
     import spark.implicits._
     val runId = java.util.UUID.randomUUID().toString
     val startMs = System.currentTimeMillis()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     val done = completedBuckets(spark, cfg.outDir)
     val withBucket =
@@ -188,26 +203,48 @@ object KgPipeline {
       else
         mentionRows.join(broadcast(winnersDf), col("surface_norm") === col("alias"), "inner")
 
-    // 3. triples with lineage: map-side pre-dedup in the partial
-    //    HashAggregate of distinct; the single wide exchange is repartitioned
-    //    by bucket so each task writes exactly one partition directory
+    // 3. triples with lineage, deduplicated and write-placed in ONE wide
+    //    stage: a triple's obj embeds its url and bucket = f(url), so global
+    //    distinct == per-bucket distinct. A narrow per-task pre-dedup stands
+    //    in for distinct()'s partial HashAggregate (shrinks shuffle volume
+    //    ~the per-doc surface repetition factor), then the single exchange
+    //    keys by bucket — which is exactly the write placement — and a
+    //    per-task hash-set finishes the dedup. This replaces the former
+    //    distinct() + repartition(bucket) back-to-back exchanges (round-1
+    //    scaling bottleneck). Per-task set size = distinct triples of ~one
+    //    bucket; numBuckets is the knob that bounds it at any corpus scale.
     val predCol = NerSpark.Predicates.foldLeft(lit(null).cast("string")) {
       case (acc, (cat, p)) => when(col("category") === cat, lit(p)).otherwise(acc)
+    }
+    def dedupInTask(it: Iterator[(String, String, String, Long)]) = {
+      val seen = new java.util.HashSet[(String, String, String, Long)]()
+      it.filter(seen.add)
     }
     // lineage: obj IS the source-page URI, so no separate url column —
     // one less string per row through the dedup shuffle
     linked
       .select(col("entity_id").as("subj"), predCol.as("pred"),
-        concat(lit("page://"), col("url")).as("obj"), col("bucket"))
+        concat(lit("page://"), col("url")).as("obj"), col("bucket").cast("long"))
       .filter(col("pred").isNotNull)
-      .distinct()
+      .as[(String, String, String, Long)]
+      .mapPartitions(dedupInTask)
+      .toDF("subj", "pred", "obj", "bucket")
       .repartition(cfg.numBuckets, col("bucket"))
+      .as[(String, String, String, Long)]
+      .mapPartitions(dedupInTask)
+      .toDF("subj", "pred", "obj", "bucket")
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"${cfg.outDir}/triples")
 
     // 4. per-bucket lineage + extraction metrics (reference op 19
-    //    replacement) — pure aggregation over the two materialized tables
-    val freshTriples = freshOnly(spark.read.parquet(s"${cfg.outDir}/triples"))
+    //    replacement) — pure aggregation over the two materialized tables.
+    //    Explicit schema: a run with zero dictionary hits writes no triple
+    //    partitions, and schema inference over the empty directory would
+    //    throw — the metrics commit must still happen (triples=0).
+    val tripleSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "subj STRING, pred STRING, obj STRING, bucket BIGINT")
+    val freshTriples = freshOnly(
+      spark.read.schema(tripleSchema).parquet(s"${cfg.outDir}/triples"))
     val docStats = freshDocs.groupBy("bucket").agg(
       count(lit(1)).as("docs"),
       sum(when(!col("html_ok"), 1L).otherwise(0L)).as("html_mismatches"),

@@ -71,18 +71,32 @@ object Ann {
       .toDF("vec_id", "bucket")
   }
 
+  /** One narrow pass computing `(vec_id, bucket, embedding)` — the bucket is
+    * a pure function of the embedding, so it is computed inline instead of
+    * joining the table against its own buckets (which would scan the
+    * embeddings twice and add a vec_id shuffle). */
+  def withLshBuckets(spark: SparkSession, embeddings: DataFrame,
+      dim: Int, nBits: Int): DataFrame = {
+    import spark.implicits._
+    val planesB = spark.sparkContext.broadcast(hyperplanes(dim, nBits))
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        (id, bucketOf(emb.map(_.toDouble).toArray, planesB.value), emb)
+      }
+      .toDF("vec_id", "bucket", "embedding")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket self-join generates
     * candidates (vectors agreeing on all sign bits), exact cosine verifies.
     * Output: (vec_a, vec_b, sim) with vec_a < vec_b, sim ≥ minSim, rounded.
-    * Scale shape: one narrow bucketing pass, one shuffle on the bucket key,
-    * pair fan-out only inside buckets (expected size n / 2^nBits). */
+    * Scale shape: ONE narrow scan computing the bucket inline, one shuffle
+    * on the bucket key, pair fan-out only inside buckets (expected size
+    * n / 2^nBits). All accumulation in doubles (matches [[cosineCol]]). */
   def cosineNearDupPairs(spark: SparkSession, embeddings: DataFrame,
       dim: Int, nBits: Int, minSim: Double): DataFrame = {
     import spark.implicits._
-    val withBuckets = embeddings
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .join(lshBuckets(spark, embeddings, dim, nBits), "vec_id")
-    val pairs = withBuckets
+    val pairs = withLshBuckets(spark, embeddings, dim, nBits)
       .groupBy("bucket")
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
       .filter(size(col("members")) > 1)
@@ -99,7 +113,8 @@ object Ann {
           var k = 0
           val n = math.min(va.length, vb.length)
           while (k < n) {
-            dot += va(k) * vb(k); na += va(k) * va(k); nb += vb(k) * vb(k); k += 1
+            val a = va(k).toDouble; val b = vb(k).toDouble
+            dot += a * b; na += a * a; nb += b * b; k += 1
           }
           (ida, idb, dot / math.sqrt(na * nb))
         }
@@ -109,16 +124,29 @@ object Ann {
       .groupBy("vec_a", "vec_b").agg(round(max("sim"), 4).as("sim"))
   }
 
-  /** IVF-style ANN top-k: restrict the brute-force scan to the query's LSH
-    * bucket; falls back to the full scan when the bucket is smaller than k
-    * (recall guard). */
+  /** Buckets within Hamming distance `radius` of `bucket` (the multi-probe
+    * sequence: exact bucket, then single-bit flips, then pairs, …). */
+  def probeBuckets(bucket: Int, nBits: Int, radius: Int): Seq[Int] = {
+    def flips(base: Int, startBit: Int, left: Int): Seq[Int] =
+      if (left == 0) Seq(base)
+      else (startBit until nBits).flatMap(b => flips(base ^ (1 << b), b + 1, left - 1)) :+ base
+    flips(bucket, 0, radius).distinct
+  }
+
+  /** Multi-probe ANN top-k: restrict the brute-force scan to the query's LSH
+    * bucket plus all buckets within Hamming distance `probeRadius` — the
+    * standard multi-probe recall lever (each flipped sign bit admits vectors
+    * on the far side of one hyperplane). One narrow scan computing buckets
+    * inline, a bucket-set filter, then TakeOrdered — NO driver-side count
+    * action and no full-table fallback in the query path (at 100 TB the
+    * fallback WAS the scale-killer; raise `probeRadius` instead). */
   def lshTopK(spark: SparkSession, embeddings: DataFrame, query: Array[Double],
-      k: Int, dim: Int, nBits: Int): DataFrame = {
-    val buckets = lshBuckets(spark, embeddings, dim, nBits)
+      k: Int, dim: Int, nBits: Int, probeRadius: Int = 1): DataFrame = {
     val qBucket = bucketOf(query, hyperplanes(dim, nBits))
-    val candidates = embeddings.join(
-      buckets.filter(col("bucket") === qBucket).select("vec_id"), Seq("vec_id"))
-    val pool = if (candidates.limit(k).count() < k) embeddings else candidates
-    bruteForceTopK(pool, query, k)
+    val probes = probeBuckets(qBucket, nBits, probeRadius)
+    val candidates = withLshBuckets(spark, embeddings, dim, nBits)
+      .filter(col("bucket").isin(probes: _*))
+      .select(col("vec_id"), col("embedding"))
+    bruteForceTopK(candidates, query, k)
   }
 }

@@ -12,15 +12,20 @@ import org.apache.spark.sql.functions._
   * incrementality is checkpoint-resume batch ([[KgPipeline]]); this variant
   * covers continuous ingestion (`readStream` on an arriving-pages directory
   * → append-mode triple stream). The per-row stages are stateless; the
-  * trailing `dropDuplicates` is Spark's stateful streaming dedup — bound its
-  * state with a watermark on `warc_ts` before production use at scale.
+  * trailing dedup is Spark's stateful streaming dedup, state-bounded by a
+  * `warc_ts` watermark (`dropDuplicatesWithinWatermark`) on the streaming
+  * path — without the bound, dedup state grows with the corpus forever.
   */
 object StreamingKg {
 
-  /** Transform a (streaming or batch) pages DataFrame into triples. */
+  /** Transform a (streaming or batch) pages DataFrame into triples.
+    * @param watermarkDelay how long out-of-order pages may lag the max
+    *        observed `warc_ts` before their duplicate-suppression state may
+    *        be dropped (streaming path only; batch dedup is exact). */
   def triplesStream(spark: SparkSession, pages: DataFrame,
       dict: Seq[(String, String)] = NerSpark.Dict,
-      aliases: Seq[(String, String, Double)] = Kg.AliasesExtended): DataFrame = {
+      aliases: Seq[(String, String, Double)] = Kg.AliasesExtended,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     val sysPromptByLang = Seq("en", "es", "it")
       .map(l => l -> Prompts.systemPrompt(l, NerSpark.Categories)).toMap
@@ -28,16 +33,16 @@ object StreamingKg {
     val dictLocal = dict
 
     val mentions = pages
-      .select($"url", $"html", $"lang")
-      .as[(String, Array[Byte], String)]
-      .flatMap { case (url, html, lang) =>
+      .select($"url", $"warc_ts", $"html", $"lang")
+      .as[(String, java.sql.Timestamp, Array[Byte], String)]
+      .flatMap { case (url, ts, html, lang) =>
         val annotator = DictAnnotator(dictLocal)
         val text = graft.html.HtmlText.extract(html)
         val sys = sysPromptByLang.getOrElse(lang, sysPromptByLang("en"))
         MentionExtractor.extract(annotator, sys, catsLocal, text)
-          .map(m => (url, m.category, m.surface))
+          .map(m => (url, ts, m.category, m.surface))
       }
-      .toDF("url", "category", "surface")
+      .toDF("url", "warc_ts", "category", "surface")
 
     val canon = KgPipeline.canonicalMap(aliases)
     val winners = Kg.winnersPerAlias(aliases)
@@ -47,11 +52,16 @@ object StreamingKg {
     val predCol = NerSpark.Predicates.foldLeft(lit(null).cast("string")) {
       case (acc, (cat, p)) => when(col("category") === cat, lit(p)).otherwise(acc)
     }
-    mentions
+    val triples = mentions
       .join(broadcast(winnersDf), lower(trim(col("surface"))) === col("alias"), "inner")
       .select(col("entity_id").as("subj"), predCol.as("pred"),
-        concat(lit("page://"), col("url")).as("obj"))
+        concat(lit("page://"), col("url")).as("obj"), col("warc_ts"))
       .filter(col("pred").isNotNull)
-      .dropDuplicates("subj", "pred", "obj")
+    val deduped =
+      if (triples.isStreaming)
+        triples.withWatermark("warc_ts", watermarkDelay)
+          .dropDuplicatesWithinWatermark("subj", "pred", "obj")
+      else triples.dropDuplicates("subj", "pred", "obj")
+    deduped.select("subj", "pred", "obj")
   }
 }
