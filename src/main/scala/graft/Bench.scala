@@ -96,25 +96,34 @@ object Bench {
     // all landing in a blackout.
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1500000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
-    var best = Map(8 -> Double.MaxValue, 32 -> Double.MaxValue)
+    // the N / 4N parallelism pair. Default 8,32; 4,16 is the fairer model
+    // of a cluster's N vs 4N executors on this 32-core host — at local[32]
+    // every physical core is an executor thread, so GC/driver/OS work
+    // steals executor time, an oversubscription artifact clusters don't
+    // have (executors get dedicated cores). BASELINE.md reports both.
+    val Array(loCores, hiCores) = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "8,32")
+      .split(",").map(_.trim.toInt)
+    val factor = hiCores.toDouble / loCores
+    var best = Map(loCores -> Double.MaxValue, hiCores -> Double.MaxValue)
     var triplesN = 0L
     (1 to rounds).foreach { _ =>
-      Seq(8, 32).foreach { c =>
+      Seq(loCores, hiCores).foreach { c =>
         spark = session(c)
         timePipeline(spark, scaleDocs / 50, 64) // session warm-up, untimed
         // SAME number of attempts per side under the min statistic —
         // asymmetric attempts would bias the efficiency ratio
         val (sec, tr) = timePipeline(spark, scaleDocs, 64)
+        System.err.println(f"[bench] scaling attempt cores=$c sec=$sec%.2f")
         best = best.updated(c, math.min(best(c), sec))
         triplesN = tr
         spark.stop()
       }
     }
-    val (sec8, sec32) = (best(8), best(32))
+    val (sec8, sec32) = (best(loCores), best(hiCores))
     val (triples8, triples32) = (triplesN, triplesN)
     val tput8 = triples8 / sec8
     val tput32 = triples32 / sec32
-    val efficiency = tput32 / (4.0 * tput8)
+    val efficiency = tput32 / (factor * tput8)
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -128,8 +137,9 @@ object Bench {
       s""""queries":$qs,"sf":"$sfDir",""" +
       s""""pipeline":{"docs":$benchDocs,"triples":$pipeTriples,"sec":${f"$pipeSec%.2f"},""" +
       s""""docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus},""" +
-      s""""scaling":{"tput_8":${f"$tput8%.1f"},"tput_32":${f"$tput32%.1f"},""" +
-      s""""sec_8":${f"$sec8%.2f"},"sec_32":${f"$sec32%.2f"},""" +
+      s""""scaling":{"cores_lo":$loCores,"cores_hi":$hiCores,""" +
+      s""""tput_$loCores":${f"$tput8%.1f"},"tput_$hiCores":${f"$tput32%.1f"},""" +
+      s""""sec_$loCores":${f"$sec8%.2f"},"sec_$hiCores":${f"$sec32%.2f"},""" +
       s""""efficiency":${f"$efficiency%.3f"}},""" +
       s""""queries_total_sec":${f"$total%.2f"}}""")
   }

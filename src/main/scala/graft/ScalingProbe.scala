@@ -12,9 +12,12 @@ object ScalingProbe {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"probe-$cpus")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
     if (new java.io.File("/dev/shm").isDirectory)
       b.config("spark.local.dir", "/dev/shm/graft-spark-local")
@@ -50,16 +53,21 @@ object ScalingProbe {
             stageTimes.put(si.stageId, (si.name.split("\n").head.take(60), dur, si.numTasks))
           }
         })
-        time("full-pipeline") {
-          val out = java.nio.file.Files.createTempDirectory("probe-").toString
-          val pages = WebTextGen.pages(spark, n, 64).toDF()
-          graft.kg.KgPipeline.run(spark, pages, graft.kg.KgPipeline.Config(out, numBuckets = 64, sentencesPerCall = spc))
+        // same shape as Bench.timePipeline: bucket-aligned Iceberg-style
+        // input, tmpfs output
+        val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+                   else System.getProperty("java.io.tmpdir")
+        def runOnce(): Unit = {
+          val out = java.nio.file.Files
+            .createTempDirectory(java.nio.file.Paths.get(base), "probe-").toString
+          val pages = WebTextGen.pagesBucketed(spark, n, 64)
+          graft.kg.KgPipeline.run(spark, pages, graft.kg.KgPipeline.Config(out,
+            numBuckets = 64, sentencesPerCall = spc,
+            useInputBucketColumn = true, alignedInput = true))
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         }
-        time("full-pipeline-2nd") {
-          val out = java.nio.file.Files.createTempDirectory("probe-").toString
-          val pages = WebTextGen.pages(spark, n, 64).toDF()
-          graft.kg.KgPipeline.run(spark, pages, graft.kg.KgPipeline.Config(out, numBuckets = 64, sentencesPerCall = spc))
-        }
+        time("full-pipeline")(runOnce())
+        time("full-pipeline-2nd")(runOnce())
         Thread.sleep(500)
         import scala.jdk.CollectionConverters._
         stageTimes.asScala.toSeq.sortBy(-_._2._2).take(12).foreach {

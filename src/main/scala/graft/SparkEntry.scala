@@ -31,6 +31,47 @@ object SparkEntry {
       |('DATA','vector','ent:vector'),('DATA','stream','ent:stream'))"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** The language-ID trigram profiles as SQL VALUES — generated from the
+    * engine's own [[graft.quality.TextQuality.Profiles]] so oracle and
+    * engine can never drift apart. */
+  private val LangProfileValues: String =
+    graft.quality.TextQuality.Profiles.toSeq.sortBy(_._1).flatMap { case (lang, gs) =>
+      gs.toSeq.sorted.map(g => s"('$lang','$g')")
+    }.mkString("(VALUES ", ",", ")")
+
+  /** Per-document (dataset, doc_id, n_chars, n_entities, gold categories)
+    * over the real BRAT corpora, as DuckDB SQL generated from the SAME
+    * [[graft.sources.Brat.Corpora]] registry the engine reads — parser
+    * variant quirks (`#` skip, `==3` vs `>=3` tab fields) included. */
+  private def bratDocsSql: String = {
+    // the Python str.strip() whitespace set
+    val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    graft.sources.Brat.Corpora.map { c =>
+      val hashFilter =
+        if (c.variant == graft.sources.Brat.Exact3) "AND NOT contains(line, '#')" else ""
+      val fieldsOp = if (c.variant == graft.sources.Brat.Exact3) "=" else ">="
+      val noGold = if (c.dropNoGold) "WHERE coalesce(a.n, 0) > 0" else ""
+      s"""SELECT '${c.name}' AS dataset, t.doc_id, length(t.text) AS n_chars,
+         |  coalesce(a.n, 0) AS n_entities, a.cats
+         | FROM (SELECT regexp_extract(filename, '([^/]+)[.]txt$$', 1) AS doc_id,
+         |        trim(content, $ws) AS text
+         |       FROM read_text('${c.dir}/*.txt')) t
+         | LEFT JOIN (
+         |  SELECT doc_id, count(*) AS n,
+         |   list(string_split_regex(trim(string_split(trim(line, $ws), chr(9))[2], $ws),
+         |     '\\s+')[1]) AS cats
+         |  FROM (SELECT regexp_extract(filename, '([^/]+)[.]ann$$', 1) AS doc_id,
+         |         unnest(string_split(content, chr(10))) AS line
+         |        FROM read_text('${c.dir}/*.ann'))
+         |  WHERE line LIKE 'T%' $hashFilter
+         |   AND len(string_split(trim(line, $ws), chr(9))) $fieldsOp 3
+         |   AND len(string_split_regex(trim(string_split(trim(line, $ws), chr(9))[2], $ws),
+         |     '\\s+')) = 3
+         |  GROUP BY doc_id) a USING (doc_id)
+         | $noGold""".stripMargin.replaceAll("\n", " ")
+    }.mkString("(", " UNION ALL ", ")")
+  }
+
   private val PredCase =
     """CASE category WHEN 'TOOL' THEN 'uses_tool' WHEN 'OPERATION' THEN 'performs'
       | WHEN 'ACTOR' THEN 'involves' WHEN 'DATA' THEN 'consumes' END"""
@@ -207,7 +248,11 @@ object SparkEntry {
     "q25_frame_sample" -> ((s, dir) => {
       val bin = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      // frame_hash (seeded murmur of the frame bytes) is engine-internal and
+      // not SQL-expressible — the driver query exposes the oracled columns;
+      // hash determinism is pinned by OpsSpec
       graft.multimodal.Media.sampleFrames(s, bin, "doc_id", "blob", 64, 2)
+        .select("id", "frame_idx", "frame_bytes")
     }),
     // batched annotator path (reference sentences_per_call knob,
     // ai/extractor_ner.py:72-85): documents have no newlines, so batching
@@ -215,11 +260,16 @@ object SparkEntry {
     "q26_ner_batched" -> ((s, dir) =>
       NerSpark.mentions(s, t(s, dir, "documents"), sentencesPerCall = 3)),
     // LSH candidates verified by exact n-gram Jaccard (the standard
-    // near-dup pipeline: cheap filter → exact verify)
+    // near-dup pipeline: cheap filter → exact verify → threshold). At
+    // J ≥ 0.5 the 16×4 banding's miss probability is (1-0.5⁴)¹⁶ ≈ 0.35 for
+    // a borderline pair, but the corpus's true near-dups all sit at
+    // J ≥ 0.9 (miss ≈ 4e-8), so the output equals the brute-force
+    // all-pairs answer — which is exactly what the DuckDB oracle computes
+    // via an inverted shingle index.
     "q31_neardup_verified" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val candidates = Dedup.minhashPairs(s, docs, 0.1).select("doc_a", "doc_b")
-      Dedup.exactJaccard(s, docs, candidates)
+      Dedup.exactJaccard(s, docs, candidates).filter(col("jaccard") >= 0.5)
     }),
     // embedding-cosine near-duplicates via LSH bucket self-join
     "q32_embedding_neardup" -> ((s, dir) =>
@@ -244,6 +294,18 @@ object SparkEntry {
       en.union(long).distinct()
         .except(d.filter(col("source") === "src0").select("doc_id"))
     }),
+    // ---- BRAT standoff source over the real reference corpora (SURVEY §2
+    // op 1; these read /root/reference/datasets, not the sf dir) ----
+    "q33_brat_stats" -> ((s, _) => graft.sources.Brat.statistics(s)),
+    "q34_brat_gold" -> ((s, _) => {
+      graft.sources.Brat.loadAll(s)
+        .select(col("dataset"), explode(col("gold")).as("g"))
+        .groupBy(col("dataset"), col("g.category").as("category"))
+        .agg(count(lit(1)).as("n_mentions"))
+    }),
+    "q35_tsv_gold" -> ((s, _) => graft.sources.Brat.loadTsv(s,
+      "/root/reference/datasets/multicardioner-track2/en/tsv/" +
+        "multicardioner_track2_cardioccc_test_en.tsv")),
     // macro (per-document mean) metrics — reference op 18; with pred == gold
     // every doc with ≥1 mention scores 1.0 and mention-free docs score 0.0,
     // so the macro average equals the hit fraction (oracle below)
@@ -377,9 +439,85 @@ object SparkEntry {
          | FROM documents d CROSS JOIN dict v
          | JOIN pos p ON p.j <= length(d.text) - length(v.surface) + 1
          | WHERE substr(d.text, p.j, length(v.surface)) = v.surface"""
-        .stripMargin.replaceAll("\n", " "))
-    // q15_minhash_pairs / q16_simhash / q19_ann_lsh / q20_kg_pipeline /
-    // q21_langid / q23_quality / q24_media_features / q25_frame_sample:
-    // seeded-hash / self-synthesized-input ops — not DuckDB-expressible over
-    // the sf tables; driver records the weaker rows-only check.
+        .stripMargin.replaceAll("\n", " "),
+    // language-ID: the trigram profiles materialized as a VALUES table;
+    // per-doc occurrence counts per language, argmax with lang-asc
+    // tie-break, 'und' when no profile trigram occurs (LEFT JOIN+coalesce)
+    "q21_langid" ->
+      s"""WITH prof(lang, g) AS $LangProfileValues,
+         | norm AS (SELECT doc_id,
+         |  ' ' || array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ') || ' ' AS t
+         |  FROM documents),
+         | tg AS (SELECT n.doc_id, substr(n.t, s.j, 3) AS g
+         |  FROM norm n JOIN generate_series(1, 32768) s(j) ON s.j <= length(n.t) - 2),
+         | hits AS (SELECT t.doc_id, p.lang, count(*) AS c
+         |  FROM tg t JOIN prof p ON t.g = p.g GROUP BY 1, 2),
+         | best AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn FROM hits)
+         | SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang, d.lang AS labeled_lang
+         | FROM documents d
+         | LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    "q23_quality" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+'))::int AS n_tokens,
+        | round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::double
+        |   / greatest(length(text), 1), 4) AS punct_ratio,
+        | round(len(list_intersect(string_split_regex(trim(text), '\s+'),
+        |   ['the', 'a', 'of', 'and', 'to']))::double
+        |   / len(string_split_regex(trim(text), '\s+')), 4) AS stopword_hit_ratio,
+        | round(length(regexp_replace(text, '\s', '', 'g'))::double
+        |   / len(string_split_regex(trim(text), '\s+')), 4) AS avg_word_len
+        | FROM documents""".stripMargin.replaceAll("\n", " "),
+    // brute-force word-2-shingle Jaccard ≥ 0.5 via an inverted shingle
+    // index (shingle-equality join counts the intersection; no O(n²)
+    // all-pairs materialization) — equals the engine's LSH→verify output
+    // because every true pair in this corpus sits far above the threshold
+    "q31_neardup_verified" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) < 2 THEN tk
+        |  ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END)) AS g
+        |  FROM toks),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        | pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        | SELECT da AS doc_a, db AS doc_b,
+        |  round(inter::double / (sa.n + sb.n - inter), 4) AS jaccard
+        | FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        | WHERE inter::double / (sa.n + sb.n - inter) >= 0.5"""
+        .stripMargin.replaceAll("\n", " "),
+    // BRAT corpus statistics / gold-category counts over the real reference
+    // corpora — DuckDB re-parses the same .txt/.ann files via read_text
+    "q33_brat_stats" ->
+      s"""SELECT dataset, count(*) AS n_docs,
+         | round(avg(n_chars), 4) AS avg_text_length,
+         | round(stddev_pop(n_chars), 4) AS std_text_length,
+         | round(avg(n_entities), 4) AS avg_entities,
+         | round(stddev_pop(n_entities), 4) AS std_entities
+         | FROM $bratDocsSql d GROUP BY dataset""".stripMargin.replaceAll("\n", " "),
+    "q34_brat_gold" ->
+      s"""SELECT dataset, category, count(*) AS n_mentions
+         | FROM (SELECT dataset, unnest(cats) AS category FROM $bratDocsSql d)
+         | GROUP BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "q35_tsv_gold" ->
+      """SELECT filename, label, start_span::int AS start_span,
+        | end_span::int AS end_span, text
+        | FROM read_csv('/root/reference/datasets/multicardioner-track2/en/tsv/multicardioner_track2_cardioccc_test_en.tsv',
+        |  delim='\t', header=true, all_varchar=true)""".stripMargin.replaceAll("\n", " "),
+    // pseudo-frame sampling: ceil(bytes/64) frames, every 2nd kept; the
+    // last frame carries the remainder bytes
+    "q25_frame_sample" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        | frames AS (SELECT doc_id, g.j - 1 AS fi, n,
+        |   CAST(ceil(n / 64.0) AS INT) AS nf
+        |  FROM d JOIN generate_series(1, 4096) g(j) ON g.j <= CAST(ceil(n / 64.0) AS INT))
+        | SELECT doc_id AS id, fi::int AS frame_idx,
+        |  (CASE WHEN fi = nf - 1 THEN n - 64 * (nf - 1) ELSE 64 END)::int AS frame_bytes
+        | FROM frames WHERE fi % 2 = 0""".stripMargin.replaceAll("\n", " "))
+    // q15_minhash_pairs / q16_simhash (seeded MinHash/SimHash) /
+    // q19_ann_lsh (LSH-recall-dependent top-k) / q20_kg_pipeline
+    // (self-synthesized input) / q24_media_features (seeded stub decode):
+    // pure seeded-hash semantics — not DuckDB-expressible over the sf
+    // tables; driver records the weaker rows-only check.
 }

@@ -100,12 +100,26 @@ object KgPipeline {
     aliases.map(_._2).distinct.map(e => e -> find(e)).toMap
   }
 
-  /** One annotated-document row of the materialized `docs/` table. */
+  /** A distinct `(category, normalized surface)` pair of one document — the
+    * link-ready projection of its mentions, precomputed at extraction time.
+    * Linking joins on `surface_norm` and derives the predicate from
+    * `category`; it never needs the span-level mention array, so
+    * materializing this (≈3× smaller) column lets the candidate-generation
+    * scan prune the wide `mentions` column entirely. */
+  final case class LinkPair(category: String, surface_norm: String)
+
+  /** One annotated-document row of the materialized `docs/` table.
+    * `mentions` is the span-level product (lineage / evaluation);
+    * `link_pairs` is the deduplicated link projection the triple path
+    * reads; `n_mentions` duplicates `mentions.size` as a scalar so the
+    * per-bucket metrics aggregation scans only narrow columns. */
   final case class DocRow(
       url: String,
       lang: String,
       html_ok: Boolean,
       mentions: Seq[graft.core.Mention],
+      link_pairs: Seq[LinkPair],
+      n_mentions: Int,
       bucket: Long)
 
   def run(spark: SparkSession, pages: DataFrame, cfg: Config): RunStats = {
@@ -164,7 +178,9 @@ object KgPipeline {
           val text = HtmlText.extract(html)
           val sys = sysPromptByLang.getOrElse(lang, sysPromptByLang("en"))
           val ms = graft.annotate.MentionExtractor.extract(annotator, sys, catsLocal, text, spc)
-          DocRow(url, lang, text == expected, ms, bucket)
+          val pairs = ms.map(m => LinkPair(m.category, m.surface.trim.toLowerCase))
+            .distinct
+          DocRow(url, lang, text == expected, ms, pairs, ms.size, bucket)
         }
       }
       .toDF()
@@ -191,15 +207,17 @@ object KgPipeline {
       .map { case (a, e, s) => (a, canon.getOrElse(e, e), s) }
     val winnersDf = winners.toDF("alias", "entity_id", "score")
 
+    // the link projection explodes the small precomputed distinct-pair
+    // column — the wide span-level `mentions` column is pruned out of this
+    // scan entirely (it is only written, and aggregated via `n_mentions`)
     val mentionRows = freshDocs
-      .select(col("url"), col("bucket"), explode(col("mentions")).as("m"))
+      .select(col("url"), col("bucket"), explode(col("link_pairs")).as("m"))
       .select(col("url"), col("bucket"),
-        col("m.category").as("category"), col("m.surface").as("surface"))
-      .withColumn("surface_norm", lower(trim(col("surface"))))
+        col("m.category").as("category"), col("m.surface_norm").as("surface_norm"))
     val linked =
       if (cfg.saltedLinking)
         Kg.saltedJoin(mentionRows, winnersDf, "surface_norm", "alias",
-          pmod(xxhash64(col("url"), col("surface")), lit(cfg.saltFactor)), cfg.saltFactor)
+          pmod(xxhash64(col("url"), col("surface_norm")), lit(cfg.saltFactor)), cfg.saltFactor)
       else
         mentionRows.join(broadcast(winnersDf), col("surface_norm") === col("alias"), "inner")
 
@@ -248,7 +266,7 @@ object KgPipeline {
     val docStats = freshDocs.groupBy("bucket").agg(
       count(lit(1)).as("docs"),
       sum(when(!col("html_ok"), 1L).otherwise(0L)).as("html_mismatches"),
-      sum(size(col("mentions")).cast("long")).as("mentions"))
+      sum(col("n_mentions").cast("long")).as("mentions"))
     val tStats = freshTriples.groupBy("bucket").agg(count(lit(1)).as("triples"))
     val metrics = docStats.join(tStats, Seq("bucket"), "left")
       .na.fill(0L, Seq("triples"))
