@@ -12,6 +12,79 @@ package graft.annotate
   */
 trait Annotator extends Serializable {
   def generate(systemPrompt: String, userPrompt: String): String
+
+  /** Like [[generate]] but with an explicit failure flag. The reference
+    * swallows every error into `""` (`ai/llm.py:75-76`), silently losing the
+    * batch; the engine instead surfaces failures as a `failed_batches`
+    * lineage count (SURVEY §4). Deterministic annotators never fail. */
+  def generateChecked(systemPrompt: String, userPrompt: String): (String, Boolean) =
+    (generate(systemPrompt, userPrompt), false)
+}
+
+/** Production annotator: HTTP chat-completion client with the reference's
+  * call contract (`ai/llm.py:12-14,55-76`) — an Ollama-style
+  * `POST /api/chat` with `stream=false` and options `temperature=0,
+  * num_predict=16384, num_ctx=4096`, bounded by `timeout` — plus what the
+  * reference lacks: up to `maxRetries` retries on transport errors /
+  * non-200s, and a failure flag (instead of a silent `""`) so the pipeline
+  * can record `failed_batches` lineage.
+  *
+  * Serializable by construction: only config strings/ints ship to
+  * executors; the JDK HttpClient is rebuilt lazily per executor JVM
+  * (the `st.cache_resource` analog, SURVEY §4 "resource caching").
+  */
+final case class HttpAnnotator(
+    endpoint: String, // e.g. http://localhost:11434/api/chat
+    model: String,
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(600),
+    maxRetries: Int = 2) extends Annotator {
+
+  @transient private lazy val client =
+    java.net.http.HttpClient.newBuilder().connectTimeout(timeout).build()
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def requestBody(systemPrompt: String, userPrompt: String): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("stream", false)
+    val msgs = root.putArray("messages")
+    val sys = msgs.addObject(); sys.put("role", "system"); sys.put("content", systemPrompt)
+    val usr = msgs.addObject(); usr.put("role", "user"); usr.put("content", userPrompt)
+    val opts = root.putObject("options")
+    opts.put("temperature", 0) // determinism prerequisite (llm.py:59)
+    opts.put("num_predict", 16384)
+    opts.put("num_ctx", 4096)
+    mapper.writeValueAsString(root)
+  }
+
+  override def generateChecked(systemPrompt: String, userPrompt: String): (String, Boolean) = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(timeout)
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        requestBody(systemPrompt, userPrompt)))
+      .build()
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      try {
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() == 200) {
+          val content = mapper.readTree(resp.body()).path("message").path("content")
+          if (!content.isMissingNode) return (content.asText(""), false)
+        }
+      } catch {
+        case _: java.io.IOException | _: InterruptedException => // retry
+      }
+      attempt += 1
+    }
+    ("", true)
+  }
+
+  /** Reference-faithful face: failures collapse to `""` (`llm.py:75-76`). */
+  override def generate(systemPrompt: String, userPrompt: String): String =
+    generateChecked(systemPrompt, userPrompt)._1
 }
 
 /** Deterministic mock: emits `<category>:<surface>` for every dictionary

@@ -70,18 +70,35 @@ object MentionExtractor {
       categories: Seq[Category],
       text: String,
       sentencesPerCall: Int = 0,
-      stripThinking: Boolean = false): Seq[Mention] = {
+      stripThinking: Boolean = false): Seq[Mention] =
+    extractWithStats(annotator, systemPrompt, categories, text,
+      sentencesPerCall, stripThinking)._1
+
+  /** As [[extract]], also returning the number of annotator batches that
+    * FAILED (timeout / transport / non-200 after retries). The reference
+    * silently maps a failed call to zero predictions (`ai/llm.py:75-76`);
+    * the engine keeps that result semantics but surfaces the loss as
+    * lineage (`failed_batches` in the pipeline metrics table, SURVEY §4). */
+  def extractWithStats(
+      annotator: Annotator,
+      systemPrompt: String,
+      categories: Seq[Category],
+      text: String,
+      sentencesPerCall: Int = 0,
+      stripThinking: Boolean = false): (Seq[Mention], Int) = {
 
     val sentences = segment(text, sentencesPerCall)
 
     // collect unique (category, entity) pairs across all batches (`:70-100`)
     val pairs = mutable.LinkedHashSet.empty[(String, String)]
+    var failedBatches = 0
     val step = math.max(1, sentencesPerCall)
     var i = 0
     while (i < sentences.length) {
       val batch = if (sentencesPerCall > 0) sentences.slice(i, i + sentencesPerCall) else sentences
       val batchText = batch.map(_._1).mkString("\n")
-      val raw0 = annotator.generate(systemPrompt, batchText)
+      val (raw0, failed) = annotator.generateChecked(systemPrompt, batchText)
+      if (failed) failedBatches += 1
       val raw = if (stripThinking) LrmStrip(raw0) else raw0
       parseCompletion(raw).foreach(pairs += _)
       i += step
@@ -98,8 +115,9 @@ object MentionExtractor {
 
     // whitelist + non-blank filter, then stable sort by begin (`:115-121`)
     val names = categories.map(_.name).toSet
-    grounded.toSeq
+    val mentions = grounded.toSeq
       .filter(m => names.contains(m.category) && PyStr.strip(m.surface).nonEmpty)
       .sortBy(_.begin)
+    (mentions, failedBatches)
   }
 }

@@ -52,7 +52,11 @@ object KgPipeline {
         * concentrate a shuffle key (north rule: salted hash-join
         * disambiguation). Results are identical to the broadcast path. */
       saltedLinking: Boolean = false,
-      saltFactor: Int = 8)
+      saltFactor: Int = 8,
+      /** override the default deterministic [[graft.annotate.DictAnnotator]]
+        * — e.g. a [[graft.annotate.HttpAnnotator]] bound to a model server.
+        * Must be serializable (ships into mapPartitions). */
+      annotator: Option[graft.annotate.Annotator] = None)
 
   final case class RunStats(
       runId: String,
@@ -60,7 +64,8 @@ object KgPipeline {
       docs: Long,
       mentions: Long,
       triples: Long,
-      htmlMismatches: Long)
+      htmlMismatches: Long,
+      failedBatches: Long = 0L)
 
   def bucketCol(numBuckets: Int) = pmod(xxhash64(col("url")), lit(numBuckets))
 
@@ -120,6 +125,7 @@ object KgPipeline {
       mentions: Seq[graft.core.Mention],
       link_pairs: Seq[LinkPair],
       n_mentions: Int,
+      failed_batches: Int,
       bucket: Long)
 
   def run(spark: SparkSession, pages: DataFrame, cfg: Config): RunStats = {
@@ -169,18 +175,20 @@ object KgPipeline {
     val spc = cfg.sentencesPerCall
     val catsLocal = NerSpark.Categories
 
+    val annotatorCfg = cfg.annotator
     val annotated = todo
       .select($"url", $"html", $"text".as("text_expected"), $"lang", col("bucket").cast("long"))
       .as[(String, Array[Byte], String, String, Long)]
       .mapPartitions { it =>
-        val annotator = graft.annotate.DictAnnotator(dictLocal)
+        val annotator = annotatorCfg.getOrElse(graft.annotate.DictAnnotator(dictLocal))
         it.map { case (url, html, expected, lang, bucket) =>
           val text = HtmlText.extract(html)
           val sys = sysPromptByLang.getOrElse(lang, sysPromptByLang("en"))
-          val ms = graft.annotate.MentionExtractor.extract(annotator, sys, catsLocal, text, spc)
+          val (ms, failed) = graft.annotate.MentionExtractor
+            .extractWithStats(annotator, sys, catsLocal, text, spc)
           val pairs = ms.map(m => LinkPair(m.category, m.surface.trim.toLowerCase))
             .distinct
-          DocRow(url, lang, text == expected, ms, pairs, ms.size, bucket)
+          DocRow(url, lang, text == expected, ms, pairs, ms.size, failed, bucket)
         }
       }
       .toDF()
@@ -266,7 +274,8 @@ object KgPipeline {
     val docStats = freshDocs.groupBy("bucket").agg(
       count(lit(1)).as("docs"),
       sum(when(!col("html_ok"), 1L).otherwise(0L)).as("html_mismatches"),
-      sum(col("n_mentions").cast("long")).as("mentions"))
+      sum(col("n_mentions").cast("long")).as("mentions"),
+      sum(col("failed_batches").cast("long")).as("failed_batches"))
     val tStats = freshTriples.groupBy("bucket").agg(count(lit(1)).as("triples"))
     val metrics = docStats.join(tStats, Seq("bucket"), "left")
       .na.fill(0L, Seq("triples"))
@@ -285,6 +294,7 @@ object KgPipeline {
       docs = rows.map(_.getAs[Long]("docs")).sum,
       mentions = rows.map(_.getAs[Long]("mentions")).sum,
       triples = rows.map(_.getAs[Long]("triples")).sum,
-      htmlMismatches = rows.map(_.getAs[Long]("html_mismatches")).sum)
+      htmlMismatches = rows.map(_.getAs[Long]("html_mismatches")).sum,
+      failedBatches = rows.map(_.getAs[Long]("failed_batches")).sum)
   }
 }

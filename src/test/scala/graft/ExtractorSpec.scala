@@ -108,4 +108,28 @@ class ExtractorSpec extends AnyFunSuite {
     assert(Prompts.systemPrompt("es", Seq(Category("A", "b"))).contains("Ninguna"))
     assert(Prompts.systemPrompt("it", Seq(Category("A", "b"))).contains("Nessuna"))
   }
+
+  test("few-shot example branch matches the reference f-string byte-for-byte") {
+    // md5 goldens computed by running the REAL reference assembly
+    // (ai/extractor_ner.py:23-35 f-strings + {categories} substitution)
+    // with this example and category list; empty example == no example
+    // (Python truthiness) is covered by the shared 'empty' hash.
+    val example = "Example:\nInput: John works at Acme\nOutput:\n<PERSON>:John\n<ORG>:Acme"
+    val cats = Seq(Category("TOOL", "tools for data"), Category("OPERATION", "operations on data"))
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val goldens = Map(
+      ("en", Some(example)) -> "707c69f8b4dda0afe39bfabcdd849b92",
+      ("en", None) -> "cac302317481e96260a908eace5dcee8",
+      ("es", Some(example)) -> "c3fb41ae8e03d7184361fcfa9dfb0409",
+      ("es", None) -> "0b87d1ea83c7df230ffbd626f35daeb4",
+      ("it", Some(example)) -> "06f39fdb9af9d93950766f8f5b192111",
+      ("it", None) -> "9d3560aa8675f1d8b5ad750ade9fbdee")
+    goldens.foreach { case ((lang, ex), expected) =>
+      assert(md5(Prompts.systemPrompt(lang, cats, ex)) == expected, s"$lang example=$ex")
+      assert(md5(Prompts.systemPrompt(lang, cats, ex.map(_ => ""))) ==
+        goldens((lang, None)), s"$lang empty-example must take the no-example branch")
+    }
+  }
 }

@@ -71,7 +71,8 @@ class KgPipelineSpec extends AnyFunSuite {
     val metrics = spark.read.parquet(s"$out/metrics")
     assert(metrics.select("bucket").distinct().count() == 8)
     assert(metrics.columns.toSet ==
-      Set("bucket", "docs", "html_mismatches", "mentions", "triples", "run_id", "wall_ms"))
+      Set("bucket", "docs", "html_mismatches", "mentions", "failed_batches",
+        "triples", "run_id", "wall_ms"))
   }
 
   test("resume: second run only processes missing buckets, output byte-stable") {

@@ -111,4 +111,45 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b && b == c)
     assert(TextQuality.fingerprint("different text") != a)
   }
+
+  test("minhash truncation cap is observable (accumulator counts cut buckets)") {
+    import spark.implicits._
+    // > MaxBucketSize identical docs: every band puts all of them in one
+    // bucket, so each of the 16 bands truncates once
+    val n = graft.dedup.Dedup.MaxBucketSize + 50
+    val docs = (0 until n).map(i => (i.toLong, "same text for every doc here"))
+      .toDF("doc_id", "text")
+    val acc = spark.sparkContext.longAccumulator("trunc-test")
+    val pairs = graft.dedup.Dedup.minhashPairs(spark, docs, 0.5, acc)
+    val nPairs = pairs.count()
+    assert(acc.value == graft.dedup.Dedup.Bands.toLong,
+      s"expected one truncation per band, got ${acc.value}")
+    // pair fan-out stayed bounded by the cap
+    val cap = graft.dedup.Dedup.MaxBucketSize.toLong
+    assert(nPairs == cap * (cap - 1) / 2)
+  }
+
+  test("multi-probe LSH ANN achieves full recall on planted clusters") {
+    import spark.implicits._
+    // 20 tight clusters of 30 vectors each: cluster center + tiny seeded
+    // jitter. The true top-10 of a member's query vector is inside its
+    // cluster; multi-probe (radius 1) must find the same set brute force
+    // does, with NO full-scan fallback in the plan.
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = for {
+      c <- centers.indices
+      j <- 0 until 30
+    } yield ((c * 30 + j).toLong,
+      centers(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat).toSeq)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val query = vecs(5)._2.map(_.toDouble).toArray // member of cluster 0
+
+    val brute = graft.sim.Ann.bruteForceTopK(emb, query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = graft.sim.Ann.lshTopK(spark, emb, query, 10, dim, 8, probeRadius = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh == brute, s"recall miss: ${brute.diff(lsh)}")
+  }
 }
