@@ -68,14 +68,50 @@ class OpsSpec extends AnyFunSuite {
     assert(got.length == 21 && got.forall(_.getString(1) == "c00"))
   }
 
-  test("media decode stub is deterministic with plausible metadata") {
-    val bytes = "some binary payload".getBytes("UTF-8")
-    val (m1, f1) = Media.decodeStub(bytes)
-    val (m2, f2) = Media.decodeStub(bytes)
-    assert(m1 == m2 && f1.toSeq == f2.toSeq)
-    assert(m1.width >= 64 && m1.height >= 64 && m1.channels == 3)
-    assert(m1.n_bytes == bytes.length)
-    assert(f1.length == 8)
+  test("real PNG decode round-trips MediaGen's closed forms") {
+    import graft.fixtures.MediaGen
+    Seq(0L, 7L, 63L, 123L, 499L).foreach { id =>
+      val m = Media.decodeImage(MediaGen.pngFor(id))
+      assert(m.width == MediaGen.imgWidth(id) && m.height == MediaGen.imgHeight(id))
+      assert(m.channels == 3)
+      assert((m.mean_r, m.mean_g, m.mean_b) ==
+        ((MediaGen.imgR(id).toDouble, MediaGen.imgG(id).toDouble, MediaGen.imgB(id).toDouble)))
+    }
+  }
+
+  test("real resize re-encodes into the target box, identity when it fits") {
+    import graft.fixtures.MediaGen
+    val big = MediaGen.pngFor(63L) // 128×128
+    val r = Media.decodeImage(Media.resizeImage(big, 48))
+    assert(r.width == 48 && r.height == 48)
+    assert(r.mean_r == MediaGen.imgR(63L).toDouble) // solid color survives resize
+    val small = MediaGen.pngFor(0L) // 16×16
+    assert(Media.resizeImage(small, 48) eq small)
+  }
+
+  test("real WAV decode recovers format, frame count, and exact sine peak") {
+    import graft.fixtures.MediaGen
+    Seq(0L, 11L, 250L, 499L).foreach { id =>
+      val m = Media.decodeWav(MediaGen.wavFor(id))
+      assert(m.sample_rate == MediaGen.WavSampleRate && m.channels == 1 && m.bits == 16)
+      assert(m.n_frames == MediaGen.wavFrames(id))
+      assert(m.peak == MediaGen.wavAmp(id))
+      // quantized-sine RMS ≈ amp/√2 (quantization error < 1 LSB per sample)
+      assert(math.abs(m.rms - MediaGen.wavAmp(id) / math.sqrt(2)) < 1.0)
+    }
+  }
+
+  test("concatenated-PNG video splits on signature and decodes kept frames") {
+    import graft.fixtures.MediaGen
+    val id = 4L // 6 frames, stride 2 keeps 0,2,4
+    val frames = Media.splitPngFrames(MediaGen.videoFor(id))
+    assert(frames.length == MediaGen.videoFrameCount(id))
+    val kept = frames.zipWithIndex.filter(_._2 % 2 == 0)
+    kept.foreach { case (f, idx) =>
+      val m = Media.decodeImage(f)
+      assert(m.width == MediaGen.videoFrameWidth(id) && m.height == Media.decodeImage(f).height)
+      assert(m.mean_r == MediaGen.videoFrameR(id, idx).toDouble)
+    }
   }
 
   test("resizeMeta preserves aspect ratio within the target box") {
