@@ -31,6 +31,15 @@ object SparkEntry {
       |('DATA','vector','ent:vector'),('DATA','stream','ent:stream'))"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** The ANN LSH hyperplanes as SQL VALUES — generated from the engine's
+    * own [[graft.sim.Ann.hyperplanes]] (fixed-seed PRNG) so oracle and
+    * engine share the exact same doubles; `Double.toString` round-trips
+    * bit-exactly through DuckDB's literal parser. */
+  private def planesValues(dim: Int, nBits: Int): String =
+    graft.sim.Ann.hyperplanes(dim, nBits).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString("(VALUES ", ", ", ")")
+
   /** The language-ID trigram profiles as SQL VALUES — generated from the
     * engine's own [[graft.quality.TextQuality.Profiles]] so oracle and
     * engine can never drift apart. */
@@ -237,13 +246,19 @@ object SparkEntry {
       graft.quality.TextQuality.qualitySignals(
         t(s, dir, "documents"), Seq("the", "a", "of", "and", "to"))
     }),
-    // ---- multimodal stubs (binary columns; decode is a deterministic stub) ----
+    // ---- multimodal (binary columns; REAL decode via the JDK codecs) ----
+    // deterministic per-doc PNG ([[graft.fixtures.MediaGen]]) → real
+    // ImageIO decode → real nearest-neighbor resize re-encode → re-decode:
+    // dims and channel means have closed forms in doc_id, so the DuckDB
+    // oracle pins the whole encode→decode→resize→decode round-trip
     "q24_media_features" -> ((s, dir) => {
-      val bin = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
-      graft.multimodal.Media.resizeMeta(
-        graft.multimodal.Media.decodeAndFeaturize(s, bin, "doc_id", "blob"), 256)
-        .select("id", "width", "height", "channels", "n_bytes", "out_width", "out_height")
+      import s.implicits._
+      val bin = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.fixtures.MediaGen.pngFor(id))))
+        .toDF("doc_id", "blob")
+      graft.multimodal.Media.imageFeatures(s, bin, "doc_id", "blob", 48)
+        .select("id", "width", "height", "channels", "out_width", "out_height",
+          "mean_r", "mean_g", "mean_b")
     }),
     "q25_frame_sample" -> ((s, dir) => {
       val bin = t(s, dir, "documents")
@@ -253,6 +268,27 @@ object SparkEntry {
       // hash determinism is pinned by OpsSpec
       graft.multimodal.Media.sampleFrames(s, bin, "doc_id", "blob", 64, 2)
         .select("id", "frame_idx", "frame_bytes")
+    }),
+    // real RIFF/WAV PCM decode (javax.sound.sampled): header fields, exact
+    // frame count, and peak amplitude are closed forms of doc_id (sine
+    // period divisible by 4 ⇒ peak == amplitude exactly)
+    "q36_wav_meta" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.fixtures.MediaGen.wavFor(id))))
+        .toDF("doc_id", "blob")
+      graft.multimodal.Media.audioMeta(s, bin, "doc_id", "blob")
+        .select("id", "sample_rate", "channels", "bits", "n_frames", "peak")
+    }),
+    // concatenated-PNG "video" → signature split → stride sampling → real
+    // per-frame decode; kept-frame dims and red-channel mean are closed
+    // forms of (doc_id, frame_idx)
+    "q37_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.fixtures.MediaGen.videoFor(id))))
+        .toDF("doc_id", "blob")
+      graft.multimodal.Media.sampleVideoFrames(s, bin, "doc_id", "blob", 2)
     }),
     // batched annotator path (reference sentences_per_call knob,
     // ai/extractor_ner.py:72-85): documents have no newlines, so batching
@@ -514,10 +550,74 @@ object SparkEntry {
         |  FROM d JOIN generate_series(1, 4096) g(j) ON g.j <= CAST(ceil(n / 64.0) AS INT))
         | SELECT doc_id AS id, fi::int AS frame_idx,
         |  (CASE WHEN fi = nf - 1 THEN n - 64 * (nf - 1) ELSE 64 END)::int AS frame_bytes
-        | FROM frames WHERE fi % 2 = 0""".stripMargin.replaceAll("\n", " "))
-    // q15_minhash_pairs / q16_simhash (seeded MinHash/SimHash) /
-    // q19_ann_lsh (LSH-recall-dependent top-k) / q20_kg_pipeline
-    // (self-synthesized input) / q24_media_features (seeded stub decode):
-    // pure seeded-hash semantics — not DuckDB-expressible over the sf
-    // tables; driver records the weaker rows-only check.
+        | FROM frames WHERE fi % 2 = 0""".stripMargin.replaceAll("\n", " "),
+    // LSH semantics replayed in SQL: the hyperplanes are the engine's own
+    // doubles (planesValues), bucket = sign-bit sum, multi-probe = Hamming
+    // distance ≤ 1 on the bucket id — pins bucketing, probing, AND the
+    // cosine top-k in one row
+    "q19_ann_lsh" -> (
+      s"""WITH planes(pid, w) AS ${planesValues(64, 8)},
+        | b AS (SELECT e.vec_id,
+        |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.w) > 0
+        |             THEN (1 << p.pid) ELSE 0 END)::int AS bucket
+        |   FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+        | v AS (SELECT b.vec_id, b.bucket, e.embedding
+        |   FROM b JOIN embeddings e USING (vec_id)),
+        | q AS (SELECT embedding AS qe, bucket AS qb FROM v WHERE vec_id = 0)
+        | SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT v.vec_id,
+        |   list_cosine_similarity(v.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim
+        |  FROM v CROSS JOIN q WHERE bit_count(xor(v.bucket, q.qb)) <= 1
+        |  ORDER BY sim DESC, v.vec_id ASC LIMIT 10) t"""
+        .stripMargin.replaceAll("\n", " ")),
+    "q32_embedding_neardup" -> (
+      s"""WITH planes(pid, w) AS ${planesValues(64, 4)},
+        | b AS (SELECT e.vec_id,
+        |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.w) > 0
+        |             THEN (1 << p.pid) ELSE 0 END)::int AS bucket
+        |   FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+        | v AS (SELECT b.vec_id, b.bucket, e.embedding
+        |   FROM b JOIN embeddings e USING (vec_id))
+        | SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                               c.embedding::DOUBLE[]), 4) AS sim
+        | FROM v a JOIN v c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        | WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |                              c.embedding::DOUBLE[]) >= 0.3"""
+        .stripMargin.replaceAll("\n", " ")),
+    // the closed forms mirror graft.fixtures.MediaGen exactly; matching
+    // values prove the engine's REAL ImageIO encode→decode→resize→decode
+    // round-trip (not a metadata echo — dims/means are read back from
+    // decoded rasters)
+    "q24_media_features" ->
+      """WITH d AS (SELECT doc_id,
+        |   (16 + (doc_id % 8) * 16)::double AS w,
+        |   (16 + ((doc_id // 8) % 8) * 16)::double AS h FROM documents)
+        | SELECT doc_id AS id, w::int AS width, h::int AS height,
+        |  3::int AS channels,
+        |  (CASE WHEN greatest(w,h) <= 48 THEN w
+        |        ELSE ceil(w * (48.0 / greatest(w,h))) END)::int AS out_width,
+        |  (CASE WHEN greatest(w,h) <= 48 THEN h
+        |        ELSE ceil(h * (48.0 / greatest(w,h))) END)::int AS out_height,
+        |  ((doc_id * 37) % 256)::double AS mean_r,
+        |  ((doc_id * 73) % 256)::double AS mean_g,
+        |  ((doc_id * 101) % 256)::double AS mean_b
+        | FROM d""".stripMargin.replaceAll("\n", " "),
+    "q36_wav_meta" ->
+      """SELECT doc_id AS id, 8000::int AS sample_rate, 1::int AS channels,
+        | 16::int AS bits,
+        | ((4 * (2 + doc_id % 6)) * (50 + doc_id % 50))::bigint AS n_frames,
+        | (1000 + (doc_id % 20) * 500)::int AS peak
+        | FROM documents""".stripMargin.replaceAll("\n", " "),
+    "q37_video_frames" ->
+      """SELECT doc_id AS id, g.j::int AS frame_idx,
+        | (16 + (doc_id % 4) * 16)::int AS width, 16::int AS height,
+        | ((doc_id * 37 + g.j * 11) % 256)::double AS mean_r
+        | FROM documents JOIN generate_series(0, 4, 2) g(j)
+        |   ON g.j < 2 + doc_id % 5""".stripMargin.replaceAll("\n", " "))
+    // q15_minhash_pairs / q16_simhash (xxhash64-seeded MinHash/SimHash —
+    // DuckDB has no xxhash64) / q20_kg_pipeline (self-synthesized input):
+    // not DuckDB-expressible over the sf tables; driver records the weaker
+    // rows-only check. Each is pinned otherwise: q15/q16 vs exact Jaccard
+    // (SparkQueriesSpec), q20 by the pipeline specs + html_ok invariant.
 }
