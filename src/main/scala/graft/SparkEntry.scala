@@ -230,6 +230,30 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
+    // WARC source round-trip (self-synthesized like q20; WarcSpec pins the
+    // KG-parity and byte-identity invariants — here html_ok makes the
+    // byte-exactness visible per row): write a deterministic corpus as
+    // WARC files, read it back through the source, compare bytes
+    "q39_warc_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val pages = (0L until 200L).map(graft.fixtures.WebTextGen.page(_))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q39-")
+      pages.grouped(50).zipWithIndex.foreach { case (g, i) =>
+        java.nio.file.Files.write(dir.resolve(f"part-$i%05d.warc"),
+          graft.sources.Warc.writeWarc(g.map(p => p.url -> p.html)))
+      }
+      val got = graft.sources.Warc.responses(s, s"$dir/*.warc")
+      val expected = s.createDataset(pages.map(p => (p.url, p.html)))
+        .toDF("url", "html_expected")
+      val result = got.join(expected, "url")
+        .select(col("url"),
+          (col("html") === col("html_expected")).as("html_ok"),
+          length(col("html")).as("n_bytes"))
+      val rows = result.collect()
+      val schema = result.schema
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
     // ---- text analysis ----
     "q21_langid" -> ((s, dir) => {
       import s.implicits._
@@ -290,6 +314,12 @@ object SparkEntry {
         .toDF("doc_id", "blob")
       graft.multimodal.Media.sampleVideoFrames(s, bin, "doc_id", "blob", 2)
     }),
+    // BPE-ish pre-tokenizer count (training-data length budgeting) — pure
+    // codegen'd regexp, no UDF; the pattern is RE2-compatible so the
+    // DuckDB oracle runs the IDENTICAL regex
+    "q38_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.quality.TextQuality.bpeTokenCount(col("text")).as("n_bpe"))),
     // batched annotator path (reference sentences_per_call knob,
     // ai/extractor_ner.py:72-85): documents have no newlines, so batching
     // must not change the result — same oracle as q10
@@ -603,6 +633,10 @@ object SparkEntry {
         |  ((doc_id * 73) % 256)::double AS mean_g,
         |  ((doc_id * 101) % 256)::double AS mean_b
         | FROM d""".stripMargin.replaceAll("\n", " "),
+    "q38_bpe_tokens" -> (
+      "SELECT doc_id, len(regexp_extract_all(text, '" +
+        graft.quality.TextQuality.BpePattern.replace("'", "''") +
+        "'))::int AS n_bpe FROM documents"),
     "q36_wav_meta" ->
       """SELECT doc_id AS id, 8000::int AS sample_rate, 1::int AS channels,
         | 16::int AS bits,

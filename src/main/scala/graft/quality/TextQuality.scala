@@ -55,6 +55,19 @@ object TextQuality {
     h
   }
 
+  /** GPT-2-style pre-tokenizer pattern (contractions, space-prefixed
+    * letter/digit/punctuation runs, whitespace), restricted to the subset
+    * that Java regex (engine) and RE2 (DuckDB oracle) interpret
+    * identically — no lookarounds. Counting these segments approximates
+    * the BPE token count within the pre-tokenizer's granularity, the
+    * standard cheap length signal for training-data budgeting. */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-tokenizer segment count as a codegen'd column (no UDF). */
+  def bpeTokenCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Quality-signal columns computed with built-in (codegen'd) expressions:
     * token count, punctuation ratio, stopword ratio, mean word length —
     * the standard web-corpus quality heuristics. */
