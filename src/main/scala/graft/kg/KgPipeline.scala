@@ -56,7 +56,18 @@ object KgPipeline {
       /** override the default deterministic [[graft.annotate.DictAnnotator]]
         * — e.g. a [[graft.annotate.HttpAnnotator]] bound to a model server.
         * Must be serializable (ships into mapPartitions). */
-      annotator: Option[graft.annotate.Annotator] = None)
+      annotator: Option[graft.annotate.Annotator] = None,
+      /** drop exact-duplicate pages (same html bytes under different urls —
+        * ~1/3 of a raw web crawl) before spending annotation on them. The
+        * winner per content hash is chosen ONCE per outDir and persisted as
+        * a `dedup_winners` manifest `(fp, url, copies)`, so resumed runs
+        * keep the same winner set even when a duplicate's twin sits in an
+        * already-committed bucket — resume stays byte-identical. Cost: one
+        * tiny `(fp,url)` shuffle for the manifest plus one url-keyed
+        * semi-join shuffle of the html-bearing input (this forfeits
+        * `alignedInput` narrowness; corpora pre-deduped upstream should
+        * keep dedupExact=false and the narrow path). */
+      dedupExact: Boolean = false)
 
   final case class RunStats(
       runId: String,
@@ -65,7 +76,10 @@ object KgPipeline {
       mentions: Long,
       triples: Long,
       htmlMismatches: Long,
-      failedBatches: Long = 0L)
+      failedBatches: Long = 0L,
+      /** duplicate pages dropped by the dedup manifest (whole-corpus figure,
+        * from the manifest's `copies` column; 0 when dedupExact is off). */
+      docsDeduped: Long = 0L)
 
   def bucketCol(numBuckets: Int) = pmod(xxhash64(col("url")), lit(numBuckets))
 
@@ -150,18 +164,41 @@ object KgPipeline {
     val withBucket =
       if (cfg.useInputBucketColumn && pages.columns.contains("bucket")) pages
       else pages.withColumn("bucket", bucketCol(cfg.numBuckets))
+
+    // exact dedup (opt-in): the winners manifest is computed ONCE per outDir
+    // over the FULL input — min(url) per content hash — and persisted, so a
+    // resumed run filters against the SAME winner set (a fresh-slice-only
+    // dedup would resurrect a duplicate whose winner is already committed).
+    // The manifest job shuffles only (fp, url) pairs, never html.
+    val (input, docsDeduped) =
+      if (!cfg.dedupExact) (withBucket, 0L)
+      else {
+        val manifestPath = new org.apache.hadoop.fs.Path(s"${cfg.outDir}/dedup_winners")
+        val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(manifestPath)) {
+          withBucket.select(col("url"), xxhash64(col("html")).as("fp"))
+            .groupBy("fp").agg(min("url").as("url"), count(lit(1)).as("copies"))
+            .write.parquet(manifestPath.toString)
+        }
+        val manifest = spark.read.parquet(manifestPath.toString)
+        val dropped = Option(
+          manifest.agg(sum(col("copies") - 1)).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        (withBucket.join(manifest.select("url"), Seq("url"), "left_semi"), dropped)
+      }
+
     // the html-bearing (widest) relation is consumed exactly once below;
     // nothing in this pipeline is persisted — intermediates are materialized
     // to the docs/ table instead (at corpus scale nothing fits in cache, and
     // 32-way MemoryStore writes were measured to serialize the scan stage)
-    val todo = if (done.isEmpty) withBucket
-               else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
+    val todo = if (done.isEmpty) input
+               else input.filter(!col("bucket").isin(done.toSeq: _*))
 
     // the emptiness probe costs a job — only pay it on resume, where all
     // buckets may already be complete (a fresh run just proceeds; writing an
     // empty slice is harmless)
     if (done.nonEmpty && todo.isEmpty) {
-      return RunStats(runId, 0, 0, 0, 0, 0)
+      return RunStats(runId, 0, 0, 0, 0, 0, docsDeduped = docsDeduped)
     }
 
     // 1. ONE narrow pass: deterministic HTML→text (byte-verified against the
@@ -295,6 +332,7 @@ object KgPipeline {
       mentions = rows.map(_.getAs[Long]("mentions")).sum,
       triples = rows.map(_.getAs[Long]("triples")).sum,
       htmlMismatches = rows.map(_.getAs[Long]("html_mismatches")).sum,
-      failedBatches = rows.map(_.getAs[Long]("failed_batches")).sum)
+      failedBatches = rows.map(_.getAs[Long]("failed_batches")).sum,
+      docsDeduped = docsDeduped)
   }
 }

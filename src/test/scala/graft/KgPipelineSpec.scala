@@ -169,6 +169,60 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("dedupExact drops clone pages and matches the pre-deduped run") {
+    import spark.implicits._
+    val originals = (0L until 100L).map(WebTextGen.page(_))
+    // 40 exact clones: same html/text/lang under new (lexically larger) urls
+    val clones = originals.take(40).zipWithIndex.map { case (p, i) =>
+      p.copy(url = s"https://zz-mirror.example/copy/$i")
+    }
+    val full = spark.createDataset(scala.util.Random.shuffle(originals ++ clones)).toDF()
+    val unique = spark.createDataset(originals).toDF()
+
+    def triples(df: org.apache.spark.sql.DataFrame, dedup: Boolean): (Set[(String, String, String)], KgPipeline.RunStats) = {
+      val out = freshDir()
+      val st = KgPipeline.run(spark, df, KgPipeline.Config(out, numBuckets = 8, dedupExact = dedup))
+      (spark.read.parquet(s"$out/triples").select("subj", "pred", "obj")
+        .as[(String, String, String)].collect().toSet, st)
+    }
+    val (dedupT, dedupStats) = triples(full, dedup = true)
+    val (uniqueT, _) = triples(unique, dedup = false)
+    assert(dedupStats.docsDeduped == 40)
+    assert(dedupStats.docs == 100)
+    assert(dedupT == uniqueT)
+  }
+
+  test("dedup manifest keeps resume byte-identical across a crash") {
+    import spark.implicits._
+    val originals = (0L until 100L).map(WebTextGen.page(_))
+    val clones = originals.take(30).zipWithIndex.map { case (p, i) =>
+      p.copy(url = s"https://zz-mirror.example/copy/$i")
+    }
+    val full = spark.createDataset(originals ++ clones).toDF()
+    val out = freshDir()
+    val cfg = KgPipeline.Config(out, numBuckets = 8, dedupExact = true)
+    KgPipeline.run(spark, full, cfg)
+    val before = spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+
+    // crash simulation: two buckets lose their metrics commit + triples;
+    // the dedup manifest (written before any bucket) survives, so the
+    // resumed slice must re-derive the SAME winners
+    val kept = spark.read.parquet(s"$out/metrics").filter(!col("bucket").isin(1, 6)).collect()
+    val schema = spark.read.parquet(s"$out/metrics").schema
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$out/metrics"))
+    spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
+      .coalesce(1).write.parquet(s"$out/metrics")
+    Seq(1, 6).foreach { b =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$out/triples/bucket=$b"))
+    }
+    val s2 = KgPipeline.run(spark, full, cfg)
+    assert(s2.bucketsProcessed == 2)
+    val after = spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(after == before)
+  }
+
   test("salted-linking path yields identical triples to the broadcast path") {
     import spark.implicits._
     val outA = freshDir()
