@@ -314,6 +314,24 @@ object SparkEntry {
         .toDF("doc_id", "blob")
       graft.multimodal.Media.sampleVideoFrames(s, bin, "doc_id", "blob", 2)
     }),
+    // gap-based sessionization (30-min inactivity closes a session) — the
+    // classic web-log operator: lag window → new-session flag → running sum
+    // as session id → per-session aggregates. Both sides floor timestamps
+    // to whole epoch seconds so gap/duration semantics are identical.
+    "q40_sessionize" -> ((s, dir) => {
+      val sec = col("ts").cast("timestamp").cast("long")
+      // order by the SAME floored-seconds key the gap math uses, so engine
+      // and oracle agree even when two events share a floored second
+      val w = Window.partitionBy("user_id").orderBy(sec, col("event_id"))
+      val gap = sec - lag(sec, 1).over(w)
+      val isNew = when(gap.isNull || gap > 1800, 1).otherwise(0)
+      t(s, dir, "events")
+        .withColumn("session_idx",
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          (max(sec) - min(sec)).as("duration_s"))
+    }),
     // BPE-ish pre-tokenizer count (training-data length budgeting) — pure
     // codegen'd regexp, no UDF; the pattern is RE2-compatible so the
     // DuckDB oracle runs the IDENTICAL regex
@@ -633,6 +651,21 @@ object SparkEntry {
         |  ((doc_id * 73) % 256)::double AS mean_g,
         |  ((doc_id * 101) % 256)::double AS mean_b
         | FROM d""".stripMargin.replaceAll("\n", " "),
+    "q40_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |   floor(epoch(ts::timestamp))::bigint AS sec FROM events),
+        | g AS (SELECT user_id, event_id, sec,
+        |   CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |        THEN 1 ELSE 0 END AS isnew
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        | s AS (SELECT user_id, sec,
+        |   sum(isnew) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+        | SELECT user_id, session_idx::bigint AS session_idx,
+        |  count(*)::bigint AS n_events,
+        |  (max(sec) - min(sec))::bigint AS duration_s
+        | FROM s GROUP BY user_id, session_idx"""
+        .stripMargin.replaceAll("\n", " "),
     "q38_bpe_tokens" -> (
       "SELECT doc_id, len(regexp_extract_all(text, '" +
         graft.quality.TextQuality.BpePattern.replace("'", "''") +

@@ -18,6 +18,45 @@ import org.apache.spark.sql.functions._
   */
 object StreamingKg {
 
+  /** Continuous WARC ingestion — the crawl-queue pattern: the stream is a
+    * MANIFEST of archive paths (one per line, appended as archives land;
+    * file-stream text source), and each task opens its paths through the
+    * Hadoop FileSystem and parses the records. This sidesteps the binary
+    * file source's lack of streaming support, and matches how production
+    * crawl ingestion actually arrives (a queue of finished archive names,
+    * not a stream of record bytes). One task per manifest line ⇒ per-file
+    * parallelism, same as the batch [[graft.sources.Warc.read]] shape.
+    *
+    * Output columns match [[triplesStream]]'s input contract: `url`,
+    * `warc_ts` (parsed from `WARC-Date`), `html`, `lang` (crawls don't
+    * carry a language tag; `defaultLang` stands in until a langid stage). */
+  def warcPages(spark: SparkSession, manifestDir: String,
+      defaultLang: String = "en"): DataFrame = {
+    import spark.implicits._
+    spark.readStream.text(manifestDir)
+      .as[String].map(_.trim).filter(_.nonEmpty)
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.flatMap { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(conf)
+          val in = fs.open(path)
+          val bytes =
+            try org.apache.commons.io.IOUtils.toByteArray(in)
+            finally in.close()
+          graft.sources.Warc.parseRecords(bytes)
+            .filter(r => r.warc_type == "response" && r.target_uri.nonEmpty)
+            .map { r =>
+              val ts = try java.sql.Timestamp.from(java.time.Instant.parse(r.warc_date))
+                       catch { case _: Exception => new java.sql.Timestamp(0L) }
+              (r.target_uri, ts, graft.sources.Warc.httpBody(r.payload))
+            }
+        }
+      }
+      .toDF("url", "warc_ts", "html")
+      .withColumn("lang", lit(defaultLang))
+  }
+
   /** Transform a (streaming or batch) pages DataFrame into triples.
     * @param watermarkDelay how long out-of-order pages may lag the max
     *        observed `warc_ts` before their duplicate-suppression state may

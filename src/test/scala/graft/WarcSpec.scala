@@ -56,6 +56,32 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.httpBody(recs(1).payload).sameElements(html))
   }
 
+  test("streaming WARC ingest (manifest of archive paths) matches batch triples") {
+    import spark.implicits._
+    val (dir, pages) = writeCorpus(80, 4)
+    // crawl-queue manifest: one landed-archive path per line
+    val manifestDir = Files.createTempDirectory("graft-warc-manifest-")
+    val paths = new java.io.File(dir).listFiles().map(_.getAbsolutePath).sorted
+    Files.write(manifestDir.resolve("batch-000.txt"),
+      paths.mkString("\n").getBytes("UTF-8"))
+
+    val stream = graft.streaming.StreamingKg.triplesStream(
+      spark, graft.streaming.StreamingKg.warcPages(spark, manifestDir.toString))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("warc_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("warc_stream")
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+
+    // same metadata on both sides: the WARC path has no language tag and
+    // defaults to "en", so the batch comparison uses the same default
+    val batch = graft.streaming.StreamingKg.triplesStream(
+      spark, spark.createDataset(pages).toDF().withColumn("lang", lit("en")))
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("KG pipeline over WARC-read input matches the direct-table path") {
     import spark.implicits._
     val (dir, pages) = writeCorpus(120, 4)
