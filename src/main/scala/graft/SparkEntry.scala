@@ -187,9 +187,13 @@ object SparkEntry {
     }),
     // ---- training-data ops ----
     "q14_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    // md5-portable hash variants so the DuckDB oracle replays the ENTIRE
+    // LSH pipeline (shingle→signature→band→pair→estimate); the murmur fast
+    // path shares every stage but the primitive hash and is cross-checked
+    // against exact Jaccard in SparkQueriesSpec
     "q15_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(s, t(s, dir, "documents"), 0.1)),
-    "q16_simhash" -> ((s, dir) => Dedup.simhash(s, t(s, dir, "documents"))),
+      Dedup.minhashPairsMd5(s, t(s, dir, "documents"), 0.1)),
+    "q16_simhash" -> ((s, dir) => Dedup.simhashBits(s, t(s, dir, "documents"))),
     "q17_text_quality" -> ((s, dir) => {
       val toks = split(trim(col("text")), "\\s+")
       t(s, dir, "documents").select(
@@ -651,6 +655,47 @@ object SparkEntry {
         |  ((doc_id * 73) % 256)::double AS mean_g,
         |  ((doc_id * 101) % 256)::double AS mean_b
         | FROM d""".stripMargin.replaceAll("\n", " "),
+    // full MinHash-LSH replay: word 2-shingles, 64 universal hashes over
+    // the md5-32 primitive (coefficients emitted from the engine's PRNG),
+    // 16 bands × 4 rows, in-bucket pairing, signature-agreement estimate
+    "q15_minhash_pairs" -> (
+      s"""WITH coeffs(i, a, b) AS ${graft.dedup.Dedup.coeffsValues},
+        | toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        |          FROM documents),
+        | sh AS (SELECT DISTINCT doc_id, t[g.j] || ' ' || t[g.j+1] AS s
+        |        FROM toks JOIN generate_series(1, 4096) g(j) ON g.j < len(t)),
+        | x AS (SELECT doc_id,
+        |        ('0x' || substr(md5(s),1,8))::BIGINT % 2147483647 AS x FROM sh),
+        | sig AS (SELECT doc_id, c.i, min((c.a * x.x + c.b) % 2147483647) AS h
+        |         FROM x CROSS JOIN coeffs c GROUP BY doc_id, c.i),
+        | band AS (SELECT doc_id, i // 4 AS band,
+        |           string_agg(h, ',' ORDER BY i) AS key
+        |          FROM sig GROUP BY doc_id, i // 4),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM band a JOIN band b
+        |            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        | est AS (SELECT c.doc_a, c.doc_b,
+        |           sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 64.0 AS e
+        |         FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+        |           JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+        |         GROUP BY c.doc_a, c.doc_b)
+        | SELECT doc_a, doc_b, round(e, 4) AS est_jaccard
+        | FROM est WHERE e >= 0.1""".stripMargin.replaceAll("\n", " ")),
+    // SimHash replay: md5_number_lower == the engine's md5Hash64 (lower 8
+    // MD5 bytes, little-endian); fingerprint compared as a 64-char bit
+    // string, MSB first
+    "q16_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        | tc AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+        | th AS (SELECT doc_id, md5_number_lower(tok) AS h, n FROM tc),
+        | bits AS (SELECT doc_id, g.b AS b,
+        |   sum(CASE WHEN (h >> g.b) & 1 = 1 THEN n ELSE -n END) AS acc
+        |  FROM th CROSS JOIN generate_series(0, 63) g(b) GROUP BY doc_id, g.b)
+        | SELECT doc_id,
+        |  string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC)
+        |    AS simhash_bits
+        | FROM bits GROUP BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q40_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
         |   floor(epoch(ts::timestamp))::bigint AS sec FROM events),
@@ -682,9 +727,8 @@ object SparkEntry {
         | ((doc_id * 37 + g.j * 11) % 256)::double AS mean_r
         | FROM documents JOIN generate_series(0, 4, 2) g(j)
         |   ON g.j < 2 + doc_id % 5""".stripMargin.replaceAll("\n", " "))
-    // q15_minhash_pairs / q16_simhash (xxhash64-seeded MinHash/SimHash —
-    // DuckDB has no xxhash64) / q20_kg_pipeline (self-synthesized input):
-    // not DuckDB-expressible over the sf tables; driver records the weaker
-    // rows-only check. Each is pinned otherwise: q15/q16 vs exact Jaccard
-    // (SparkQueriesSpec), q20 by the pipeline specs + html_ok invariant.
+    // Only q20_kg_pipeline and q39_warc_roundtrip lack oracles — both
+    // self-synthesize their input (no sf table for DuckDB to read), by
+    // design; each is pinned by specs (pipeline P/R + resume byte-identity;
+    // WARC byte round-trip + pipeline parity) and a per-row ok flag.
 }

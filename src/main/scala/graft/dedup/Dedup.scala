@@ -86,11 +86,88 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, text) => (id, signature(shingles(text))) }
       .toDF("doc_id", "sig")
+    pairsFromSigs(spark, sigs, minJaccard, truncatedBuckets)
+  }
 
+  // --- DuckDB-portable (md5-based) variants ------------------------------
+  //
+  // The murmur/xxhash fast path above is JVM-only, so its exact outputs
+  // cannot be replayed by an external SQL oracle. These variants swap ONLY
+  // the primitive hash for md5 (computable bit-identically in DuckDB as
+  // ('0x' || substr(md5(s),1,8))::BIGINT) — shingling, signatures, banding,
+  // pairing, and estimation are the same code paths, so an oracle match on
+  // the md5 variant pins the whole LSH pipeline. md5 costs ~3× murmur per
+  // token; at 100 TB run the fast path and keep this one for verification.
+
+  /** First 4 bytes of MD5 as an unsigned 32-bit value. */
+  def md5Hash32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Lower 8 MD5 bytes, little-endian — DuckDB's `md5_number_lower`. */
+  def md5Hash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
+  /** Word 2-shingle strings (pre-hash) — shared by both hash variants. */
+  def shingleStrings(text: String): Set[String] = {
+    val toks = graft.text.PyStr.split(text)
+    if (toks.length < 2) toks.toSet
+    else toks.sliding(2).map(_.mkString(" ")).toSet
+  }
+
+  /** MinHash signature over md5-hashed shingles. The operand is reduced
+    * mod P BEFORE the multiply so the arithmetic stays in signed-64 range
+    * on both engines (a < 2³¹, x mod P < 2³¹ ⇒ a·x < 2⁶²). */
+  def signatureMd5(shingleSet: Set[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    shingleSet.foreach { s =>
+      val x = md5Hash32(s) % Prime
+      var i = 0
+      while (i < NumHashes) {
+        val (a, b) = coeffs(i)
+        val h = (a * x + b) % Prime
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** The universal-hash coefficients as SQL VALUES `(i, a, b)` — emitted
+    * from the engine's own PRNG so the oracle can never drift. */
+  def coeffsValues: String =
+    coeffs.zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString("(VALUES ", ", ", ")")
+
+  /** [[minhashPairs]] with the portable md5 primitive. */
+  def minhashPairsMd5(spark: SparkSession, docs: DataFrame, minJaccard: Double): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, signatureMd5(shingleStrings(text))) }
+      .toDF("doc_id", "sig")
+    pairsFromSigs(spark, sigs, minJaccard,
+      spark.sparkContext.longAccumulator("minhash.truncatedBuckets"))
+  }
+
+  /** Banding + in-bucket pairing + agreement estimation, shared by both
+    * hash variants. The bucket key is the band's literal values (not a hash
+    * of them): no arrayHash collisions, and an external oracle can build
+    * the identical key. */
+  private def pairsFromSigs(spark: SparkSession, sigs: DataFrame,
+      minJaccard: Double,
+      truncatedBuckets: org.apache.spark.util.LongAccumulator): DataFrame = {
+    import spark.implicits._
     val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
       (0 until Bands).map { b =>
         val bandVals = sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
-        (b, MurmurHash3.arrayHash(bandVals, 42), id, sig)
+        (b, bandVals.mkString(","), id, sig)
       }
     }.toDF("band", "bucket", "doc_id", "sig")
 
@@ -104,7 +181,7 @@ object Dedup {
       .groupBy("band", "bucket")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       .filter(size(col("members")) > 1)
-      .as[(Int, Int, Seq[(Long, Array[Long])])]
+      .as[(Int, String, Seq[(Long, Array[Long])])]
       .flatMap { case (_, _, members) =>
         if (members.size > MaxBucketSize) truncatedBuckets.add(1L)
         val sorted = members.sortBy(_._1).take(MaxBucketSize)
@@ -149,6 +226,33 @@ object Dedup {
         (id, fp)
       }
       .toDF("doc_id", "simhash")
+  }
+
+  /** Portable SimHash: md5-based 64-bit token hash ([[md5Hash64]] ==
+    * DuckDB `md5_number_lower`), fingerprint emitted as a 64-char '0'/'1'
+    * string (MSB first) — a bit-63 fingerprint would overflow a signed
+    * SQL BIGINT, the string sidesteps it on both engines. */
+  def simhashBits(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = graft.text.PyStr.split(text).groupBy(identity).view.mapValues(_.length)
+        val acc = new Array[Long](64)
+        counts.foreach { case (tok, n) =>
+          val h64 = md5Hash64(tok)
+          var b = 0
+          while (b < 64) {
+            if (((h64 >>> b) & 1L) == 1L) acc(b) += n else acc(b) -= n
+            b += 1
+          }
+        }
+        val sb = new StringBuilder(64)
+        var b = 63
+        while (b >= 0) { sb.append(if (acc(b) > 0) '1' else '0'); b -= 1 }
+        (id, sb.toString)
+      }
+      .toDF("doc_id", "simhash_bits")
   }
 
   /** Exact n-gram Jaccard similarity for a candidate pair list — the

@@ -133,6 +133,27 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.find(_.getAs[Int]("frame_idx") == 4).get.getAs[Int]("frame_bytes") == 44)
   }
 
+  test("md5 hash primitives match the DuckDB formulas bit-exactly") {
+    import graft.dedup.Dedup
+    // pinned against DuckDB: ('0x' || substr(md5('abc'),1,8))::BIGINT
+    assert(Dedup.md5Hash32("abc") == 2416005272L)
+    // pinned against DuckDB: md5_number_lower('spark')
+    assert(Dedup.md5Hash64("spark") == 7293996656543585851L)
+  }
+
+  test("md5 and murmur MinHash variants find the same strong near-dup pairs") {
+    import spark.implicits._
+    val base = "spark hash join table scan merge sort customer vector stream " * 4
+    val docs = Seq(
+      (0L, base), (1L, base + " extra tail words"), (2L, "completely different text here"))
+      .toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5P = pairsOf(graft.dedup.Dedup.minhashPairsMd5(spark, docs, 0.5))
+    val murP = pairsOf(graft.dedup.Dedup.minhashPairs(spark, docs, 0.5))
+    assert(md5P == Set((0L, 1L)) && murP == Set((0L, 1L)))
+  }
+
   test("language-ID picks the right profile on natural text") {
     assert(TextQuality.detectLang("the house and the garden of the king") == "en")
     assert(TextQuality.detectLang("la casa de la reina que canta") == "es")
