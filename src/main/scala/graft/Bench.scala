@@ -70,8 +70,13 @@ object Bench {
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
     val scalingOnly = args.contains("scaling-only")
 
-    // Part 1: query timings at the configured parallelism
+    // Part 1: query timings at the configured parallelism. One untimed
+    // warm-up action first — otherwise the alphabetically-first query
+    // absorbs ~4 s of one-time JVM/codegen/session setup and its number
+    // measures the harness, not the plan.
     var spark = session(cpus)
+    if (!scalingOnly)
+      spark.read.parquet(s"$sfDir/documents.parquet").count()
     val queryTimes =
       if (scalingOnly) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -110,7 +115,7 @@ object Bench {
     val factor = hiCores.toDouble / loCores
     var best = Map(loCores -> Double.MaxValue, hiCores -> Double.MaxValue)
     var triplesN = 0L
-    (1 to rounds).foreach { _ =>
+    def oneRound(): Unit =
       Seq(loCores, hiCores).foreach { c =>
         spark = session(c)
         timePipeline(spark, scaleDocs / 50, 64) // session warm-up, untimed
@@ -122,6 +127,21 @@ object Bench {
         triplesN = tr
         spark.stop()
       }
+    (1 to rounds).foreach(_ => oneRound())
+    // The host's noisy-neighbor blackouts only ever ADD time, so each
+    // side's min converges to its quiet-machine value as samples grow.
+    // Keep sampling (alternating, same attempts per side) until neither
+    // side's min improved >2% for two consecutive extra rounds — a
+    // min-convergence stopping rule, not a pass-threshold one.
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_EXTRA", "5").toInt
+    var stale = 0
+    var extra = 0
+    while (stale < 2 && extra < maxExtra) {
+      val prev = (best(loCores), best(hiCores))
+      oneRound()
+      extra += 1
+      val improved = best(loCores) < prev._1 * 0.98 || best(hiCores) < prev._2 * 0.98
+      stale = if (improved) 0 else stale + 1
     }
     val (sec8, sec32) = (best(loCores), best(hiCores))
     val (triples8, triples32) = (triplesN, triplesN)

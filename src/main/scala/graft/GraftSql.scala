@@ -41,6 +41,16 @@ object GraftSql {
     // 64-bit rolling fingerprint of normalized text
     spark.udf.register("fingerprint64", (s: String) =>
       if (s == null) 0L else TextQuality.fingerprint(s))
+    // DuckDB-portable hash primitives (dedup's verifiable variants)
+    spark.udf.register("md5_hash32", (s: String) =>
+      if (s == null) 0L else graft.dedup.Dedup.md5Hash32(s))
+    spark.udf.register("md5_hash64", (s: String) =>
+      if (s == null) 0L else graft.dedup.Dedup.md5Hash64(s))
+    // real JDK-codec media decode for SQL users: struct-typed metadata
+    spark.udf.register("image_meta", (bytes: Array[Byte]) =>
+      if (bytes == null) null else graft.multimodal.Media.decodeImage(bytes))
+    spark.udf.register("wav_meta", (bytes: Array[Byte]) =>
+      if (bytes == null) null else graft.multimodal.Media.decodeWav(bytes))
   }
 
   def registerAll(spark: SparkSession, dir: String): Unit = {

@@ -185,6 +185,21 @@ object SparkEntry {
       // DuckDB recursive-CTE oracle (and in OpsSpec against min-label CC)
       ConnectedComponents.runStar(s, edges)
     }),
+    // fixed-iteration PageRank over the symmetrized doc↔entity graph (same
+    // edge construction as q13) — iterative DataFrame loop, one dst-keyed
+    // shuffle per round; oracle unrolls the identical arithmetic as chained
+    // CTEs (recursive terms can't aggregate)
+    "q41_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      val linked = Kg.disambiguate(
+        Kg.candidates(NerSpark.mentions(s, docs), Kg.aliasDf(s)))
+      val fwd = linked
+        .select(concat(lit("d:"), col("doc_id").cast("string")).as("src"),
+          col("entity_id").as("dst"))
+        .distinct()
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.kg.PageRank.run(s, edges, 10)
+    }),
     // ---- training-data ops ----
     "q14_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     // md5-portable hash variants so the DuckDB oracle replays the ENTIRE
@@ -478,6 +493,14 @@ object SparkEntry {
          |  SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.node)
          | SELECT node, min(label) AS component FROM cc GROUP BY node"""
         .stripMargin.replaceAll("\n", " "),
+    "q41_pagerank" -> graft.kg.PageRank.oracleSql(
+      s"""WITH base AS (SELECT DISTINCT 'd:' || d.doc_id AS src, entity_id AS dst
+         | FROM documents d
+         |  CROSS JOIN $AliasValues AS dict(category, surface, entity_id)
+         | WHERE d.doc_id % 7 = 0 AND position(surface in d.text) > 0)
+         | SELECT src, dst FROM base
+         | UNION SELECT dst AS src, src AS dst FROM base"""
+        .stripMargin.replaceAll("\n", " "), 10),
     "q14_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS rep_doc_id
         | FROM documents GROUP BY 1""".stripMargin.replaceAll("\n", " "),

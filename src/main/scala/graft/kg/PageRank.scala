@@ -1,0 +1,70 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over a directed edge list — the standard
+  * entity-importance signal for a knowledge graph (rank entities by how
+  * much linked-document mass flows into them).
+  *
+  * Determinism contract: a FIXED iteration count (no convergence
+  * sampling), `0.15 + 0.85 · inflow` with literal constants, dangling
+  * nodes simply contribute nothing (no redistribution) — every term is a
+  * pure function of the edge list, so an external oracle can replay the
+  * exact arithmetic. Scale shape: each round is ONE shuffle keyed by
+  * `dst` (contribution aggregation) plus the broadcast-or-shuffle join
+  * back to the node list; the loop plan grows linearly with iterations —
+  * at corpus scale checkpoint every ~5 rounds to cut lineage, exactly as
+  * [[ConnectedComponents]] documents.
+  *
+  * Reference context: the reference has no graph ops; this extends the
+  * engine-added CC family (SURVEY.md §2b "Graph").
+  */
+object PageRank {
+
+  /** @param edges DataFrame with `src`, `dst` string columns (directed).
+    * @return (node, rank) — rank rounded to 6 decimals for stable compare. */
+  def run(spark: SparkSession, edges: DataFrame, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    (1 to iterations).foreach { _ =>
+      val inflow = e.join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1 - damping) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** The identical computation as chained SQL CTEs (`r0 … rN`), one per
+    * iteration — recursive-CTE dialects forbid aggregates in the recursive
+    * term, so the oracle unrolls instead. `edgesSql` must yield distinct
+    * (src, dst) rows. */
+  def oracleSql(edgesSql: String, iterations: Int, damping: Double = 0.85): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT n.node,
+         | ${1 - damping} + $damping * coalesce(s.inflow, 0.0) AS rank
+         | FROM nodes n LEFT JOIN (
+         |  SELECT e.dst AS node, sum(r.rank / d.deg) AS inflow
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst) s ON s.node = n.node)"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(", ")
+    s"""WITH edges AS ($edgesSql),
+      | nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      | deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      | r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+      | $steps
+      | SELECT node, round(rank, 6) AS rank FROM r$iterations"""
+      .stripMargin.replaceAll("\n", " ")
+  }
+}

@@ -48,6 +48,19 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("md5 hash primitives and media decode run in SQL") {
+    val r = spark.sql("SELECT md5_hash32('abc') AS h32, md5_hash64('spark') AS h64").head()
+    assert(r.getLong(0) == 2416005272L && r.getLong(1) == 7293996656543585851L)
+
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(7L, graft.fixtures.MediaGen.pngFor(7L))),
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, blob BINARY"))
+      .createOrReplaceTempView("img")
+    val m = spark.sql("SELECT image_meta(blob).width AS w, image_meta(blob).mean_r AS r FROM img").head()
+    assert(m.getInt(0) == graft.fixtures.MediaGen.imgWidth(7L))
+    assert(m.getDouble(1) == graft.fixtures.MediaGen.imgR(7L).toDouble)
+  }
+
   test("detect_lang and fingerprint64 register and run in SQL") {
     val r = spark.sql(
       "SELECT detect_lang('the house and the garden') AS l, fingerprint64('A  b') = fingerprint64('a b') AS same")

@@ -133,6 +133,20 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.find(_.getAs[Int]("frame_idx") == 4).get.getAs[Int]("frame_bytes") == 44)
   }
 
+  test("PageRank matches closed forms on 2-cycle and dangling chain") {
+    import spark.implicits._
+    // symmetric 2-cycle: fixed point rank = 1.0 exactly for both nodes
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val rCyc = graft.kg.PageRank.run(spark, cyc, 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rCyc == Map("a" -> 1.0, "b" -> 1.0))
+    // dangling chain a→b: a has no inflow (0.15); b = 0.15 + 0.85·0.15
+    val chain = Seq(("a", "b")).toDF("src", "dst")
+    val rCh = graft.kg.PageRank.run(spark, chain, 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rCh("a") == 0.15 && rCh("b") == 0.2775)
+  }
+
   test("md5 hash primitives match the DuckDB formulas bit-exactly") {
     import graft.dedup.Dedup
     // pinned against DuckDB: ('0x' || substr(md5('abc'),1,8))::BIGINT
