@@ -47,6 +47,21 @@ object ScalingCeiling {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Best-of-`rounds` seconds for `nDocs` docs at each thread count —
+    * reusable by [[Bench]] to report the live hardware ceiling next to the
+    * pipeline's scaling number. */
+  def measure(threadCounts: Seq[Int], nDocs: Int, rounds: Int): Map[Int, Double] = {
+    run(math.min(nDocs, 50000), threadCounts.max) // JIT warm-up
+    val best = scala.collection.mutable.Map.empty[Int, Double]
+    (1 to rounds).foreach { _ =>
+      threadCounts.foreach { t =>
+        val sec = run(nDocs, t)
+        best(t) = math.min(best.getOrElse(t, Double.MaxValue), sec)
+      }
+    }
+    best.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(400000)
     val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(3)
