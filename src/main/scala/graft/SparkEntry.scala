@@ -185,6 +185,17 @@ object SparkEntry {
       // DuckDB recursive-CTE oracle (and in OpsSpec against min-label CC)
       ConnectedComponents.runStar(s, edges)
     }),
+    // IVF ANN (k-means coarse quantizer; the brief's alternative scale
+    // path beside LSH): deterministic driver-side Lloyd's training, narrow
+    // broadcast assignment, 2-cell probe, exact cosine re-rank
+    "q42_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      graft.sim.Ivf.ivfTopK(s, emb, q, 10, nCells = 16, iters = 5,
+        nProbe = 2, sampleN = 100000)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
     // fixed-iteration PageRank over the symmetrized doc↔entity graph (same
     // edge construction as q13) — iterative DataFrame loop, one dst-keyed
     // shuffle per round; oracle unrolls the identical arithmetic as chained
@@ -754,4 +765,29 @@ object SparkEntry {
     // self-synthesize their input (no sf table for DuckDB to read), by
     // design; each is pinned by specs (pipeline P/R + resume byte-identity;
     // WARC byte round-trip + pipeline parity) and a per-row ok flag.
+
+  /** Oracle rows whose SQL depends on the DATA, built per sfDir (Verify
+    * dumps this superset): q42's k-means centroids are a deterministic
+    * function of the embeddings table, so the SQL embeds the centroids
+    * trained on THAT table and replays assignment → probe → re-rank. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val cent = graft.sim.Ivf.centroidsFor(
+      spark, t(spark, sfDir, "embeddings"), 16, 5, 100000)
+    oracleSql + ("q42_ann_ivf" -> (
+      s"""WITH cent(cell, c) AS ${graft.sim.Ivf.centroidValues(cent)},
+        | a AS (SELECT vec_id, embedding, cell FROM (
+        |   SELECT e.vec_id, e.embedding, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.cell) AS rn
+        |   FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+        | q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        | qc AS (SELECT c.cell FROM cent c CROSS JOIN q
+        |        ORDER BY list_distance(q.qe::DOUBLE[], c.c), c.cell LIMIT 2)
+        | SELECT vec_id, round(sim, 4) AS sim FROM (
+        |  SELECT a.vec_id,
+        |   list_cosine_similarity(a.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim
+        |  FROM a JOIN qc ON a.cell = qc.cell CROSS JOIN q
+        |  ORDER BY sim DESC, a.vec_id LIMIT 10) t"""
+        .stripMargin.replaceAll("\n", " ")))
+  }
 }

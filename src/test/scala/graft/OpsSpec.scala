@@ -223,4 +223,30 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(lsh == brute, s"recall miss: ${brute.diff(lsh)}")
   }
+
+  test("IVF ANN achieves full recall on planted clusters; training is deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = for {
+      c <- centers.indices
+      j <- 0 until 30
+    } yield ((c * 30 + j).toLong,
+      centers(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat).toSeq)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val query = vecs(5)._2.map(_.toDouble).toArray
+
+    val brute = graft.sim.Ann.bruteForceTopK(emb, query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = graft.sim.Ivf.ivfTopK(spark, emb, query, 10,
+      nCells = 16, iters = 5, nProbe = 2, sampleN = 600)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == brute, s"recall miss: ${brute.diff(ivf)}")
+
+    val sample = vecs.map(_._2.map(_.toDouble).toArray).toArray
+    val c1 = graft.sim.Ivf.train(sample, 16, 5)
+    val c2 = graft.sim.Ivf.train(sample, 16, 5)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
 }
