@@ -67,7 +67,14 @@ object KgPipeline {
         * semi-join shuffle of the html-bearing input (this forfeits
         * `alignedInput` narrowness; corpora pre-deduped upstream should
         * keep dedupExact=false and the narrow path). */
-      dedupExact: Boolean = false)
+      dedupExact: Boolean = false,
+      /** lineage-preserving quality gate, applied AFTER the deterministic
+        * HTML→text extraction and BEFORE annotation cost is spent: failing
+        * docs are still written to docs/ (with `filtered = true`, empty
+        * mentions) so the drop is auditable per bucket, but they are
+        * excluded from linking and never reach the annotator. */
+      minTextChars: Int = 0,
+      langAllowed: Option[Set[String]] = None)
 
   final case class RunStats(
       runId: String,
@@ -79,7 +86,9 @@ object KgPipeline {
       failedBatches: Long = 0L,
       /** duplicate pages dropped by the dedup manifest (whole-corpus figure,
         * from the manifest's `copies` column; 0 when dedupExact is off). */
-      docsDeduped: Long = 0L)
+      docsDeduped: Long = 0L,
+      /** docs written with `filtered = true` by the quality gate. */
+      docsFiltered: Long = 0L)
 
   def bucketCol(numBuckets: Int) = pmod(xxhash64(col("url")), lit(numBuckets))
 
@@ -140,6 +149,7 @@ object KgPipeline {
       link_pairs: Seq[LinkPair],
       n_mentions: Int,
       failed_batches: Int,
+      filtered: Boolean,
       bucket: Long)
 
   def run(spark: SparkSession, pages: DataFrame, cfg: Config): RunStats = {
@@ -213,6 +223,8 @@ object KgPipeline {
     val catsLocal = NerSpark.Categories
 
     val annotatorCfg = cfg.annotator
+    val minCharsLocal = cfg.minTextChars
+    val langAllowLocal = cfg.langAllowed
     val annotated = todo
       .select($"url", $"html", $"text".as("text_expected"), $"lang", col("bucket").cast("long"))
       .as[(String, Array[Byte], String, String, Long)]
@@ -220,12 +232,20 @@ object KgPipeline {
         val annotator = annotatorCfg.getOrElse(graft.annotate.DictAnnotator(dictLocal))
         it.map { case (url, html, expected, lang, bucket) =>
           val text = HtmlText.extract(html)
-          val sys = sysPromptByLang.getOrElse(lang, sysPromptByLang("en"))
-          val (ms, failed) = graft.annotate.MentionExtractor
-            .extractWithStats(annotator, sys, catsLocal, text, spc)
-          val pairs = ms.map(m => LinkPair(m.category, m.surface.trim.toLowerCase))
-            .distinct
-          DocRow(url, lang, text == expected, ms, pairs, ms.size, failed, bucket)
+          val keep = text.length >= minCharsLocal &&
+            langAllowLocal.forall(_.contains(lang))
+          if (!keep)
+            DocRow(url, lang, text == expected, Nil, Nil, 0, 0,
+              filtered = true, bucket)
+          else {
+            val sys = sysPromptByLang.getOrElse(lang, sysPromptByLang("en"))
+            val (ms, failed) = graft.annotate.MentionExtractor
+              .extractWithStats(annotator, sys, catsLocal, text, spc)
+            val pairs = ms.map(m => LinkPair(m.category, m.surface.trim.toLowerCase))
+              .distinct
+            DocRow(url, lang, text == expected, ms, pairs, ms.size, failed,
+              filtered = false, bucket)
+          }
         }
       }
       .toDF()
@@ -256,6 +276,7 @@ object KgPipeline {
     // column — the wide span-level `mentions` column is pruned out of this
     // scan entirely (it is only written, and aggregated via `n_mentions`)
     val mentionRows = freshDocs
+      .filter(!col("filtered"))
       .select(col("url"), col("bucket"), explode(col("link_pairs")).as("m"))
       .select(col("url"), col("bucket"),
         col("m.category").as("category"), col("m.surface_norm").as("surface_norm"))
@@ -312,7 +333,8 @@ object KgPipeline {
       count(lit(1)).as("docs"),
       sum(when(!col("html_ok"), 1L).otherwise(0L)).as("html_mismatches"),
       sum(col("n_mentions").cast("long")).as("mentions"),
-      sum(col("failed_batches").cast("long")).as("failed_batches"))
+      sum(col("failed_batches").cast("long")).as("failed_batches"),
+      sum(when(col("filtered"), 1L).otherwise(0L)).as("docs_filtered"))
     val tStats = freshTriples.groupBy("bucket").agg(count(lit(1)).as("triples"))
     val metrics = docStats.join(tStats, Seq("bucket"), "left")
       .na.fill(0L, Seq("triples"))
@@ -333,6 +355,7 @@ object KgPipeline {
       triples = rows.map(_.getAs[Long]("triples")).sum,
       htmlMismatches = rows.map(_.getAs[Long]("html_mismatches")).sum,
       failedBatches = rows.map(_.getAs[Long]("failed_batches")).sum,
-      docsDeduped = docsDeduped)
+      docsDeduped = docsDeduped,
+      docsFiltered = rows.map(_.getAs[Long]("docs_filtered")).sum)
   }
 }

@@ -72,7 +72,31 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(metrics.select("bucket").distinct().count() == 8)
     assert(metrics.columns.toSet ==
       Set("bucket", "docs", "html_mismatches", "mentions", "failed_batches",
-        "triples", "run_id", "wall_ms"))
+        "docs_filtered", "triples", "run_id", "wall_ms"))
+  }
+
+  test("quality gate: failing docs keep lineage rows but never reach linking") {
+    import spark.implicits._
+    val out = freshDir()
+    val pages = WebTextGen.pages(spark, 200, 4).toDF()
+    // allow only English — es/it docs must be filtered, with lineage
+    val st = KgPipeline.run(spark, pages,
+      KgPipeline.Config(out, numBuckets = 8, langAllowed = Some(Set("en"))))
+    val docs = spark.read.parquet(s"$out/docs")
+    val nEs = docs.filter(col("lang") =!= "en").count()
+    assert(st.docsFiltered == nEs && nEs > 0)
+    assert(st.docs == 200) // lineage preserved: filtered rows still counted
+    assert(docs.filter(col("filtered")).agg(sum("n_mentions")).head().getLong(0) == 0)
+    // triples come only from English docs — equal to running on the
+    // pre-filtered input
+    val outRef = freshDir()
+    KgPipeline.run(spark, pages.filter(col("lang") === "en"),
+      KgPipeline.Config(outRef, numBuckets = 8))
+    val a = spark.read.parquet(s"$out/triples").select("subj", "pred", "obj")
+      .as[(String, String, String)].collect().toSet
+    val b = spark.read.parquet(s"$outRef/triples").select("subj", "pred", "obj")
+      .as[(String, String, String)].collect().toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("resume: second run only processes missing buckets, output byte-stable") {
