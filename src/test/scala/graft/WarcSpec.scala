@@ -82,6 +82,31 @@ class WarcSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("length-framed parsing survives adversarial payload bytes (property)") {
+    import org.scalacheck.{Gen, Prop}
+    // payloads may contain CRLFCRLF runs and fake "WARC/1.0" markers — the
+    // parser must frame by Content-Length, never by scanning payload bytes
+    val evil = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.const("\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes("UTF-8")),
+      Gen.const(Array.empty[Byte]))
+    val page = for {
+      n <- Gen.chooseNum(1, 9999)
+      body <- evil
+    } yield (s"https://prop.example/doc/$n", body)
+    val prop = Prop.forAll(Gen.listOfN(5, page)) { pages =>
+      val parsed = Warc.parseRecords(Warc.writeWarc(pages))
+        .filter(_.warc_type == "response").toList
+      parsed.length == pages.length && parsed.zip(pages).forall {
+        case (r, (url, body)) =>
+          r.target_uri == url && Warc.httpBody(r.payload).sameElements(body)
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("KG pipeline over WARC-read input matches the direct-table path") {
     import spark.implicits._
     val (dir, pages) = writeCorpus(120, 4)
