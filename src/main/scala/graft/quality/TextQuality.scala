@@ -37,12 +37,29 @@ object TextQuality {
     else counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
   }
 
-  def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, detectLang(text)) }
-      .toDF("doc_id", "pred_lang")
+  def langId(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long"), langIdCol(col("text")).as("pred_lang"))
+
+  /** [[detectLang]] as pure built-in expressions — whole-stage-codegen'd,
+    * no typed-map serialization boundary in the scan (the shape that
+    * matters when language-ID runs over every document of a crawl).
+    * Semantics identical: normalized " tok tok " trigrams, per-language
+    * OCCURRENCE counts (not distinct — `filter`, never `array_intersect`),
+    * argmax with alphabetical tie-break, "und" on zero hits. */
+  def langIdCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val norm = concat(lit(" "),
+      array_join(split(trim(lower(text)), "\\s+"), " "), lit(" "))
+    val tri = when(length(norm) >= 3,
+      transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val best = Profiles.keys.toSeq.sorted.foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestCnt), lang) =>
+        val prof = array(Profiles(lang).toSeq.sorted.map(lit): _*)
+        val cnt = size(filter(tri, g => array_contains(prof, g)))
+        (when(cnt > bestCnt, lit(lang)).otherwise(bestLang),
+          when(cnt > bestCnt, cnt).otherwise(bestCnt))
+    }
+    best._1
   }
 
   /** Deterministic 64-bit rolling polynomial fingerprint (Rabin–Karp style)

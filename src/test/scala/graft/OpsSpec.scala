@@ -175,6 +175,21 @@ class OpsSpec extends AnyFunSuite {
     assert(TextQuality.detectLang("") == "und")
   }
 
+  test("codegen'd langIdCol equals the scalar detectLang on corpus and edges") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val edges = Seq((9001L, ""), (9002L, "   "), (9003L, "ab"),
+      (9004L, "the house and the garden"), (9005L, "la casa de la ciudad"))
+    val all = (corpus.toSeq ++ edges).toDF("doc_id", "text")
+    val viaCol = graft.quality.TextQuality.langId(spark, all)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (corpus.toSeq ++ edges).foreach { case (id, text) =>
+      assert(viaCol(id) == graft.quality.TextQuality.detectLang(text),
+        s"divergence on doc $id")
+    }
+  }
+
   test("fingerprint is whitespace/case-normalized and deterministic") {
     val a = TextQuality.fingerprint("Hello   World")
     val b = TextQuality.fingerprint("hello world")
