@@ -44,20 +44,25 @@ object Media {
   def decodeImage(bytes: Array[Byte]): ImageMeta = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
     var (sr, sg, sb) = (0L, 0L, 0L)
+    // bulk row reads: per-pixel getRGB pays a color-model conversion call
+    // per pixel (~10× slower than the batched form)
+    val row = new Array[Int](w)
     var y = 0
-    while (y < img.getHeight) {
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
+      while (x < w) {
+        val rgb = row(x)
         sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
         x += 1
       }
       y += 1
     }
-    val n = img.getWidth.toLong * img.getHeight
+    val n = w.toLong * h
     def r4(v: Double) = math.rint(v * 10000) / 10000
-    ImageMeta(img.getWidth, img.getHeight, img.getRaster.getNumBands,
+    ImageMeta(w, h, img.getRaster.getNumBands,
       r4(sr.toDouble / n), r4(sg.toDouble / n), r4(sb.toDouble / n))
   }
 
