@@ -134,9 +134,14 @@ object Bench {
     // side's min improved >2% for two consecutive extra rounds — a
     // min-convergence stopping rule, not a pass-threshold one.
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_EXTRA", "5").toInt
+    // wall-clock budget for the extra rounds, so a noisy host can't stretch
+    // the bench unboundedly (each round is ~45 s quiet, minutes in a storm)
+    val extraBudgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "240").toInt
+    val extraT0 = System.nanoTime()
+    def budgetLeft: Boolean = (System.nanoTime() - extraT0) / 1e9 < extraBudgetSec
     var stale = 0
     var extra = 0
-    while (stale < 2 && extra < maxExtra) {
+    while (stale < 2 && extra < maxExtra && budgetLeft) {
       val prev = (best(loCores), best(hiCores))
       oneRound()
       extra += 1
