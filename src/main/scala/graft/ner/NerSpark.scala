@@ -56,15 +56,19 @@ object NerSpark {
       dict: Seq[(String, String)] = Dict,
       categories: Seq[Category] = Categories,
       lang: String = "en",
-      sentencesPerCall: Int = 0): DataFrame = {
+      sentencesPerCall: Int = 0,
+      /** override the default deterministic [[DictAnnotator]] — e.g. an
+        * [[graft.annotate.HttpAnnotator]]; must be serializable. */
+      annotator: Option[Annotator] = None): DataFrame = {
     import spark.implicits._
     val sysPrompt = Prompts.systemPrompt(lang, categories)
     val dictLocal = dict
     val catsLocal = categories
+    val annotatorCfg = annotator
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val annotator: Annotator = DictAnnotator(dictLocal)
+        val annotator: Annotator = annotatorCfg.getOrElse(DictAnnotator(dictLocal))
         it.flatMap { case (id, text) =>
           MentionExtractor.extract(annotator, sysPrompt, catsLocal, text, sentencesPerCall)
             .map(m => (id, m.category, m.surface, m.begin, m.end))
