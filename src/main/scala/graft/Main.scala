@@ -61,6 +61,13 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `--stats true`: the statistics_datasets.py analog (ref: :11-43)
+    if (opt.contains("stats")) {
+      Brat.statistics(spark).orderBy("dataset").show(false)
+      if (!hadSession) spark.stop()
+      return
+    }
+
     datasets.foreach { name =>
       val corpus = Brat.Corpora.find(_.name == name)
         .getOrElse(sys.error(s"unknown dataset '$name'; known: " +
