@@ -247,6 +247,38 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("two aliases of one entity in a doc yield ONE triple (both link paths)") {
+    import spark.implicits._
+    // craft a page whose text plants both "spark" and "merge" twice via
+    // the standard generator, then link with a dictionary where several
+    // surfaces canonicalize to the same entity
+    val pages = WebTextGen.pages(spark, 120, 4).toDF()
+    val collidingAliases = Seq(
+      ("spark", "ent:spark", 0.9), ("stream", "ent:spark", 0.8), // collide
+      ("merge", "ent:merge", 0.75), ("sort", "ent:merge", 0.7))  // collide
+    def run(salted: Boolean): Seq[(String, String, String)] = {
+      val out = freshDir()
+      KgPipeline.run(spark, pages, KgPipeline.Config(out, numBuckets = 8,
+        aliases = collidingAliases, saltedLinking = salted))
+      spark.read.parquet(s"$out/triples").select("subj", "pred", "obj")
+        .as[(String, String, String)].collect().toSeq
+    }
+    val broadcastT = run(salted = false)
+    val saltedT = run(salted = true)
+    // no duplicates survive on either path, and the paths agree exactly
+    assert(broadcastT.distinct.size == broadcastT.size)
+    assert(broadcastT.toSet == saltedT.toSet && saltedT.distinct.size == saltedT.size)
+    // a TRUE duplicate needs the same (subj, pred): "merge" and "sort" are
+    // both OPERATION→performs and both map to ent:merge — docs containing
+    // both must still emit exactly one (ent:merge, performs, url) triple
+    val both = pages.filter(col("text").contains("merge") && col("text").contains("sort"))
+      .select("url").as[String].collect().toSet
+    assert(both.nonEmpty)
+    val mergeTriples = broadcastT.filter(t => both.contains(t._3.stripPrefix("page://"))
+      && t._1 == "ent:merge" && t._2 == "performs")
+    assert(mergeTriples.size == both.size) // exactly one per doc, not two
+  }
+
   test("salted-linking path yields identical triples to the broadcast path") {
     import spark.implicits._
     val outA = freshDir()
