@@ -196,6 +196,11 @@ object SparkEntry {
         nProbe = 2, sampleN = 100000)
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
+    // feature-hashed TF embeddings (text → vector with no model server):
+    // md5-indexed ±1 scatter + L2 normalization, flattened to (doc_id, j, v)
+    // scalars so the oracle compare is list-free
+    "q43_hashed_tf" -> ((s, dir) =>
+      graft.sim.TextVec.flattened(s, t(s, dir, "documents"), 64)),
     // fixed-iteration PageRank over the symmetrized doc↔entity graph (same
     // edge construction as q13) — iterative DataFrame loop, one dst-keyed
     // shuffle per round; oracle unrolls the identical arithmetic as chained
@@ -503,6 +508,26 @@ object SparkEntry {
          |  UNION
          |  SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.node)
          | SELECT node, min(label) AS component FROM cc GROUP BY node"""
+        .stripMargin.replaceAll("\n", " "),
+    "q43_hashed_tf" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        | tc AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+        | h AS (SELECT doc_id,
+        |   (('0x' || substr(md5(tok),1,8))::BIGINT % 64) AS idx,
+        |   CASE WHEN (md5_number_lower(tok) & 1) = 1 THEN 1 ELSE -1 END AS sgn,
+        |   n FROM tc),
+        | cell AS (SELECT doc_id, idx, sum(sgn * n)::double AS raw
+        |          FROM h GROUP BY doc_id, idx),
+        | dense AS (SELECT d.doc_id, g.j, coalesce(c.raw, 0.0) AS raw
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN generate_series(0, 63) g(j)
+        |  LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.idx = g.j),
+        | nrm AS (SELECT doc_id, sqrt(sum(raw * raw)) AS n2
+        |         FROM dense GROUP BY doc_id)
+        | SELECT dense.doc_id, j::int AS j,
+        |  coalesce(round(raw / nullif(n2, 0), 6), 0.0) AS v
+        | FROM dense JOIN nrm ON dense.doc_id = nrm.doc_id"""
         .stripMargin.replaceAll("\n", " "),
     "q41_pagerank" -> graft.kg.PageRank.oracleSql(
       s"""WITH base AS (SELECT DISTINCT 'd:' || d.doc_id AS src, entity_id AS dst

@@ -147,6 +147,24 @@ class OpsSpec extends AnyFunSuite {
     assert(rCh("a") == 0.15 && rCh("b") == 0.2775)
   }
 
+  test("hashed-TF vectors chain into the similarity stack (text→vector→pairs)") {
+    import spark.implicits._
+    val base = "spark hash join table scan merge sort customer vector stream " * 3
+    val docs = Seq(
+      (0L, base), (1L, base + " one extra tail"), (2L, "entirely unrelated words here now"))
+      .toDF("doc_id", "text")
+    val vecs = graft.sim.TextVec.vectors(spark, docs, 64)
+      .select(col("doc_id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("float")).as("embedding"))
+    val pairs = graft.sim.Ann.cosineNearDupPairs(spark, vecs, 64, 2, 0.8)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // near-identical texts pair; unrelated doesn't
+    // unit norm (to within the 6-decimal component rounding)
+    val n2 = graft.sim.TextVec.vectorOf(base, 64).map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-5)
+  }
+
   test("md5 hash primitives match the DuckDB formulas bit-exactly") {
     import graft.dedup.Dedup
     // pinned against DuckDB: ('0x' || substr(md5('abc'),1,8))::BIGINT
