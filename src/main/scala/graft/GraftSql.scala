@@ -51,6 +51,12 @@ object GraftSql {
       if (bytes == null) null else graft.multimodal.Media.decodeImage(bytes))
     spark.udf.register("wav_meta", (bytes: Array[Byte]) =>
       if (bytes == null) null else graft.multimodal.Media.decodeWav(bytes))
+    // native Catalyst expression (codegen'd, no ScalaUDF boxing) — the
+    // find-resume grounding as a first-class function
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "find_all_native",
+      { children => graft.functions.FindAllSpans(children(0), children(1)) },
+      "scala_udf")
   }
 
   def registerAll(spark: SparkSession, dir: String): Unit = {

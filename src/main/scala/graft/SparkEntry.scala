@@ -196,6 +196,17 @@ object SparkEntry {
         nProbe = 2, sampleN = 100000)
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
+    // native Catalyst expression (tier-b extension: custom Expression with
+    // doGenCode, no ScalaUDF boxing): find-resume span grounding as a
+    // column function; 'spark' cannot overlap itself, so the substring-scan
+    // oracle equals the resume-at-end semantics on this needle
+    "q44_find_all_native" -> ((s, dir) => {
+      GraftSql.registerFunctions(s) // temp-function registry, idempotent
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("find_all_native(text, 'spark')")).as("s"))
+        .select(col("doc_id"), col("s.begin_c"), col("s.end_c"))
+    }),
     // feature-hashed TF embeddings (text → vector with no model server):
     // md5-indexed ±1 scatter + L2 normalization, flattened to (doc_id, j, v)
     // scalars so the oracle compare is list-free
@@ -508,6 +519,12 @@ object SparkEntry {
          |  UNION
          |  SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.node)
          | SELECT node, min(label) AS component FROM cc GROUP BY node"""
+        .stripMargin.replaceAll("\n", " "),
+    "q44_find_all_native" ->
+      """SELECT doc_id, (g.j - 1)::int AS begin_c, (g.j - 1 + 5)::int AS end_c
+        | FROM documents JOIN generate_series(1, 8192) g(j)
+        |   ON g.j <= length(text) - 4
+        | WHERE substr(text, g.j, 5) = 'spark'"""
         .stripMargin.replaceAll("\n", " "),
     "q43_hashed_tf" ->
       """WITH toks AS (SELECT doc_id,

@@ -61,6 +61,31 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(m.getDouble(1) == graft.fixtures.MediaGen.imgR(7L).toDouble)
   }
 
+  test("find_all_native is a codegen'd Catalyst expression with find-resume semantics") {
+    import spark.implicits._
+    // resume-at-END: "aa" over "aaaa" gives [0,2) and [2,4), never [1,3)
+    val got = spark.sql("SELECT find_all_native('aaaa', 'aa') AS s")
+      .selectExpr("explode(s) AS x").select("x.begin_c", "x.end_c")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((0, 2), (2, 4)))
+    // differential vs the fuzz-proven scalar on varied strings
+    val rnd = new scala.util.Random(3)
+    (1 to 50).foreach { _ =>
+      val t = (0 until 30).map(_ => "ab ba aab".charAt(rnd.nextInt(9))).mkString
+      val n = Seq("a", "ab", "aa", "b ")(rnd.nextInt(4))
+      val viaSql = spark.sql(s"SELECT find_all_native('$t', '$n') AS s")
+        .selectExpr("explode(s) AS x").select("x.begin_c", "x.end_c")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(viaSql == graft.text.PyStr.findAll(t, n).toSeq, s"text='$t' needle='$n'")
+    }
+    // native expression, not a ScalaUDF: no UDF boxing node in the plan
+    val plan = spark.sql(
+      "SELECT explode(find_all_native(text, 'spark')) FROM documents")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"))
+    assert(plan.contains("find_all_native"))
+  }
+
   test("detect_lang and fingerprint64 register and run in SQL") {
     val r = spark.sql(
       "SELECT detect_lang('the house and the garden') AS l, fingerprint64('A  b') = fingerprint64('a b') AS same")
