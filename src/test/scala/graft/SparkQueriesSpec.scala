@@ -118,4 +118,22 @@ class SparkQueriesSpec extends AnyFunSuite {
     val lsh = SparkEntry.queries("q19_ann_lsh")(spark, sf).collect()
     assert(lsh.head.getLong(0) == bf.head.getLong(0))
   }
+
+  test("sketches: HLL++ distinct and approx percentile land within tolerance") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB path uses sketches where exact aggregation would shuffle
+    // the world; at test scale both are computable, so pin the error bound
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val r = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+      expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_approx"))
+      .head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL++ off by >5%: exact=$exact approx=$approx")
+    val (pe, pa) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(pa - pe) / pe < 0.01, s"percentile sketch off: $pe vs $pa")
+  }
 }
