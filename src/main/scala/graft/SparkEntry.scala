@@ -378,6 +378,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           (max(sec) - min(sec)).as("duration_s"))
     }),
+    // as-of join BY COMPOSITION (the brief's preference (a): existing ops
+    // express the semantics — no custom plan needed): for every error
+    // event, the latest strictly-preceding click of the same user, via an
+    // ignore-nulls last_value window. One shuffle keyed by user_id.
+    "q45_asof_attribution" -> ((s, dir) => {
+      val sec = col("ts").cast("timestamp").cast("long")
+      val w = Window.partitionBy("user_id").orderBy(sec, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prevClick = last(when(col("event_type") === "click", sec),
+        ignoreNulls = true).over(w)
+      t(s, dir, "events")
+        .withColumn("sec", sec)
+        .withColumn("prev_click_sec", prevClick)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("sec"),
+          col("prev_click_sec"),
+          (col("sec") - col("prev_click_sec")).as("gap_s"))
+    }),
     // BPE-ish pre-tokenizer count (training-data length budgeting) — pure
     // codegen'd regexp, no UDF; the pattern is RE2-compatible so the
     // DuckDB oracle runs the IDENTICAL regex
@@ -772,6 +790,19 @@ object SparkEntry {
         |  string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC)
         |    AS simhash_bits
         | FROM bits GROUP BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q45_asof_attribution" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |   floor(epoch(ts::timestamp))::bigint AS sec, event_type FROM events),
+        | w AS (SELECT event_id, user_id, sec, event_type,
+        |   last_value(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |     AS prev_click_sec
+        |  FROM e)
+        | SELECT event_id, user_id, sec, prev_click_sec,
+        |  sec - prev_click_sec AS gap_s
+        | FROM w WHERE event_type = 'error'"""
+        .stripMargin.replaceAll("\n", " "),
     "q40_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
         |   floor(epoch(ts::timestamp))::bigint AS sec FROM events),
