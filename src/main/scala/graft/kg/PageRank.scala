@@ -26,20 +26,29 @@ object PageRank {
     * @return (node, rank) — rank rounded to 6 decimals for stable compare. */
   def run(spark: SparkSession, edges: DataFrame, iterations: Int,
       damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // The three loop invariants are materialized ONCE (localCheckpoint cuts
+    // their lineage back to a cached RDD scan) — otherwise every iteration's
+    // plan re-embeds whatever subtree produced the edge list (in q41 that is
+    // the full mention-extraction pipeline), and the inflow+degree joins
+    // replay it ~2× per round. pre-join deg onto the edge list so the loop
+    // body is ONE join + ONE aggregation per round.
+    val e0 = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val e = e0.join(e0.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val inflow = e.join(ranks, e("src") === ranks("node"))
-        .join(deg, "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))
       ranks = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (lit(1 - damping) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
             .as("rank"))
+      // truncate the rank lineage every ~5 rounds so the plan depth stays
+      // bounded at any iteration count (matches ConnectedComponents.run)
+      if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
