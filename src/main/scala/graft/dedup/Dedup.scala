@@ -78,13 +78,24 @@ object Dedup {
     * `truncatedBuckets` counts every (band, bucket) whose membership exceeded
     * [[MaxBucketSize]] and was cut — no silent caps (read it after an action
     * on the result; a nonzero value means run [[exact]] first or raise the
-    * cap). */
+    * cap). The count is incremented inside a transformation, so Spark's
+    * accumulator guarantee is AT-LEAST-ONCE here (task retries, speculation,
+    * or a second action can over-count): treat it as an upper bound whose
+    * only load-bearing reading is zero-vs-nonzero — zero is exact (no retry
+    * can invent an increment), nonzero means truncation really occurred at
+    * least once and the run needs investigating. */
   def minhashPairs(spark: SparkSession, docs: DataFrame, minJaccard: Double,
       truncatedBuckets: org.apache.spark.util.LongAccumulator): DataFrame = {
     import spark.implicits._
     val sigs = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, signature(shingles(text))) }
+      .flatMap { case (id, text) =>
+        val sh = shingles(text)
+        // empty shingle set (empty/whitespace-only doc) ⇒ no signature: an
+        // all-MaxValue sentinel signature would make every pair of empty
+        // docs a "near-duplicate" — empty docs are [[exact]]'s job
+        if (sh.isEmpty) None else Some((id, signature(sh)))
+      }
       .toDF("doc_id", "sig")
     pairsFromSigs(spark, sigs, minJaccard, truncatedBuckets)
   }
@@ -150,7 +161,10 @@ object Dedup {
     import spark.implicits._
     val sigs = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, signatureMd5(shingleStrings(text))) }
+      .flatMap { case (id, text) =>
+        val sh = shingleStrings(text)
+        if (sh.isEmpty) None else Some((id, signatureMd5(sh)))
+      }
       .toDF("doc_id", "sig")
     pairsFromSigs(spark, sigs, minJaccard,
       spark.sparkContext.longAccumulator("minhash.truncatedBuckets"))
@@ -159,47 +173,64 @@ object Dedup {
   /** Banding + in-bucket pairing + agreement estimation, shared by both
     * hash variants. The bucket key is the band's literal values (not a hash
     * of them): no arrayHash collisions, and an external oracle can build
-    * the identical key. */
+    * the identical key.
+    *
+    * Shuffle shape: the banding exchange carries ONLY `(band, bucket,
+    * doc_id)` — the former design shipped the full 64-long signature once
+    * per band (~16× signature amplification, the dominant shuffle payload
+    * at corpus scale). Candidate pairs (already distinct and band-free)
+    * then join back against the signature table for the agreement
+    * estimate; that table is persisted because it feeds both the banding
+    * scan and the join-back, and at ~0.5 KB/doc it is a rounding error
+    * next to the corpus it summarizes. */
   private def pairsFromSigs(spark: SparkSession, sigs: DataFrame,
       minJaccard: Double,
       truncatedBuckets: org.apache.spark.util.LongAccumulator): DataFrame = {
     import spark.implicits._
-    val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
+    val sigsP = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = sigsP.as[(Long, Array[Long])].flatMap { case (id, sig) =>
       (0 until Bands).map { b =>
-        val bandVals = sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
-        (b, bandVals.mkString(","), id, sig)
+        (b, sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand).mkString(","), id)
       }
-    }.toDF("band", "bucket", "doc_id", "sig")
+    }.toDF("band", "bucket", "doc_id")
 
     // Pair fan-out within a bucket is quadratic — for degenerate corpora
     // (mass-identical docs) a bucket could hold the whole table. Exact
     // duplicates belong to [[exact]] (run it first); buckets above the cap
     // are truncated to the first `MaxBucketSize` members by doc_id so the
     // job stays bounded. The cap is observable, not silent: every truncated
-    // bucket increments the `truncatedBuckets` accumulator.
-    val pairs = banded
+    // bucket increments the `truncatedBuckets` accumulator (at-least-once —
+    // see the [[minhashPairs]] overload's scaladoc).
+    val cand = banded
       .groupBy("band", "bucket")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .agg(collect_list(col("doc_id")).as("members"))
       .filter(size(col("members")) > 1)
-      .as[(Int, String, Seq[(Long, Array[Long])])]
+      .as[(Int, String, Seq[Long])]
       .flatMap { case (_, _, members) =>
         if (members.size > MaxBucketSize) truncatedBuckets.add(1L)
-        val sorted = members.sortBy(_._1).take(MaxBucketSize)
+        val sorted = members.sorted.take(MaxBucketSize)
         for {
           i <- sorted.indices
           j <- (i + 1) until sorted.length
-        } yield {
-          val (ida, siga) = sorted(i)
-          val (idb, sigb) = sorted(j)
-          val agree = siga.zip(sigb).count { case (x, y) => x == y }
-          (ida, idb, agree.toDouble / NumHashes)
-        }
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("doc_a", "doc_b")
+      .distinct()
+
+    cand
+      .join(sigsP.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigsP.toDF("doc_b", "sig_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, siga, sigb) =>
+        val agree = siga.zip(sigb).count { case (x, y) => x == y }
+        (a, b, agree.toDouble / NumHashes)
       }
       .toDF("doc_a", "doc_b", "est_jaccard")
-
-    pairs.filter(col("est_jaccard") >= minJaccard)
-      .groupBy("doc_a", "doc_b")
-      .agg(round(max("est_jaccard"), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
   /** 64-bit SimHash fingerprint per document (sign of per-bit weighted sums
