@@ -147,6 +147,35 @@ class OpsSpec extends AnyFunSuite {
     assert(rCh("a") == 0.15 && rCh("b") == 0.2775)
   }
 
+  test("PageRank plan depth is bounded by checkpointing (no lineage blowup)") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")).toDF("src", "dst")
+    def planLen(iters: Int): Int =
+      graft.kg.PageRank.run(spark, edges, iters)
+        .queryExecution.optimizedPlan.numberedTreeString.length
+    // 12 iterations checkpoint at 5 and 10 ⇒ the final plan embeds ≤2
+    // iteration layers; 4 iterations never checkpoint ⇒ 4 layers. Without
+    // lineage truncation the 12-iter plan would be ~3× the 4-iter plan.
+    assert(planLen(12) < planLen(4),
+      "12-iteration plan should be SHALLOWER than an uncheckpointed 4-iteration plan")
+  }
+
+  test("degenerate docs: empty → no minhash signature; single-token → whole-token shingle") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ""), (1L, "   "),          // empty shingle sets — must never pair
+      (2L, "hello"), (3L, "hello"),   // identical single-token docs — must pair
+      (4L, "completely different words in this one"))
+      .toDF("doc_id", "text")
+    Seq(
+      graft.dedup.Dedup.minhashPairs(spark, docs, 0.5),
+      graft.dedup.Dedup.minhashPairsMd5(spark, docs, 0.5)).foreach { df =>
+      val pairs = df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((2L, 3L)), s"got $pairs")
+    }
+  }
+
   test("hashed-TF vectors chain into the similarity stack (text→vector→pairs)") {
     import spark.implicits._
     val base = "spark hash join table scan merge sort customer vector stream " * 3
