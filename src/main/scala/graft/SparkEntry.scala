@@ -31,6 +31,18 @@ object SparkEntry {
       |('DATA','vector','ent:vector'),('DATA','stream','ent:stream'))"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** The pipeline's post-canonicalization top-1 alias winners as SQL VALUES
+    * `(alias, entity_id)` — emitted from the engine's own driver-side
+    * computation ([[graft.kg.Kg.winnersPerAlias]] ∘ [[graft.kg.KgPipeline
+    * .canonicalMap]] over [[graft.kg.Kg.AliasesExtended]]), so the q46
+    * oracle replays the exact linking dictionary the pipeline broadcasts. */
+  private def winnersValues: String = {
+    val canon = graft.kg.KgPipeline.canonicalMap(graft.kg.Kg.AliasesExtended)
+    graft.kg.Kg.winnersPerAlias(graft.kg.Kg.AliasesExtended)
+      .map { case (a, e, _) => s"('$a', '${canon.getOrElse(e, e)}')" }
+      .mkString("(VALUES ", ", ", ")")
+  }
+
   /** The ANN LSH hyperplanes as SQL VALUES — generated from the engine's
     * own [[graft.sim.Ann.hyperplanes]] (fixed-seed PRNG) so oracle and
     * engine share the exact same doubles; `Double.toString` round-trips
@@ -276,19 +288,56 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
+    // the flagship pipeline over the SF-DIR documents table — the input
+    // DuckDB can read, so the END-TO-END pipeline path (html render →
+    // extract → annotate → link → canonicalize → dedup → bucketed write)
+    // gets a hash-compared oracle row, not just spec pins: pages are the
+    // documents rendered through the fixture HTML shape (extract ∘ render
+    // = id), urls a pure function of doc_id, and the oracle replays
+    // dictionary × containment × the engine-emitted winner map
+    "q46_kg_pipeline_sf" -> ((s, dir) => {
+      import s.implicits._
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+                 else System.getProperty("java.io.tmpdir")
+      val out = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get(base), "graft-q46-").toString
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .as[(Long, String, String)]
+        .map { case (id, text, lang) =>
+          val url = s"https://docs.example/$id"
+          (url, new java.sql.Timestamp(0L),
+            graft.html.HtmlGen.render(url, s"doc $id", text), text, lang)
+        }
+        .toDF("url", "warc_ts", "html", "text", "lang")
+      graft.kg.KgPipeline.run(s, pages,
+        graft.kg.KgPipeline.Config(out, numBuckets = 8))
+      val result = s.read.parquet(s"$out/triples").select("subj", "pred", "obj")
+      val rows = result.collect()
+      val schema = result.schema
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
     // WARC source round-trip (self-synthesized like q20; WarcSpec pins the
     // KG-parity and byte-identity invariants — here html_ok makes the
     // byte-exactness visible per row): write a deterministic corpus as
-    // WARC files, read it back through the source, compare bytes
+    // WARC files — half plain, half `.warc.gz` in Common Crawl's
+    // one-gzip-member-per-record shipping format — read it back through
+    // the source (magic-byte format detection), compare bytes
     "q39_warc_roundtrip" -> ((s, _) => {
       import s.implicits._
       val pages = (0L until 200L).map(graft.fixtures.WebTextGen.page(_))
       val dir = java.nio.file.Files.createTempDirectory("graft-q39-")
       pages.grouped(50).zipWithIndex.foreach { case (g, i) =>
-        java.nio.file.Files.write(dir.resolve(f"part-$i%05d.warc"),
-          graft.sources.Warc.writeWarc(g.map(p => p.url -> p.html)))
+        val kv = g.map(p => p.url -> p.html)
+        if (i % 2 == 0)
+          java.nio.file.Files.write(dir.resolve(f"part-$i%05d.warc"),
+            graft.sources.Warc.writeWarc(kv))
+        else
+          java.nio.file.Files.write(dir.resolve(f"part-$i%05d.warc.gz"),
+            graft.sources.Warc.writeWarcGz(kv))
       }
-      val got = graft.sources.Warc.responses(s, s"$dir/*.warc")
+      val got = graft.sources.Warc.responses(s, s"$dir/*.warc*")
       val expected = s.createDataset(pages.map(p => (p.url, p.html)))
         .toDF("url", "html_expected")
       val result = got.join(expected, "url")
@@ -466,6 +515,94 @@ object SparkEntry {
           round(col("macro_f1"), 4).as("macro_f1"))
     }))
 
+  // ---- bound-parameterized oracle builders -------------------------------
+  //
+  // DuckDB 1.0 has no lateral generate_series(column), so position scans use
+  // a fixed-bound series joined on `j <= length(...)`. A static bound can
+  // silently UNDER-COUNT if fixtures ever grow past it — so the static
+  // [[oracleSql]] uses conservative defaults while [[oracleSqlFor]] derives
+  // each bound from the actual table maxima (the gate then cannot weaken as
+  // data grows: a doc longer than the bound raises the bound with it).
+
+  /** q10/q26: dictionary span grounding via a substring position scan. */
+  private def nerMentionsSql(posBound: Long): String =
+    s"""WITH dict(category, surface) AS $DictValues,
+       | pos AS (SELECT j FROM generate_series(1, $posBound) g(j))
+       | SELECT d.doc_id, v.category, v.surface, (p.j - 1)::int AS begin_c,
+       |  (p.j - 1 + length(v.surface))::int AS end_c
+       | FROM documents d CROSS JOIN dict v
+       | JOIN pos p ON p.j <= length(d.text) - length(v.surface) + 1
+       | WHERE substr(d.text, p.j, length(v.surface)) = v.surface"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** q44: the native find-all expression on the 'spark' needle. */
+  private def findAllSql(posBound: Long): String =
+    s"""SELECT doc_id, (g.j - 1)::int AS begin_c, (g.j - 1 + 5)::int AS end_c
+       | FROM documents JOIN generate_series(1, $posBound) g(j)
+       |   ON g.j <= length(text) - 4
+       | WHERE substr(text, g.j, 5) = 'spark'"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** q21: trigram language-ID (bound covers the normalized ` text ` form,
+    * which whitespace-collapse keeps ≤ length(text) + 2). */
+  private def langidSql(triBound: Long): String =
+    s"""WITH prof(lang, g) AS $LangProfileValues,
+       | norm AS (SELECT doc_id,
+       |  ' ' || array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ') || ' ' AS t
+       |  FROM documents),
+       | tg AS (SELECT n.doc_id, substr(n.t, s.j, 3) AS g
+       |  FROM norm n JOIN generate_series(1, $triBound) s(j) ON s.j <= length(n.t) - 2),
+       | hits AS (SELECT t.doc_id, p.lang, count(*) AS c
+       |  FROM tg t JOIN prof p ON t.g = p.g GROUP BY 1, 2),
+       | best AS (SELECT doc_id, lang,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn FROM hits)
+       | SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang, d.lang AS labeled_lang
+       | FROM documents d
+       | LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** q25: pseudo-frame sampling (bound = max frame count = ⌈bytes/64⌉). */
+  private def frameSampleSql(frameBound: Long): String =
+    s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+       | frames AS (SELECT doc_id, g.j - 1 AS fi, n,
+       |   CAST(ceil(n / 64.0) AS INT) AS nf
+       |  FROM d JOIN generate_series(1, $frameBound) g(j) ON g.j <= CAST(ceil(n / 64.0) AS INT))
+       | SELECT doc_id AS id, fi::int AS frame_idx,
+       |  (CASE WHEN fi = nf - 1 THEN n - 64 * (nf - 1) ELSE 64 END)::int AS frame_bytes
+       | FROM frames WHERE fi % 2 = 0""".stripMargin.replaceAll("\n", " ")
+
+  /** q15: full MinHash-LSH replay. The shingle CTE mirrors the engine's
+    * `shingleStrings` degenerate branches exactly: a single-token doc's one
+    * token IS its shingle (UNION ALL arm), and an empty/whitespace-only doc
+    * (DuckDB splits '' to ['']) contributes no shingles — matching the
+    * engine-side skip of empty shingle sets. */
+  private def minhashSql(tokBound: Long): String =
+    s"""WITH coeffs(i, a, b) AS ${graft.dedup.Dedup.coeffsValues},
+       | toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |          FROM documents),
+       | sh AS (SELECT DISTINCT doc_id, s FROM (
+       |   SELECT doc_id, t[g.j] || ' ' || t[g.j+1] AS s
+       |   FROM toks JOIN generate_series(1, $tokBound) g(j) ON g.j < len(t)
+       |   UNION ALL
+       |   SELECT doc_id, t[1] AS s FROM toks WHERE len(t) = 1 AND t[1] <> '')),
+       | x AS (SELECT doc_id,
+       |        ('0x' || substr(md5(s),1,8))::BIGINT % 2147483647 AS x FROM sh),
+       | sig AS (SELECT doc_id, c.i, min((c.a * x.x + c.b) % 2147483647) AS h
+       |         FROM x CROSS JOIN coeffs c GROUP BY doc_id, c.i),
+       | band AS (SELECT doc_id, i // 4 AS band,
+       |           string_agg(h, ',' ORDER BY i) AS key
+       |          FROM sig GROUP BY doc_id, i // 4),
+       | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM band a JOIN band b
+       |            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       | est AS (SELECT c.doc_a, c.doc_b,
+       |           sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 64.0 AS e
+       |         FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+       |           JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+       |         GROUP BY c.doc_a, c.doc_b)
+       | SELECT doc_a, doc_b, round(e, 4) AS est_jaccard
+       | FROM est WHERE e >= 0.1""".stripMargin.replaceAll("\n", " ")
+
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45",
@@ -502,15 +639,7 @@ object SparkEntry {
       """SELECT (floor(epoch(ts)/300)*300)::bigint AS win_start, event_type,
         | count(*) AS n_events, round(sum(value),4) AS sum_value
         | FROM events GROUP BY 1, 2""".stripMargin.replaceAll("\n", " "),
-    "q10_ner_mentions" ->
-      s"""WITH dict(category, surface) AS $DictValues,
-         | pos AS (SELECT j FROM generate_series(1, 32768) g(j))
-         | SELECT d.doc_id, v.category, v.surface, (p.j - 1)::int AS begin_c,
-         |  (p.j - 1 + length(v.surface))::int AS end_c
-         | FROM documents d CROSS JOIN dict v
-         | JOIN pos p ON p.j <= length(d.text) - length(v.surface) + 1
-         | WHERE substr(d.text, p.j, length(v.surface)) = v.surface"""
-        .stripMargin.replaceAll("\n", " "),
+    "q10_ner_mentions" -> nerMentionsSql(32768),
     "q11_ner_micro" ->
       s"""WITH dict(category, surface) AS $DictValues,
          | occ AS (SELECT d.doc_id, v.surface,
@@ -538,12 +667,7 @@ object SparkEntry {
          |  SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.node)
          | SELECT node, min(label) AS component FROM cc GROUP BY node"""
         .stripMargin.replaceAll("\n", " "),
-    "q44_find_all_native" ->
-      """SELECT doc_id, (g.j - 1)::int AS begin_c, (g.j - 1 + 5)::int AS end_c
-        | FROM documents JOIN generate_series(1, 8192) g(j)
-        |   ON g.j <= length(text) - 4
-        | WHERE substr(text, g.j, 5) = 'spark'"""
-        .stripMargin.replaceAll("\n", " "),
+    "q44_find_all_native" -> findAllSql(8192),
     "q43_hashed_tf" ->
       """WITH toks AS (SELECT doc_id,
         |   unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
@@ -563,6 +687,21 @@ object SparkEntry {
         | SELECT dense.doc_id, j::int AS j,
         |  coalesce(round(raw / nullif(n2, 0), 6), 0.0) AS v
         | FROM dense JOIN nrm ON dense.doc_id = nrm.doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+    // the end-to-end pipeline over the sf-dir documents: dictionary
+    // containment × the engine-emitted (alias → canonical entity) winner
+    // map; obj embeds the doc_id-derived url the query synthesizes. The
+    // q12 oracle pins the same triple semantics for the non-pipeline path;
+    // this row pins the PIPELINE path (materialized docs/link_pairs/
+    // dedup/bucketed write included).
+    "q46_kg_pipeline_sf" ->
+      s"""WITH dict(category, surface) AS $DictValues,
+         | winners(alias, entity_id) AS $winnersValues
+         | SELECT DISTINCT w.entity_id AS subj, $PredCase AS pred,
+         |  'page://https://docs.example/' || d.doc_id AS obj
+         | FROM documents d CROSS JOIN dict
+         | JOIN winners w ON w.alias = dict.surface
+         | WHERE position(surface in d.text) > 0"""
         .stripMargin.replaceAll("\n", " "),
     "q41_pagerank" -> graft.kg.PageRank.oracleSql(
       s"""WITH base AS (SELECT DISTINCT 'd:' || d.doc_id AS src, entity_id AS dst
@@ -613,33 +752,11 @@ object SparkEntry {
         |  OR position('stream' in text) > 0 THEN 1.0 ELSE 0.0 END AS hit FROM documents)
         | SELECT round(avg(hit),4) AS macro_precision, round(avg(hit),4) AS macro_recall,
         |  round(avg(hit),4) AS macro_f1 FROM hits""".stripMargin.replaceAll("\n", " "),
-    "q26_ner_batched" ->
-      s"""WITH dict(category, surface) AS $DictValues,
-         | pos AS (SELECT j FROM generate_series(1, 32768) g(j))
-         | SELECT d.doc_id, v.category, v.surface, (p.j - 1)::int AS begin_c,
-         |  (p.j - 1 + length(v.surface))::int AS end_c
-         | FROM documents d CROSS JOIN dict v
-         | JOIN pos p ON p.j <= length(d.text) - length(v.surface) + 1
-         | WHERE substr(d.text, p.j, length(v.surface)) = v.surface"""
-        .stripMargin.replaceAll("\n", " "),
+    "q26_ner_batched" -> nerMentionsSql(32768),
     // language-ID: the trigram profiles materialized as a VALUES table;
     // per-doc occurrence counts per language, argmax with lang-asc
     // tie-break, 'und' when no profile trigram occurs (LEFT JOIN+coalesce)
-    "q21_langid" ->
-      s"""WITH prof(lang, g) AS $LangProfileValues,
-         | norm AS (SELECT doc_id,
-         |  ' ' || array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ') || ' ' AS t
-         |  FROM documents),
-         | tg AS (SELECT n.doc_id, substr(n.t, s.j, 3) AS g
-         |  FROM norm n JOIN generate_series(1, 32768) s(j) ON s.j <= length(n.t) - 2),
-         | hits AS (SELECT t.doc_id, p.lang, count(*) AS c
-         |  FROM tg t JOIN prof p ON t.g = p.g GROUP BY 1, 2),
-         | best AS (SELECT doc_id, lang,
-         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn FROM hits)
-         | SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang, d.lang AS labeled_lang
-         | FROM documents d
-         | LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id"""
-        .stripMargin.replaceAll("\n", " "),
+    "q21_langid" -> langidSql(32768),
     "q23_quality" ->
       """SELECT doc_id,
         | len(string_split_regex(trim(text), '\s+'))::int AS n_tokens,
@@ -658,9 +775,10 @@ object SparkEntry {
     "q31_neardup_verified" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |  FROM documents),
-        | sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) < 2 THEN tk
-        |  ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END)) AS g
-        |  FROM toks),
+        | sh AS (SELECT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) < 2 THEN tk
+        |   ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END)) AS g
+        |  FROM toks) WHERE g <> ''),
         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         | pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -689,14 +807,7 @@ object SparkEntry {
         |  delim='\t', header=true, all_varchar=true)""".stripMargin.replaceAll("\n", " "),
     // pseudo-frame sampling: ceil(bytes/64) frames, every 2nd kept; the
     // last frame carries the remainder bytes
-    "q25_frame_sample" ->
-      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-        | frames AS (SELECT doc_id, g.j - 1 AS fi, n,
-        |   CAST(ceil(n / 64.0) AS INT) AS nf
-        |  FROM d JOIN generate_series(1, 4096) g(j) ON g.j <= CAST(ceil(n / 64.0) AS INT))
-        | SELECT doc_id AS id, fi::int AS frame_idx,
-        |  (CASE WHEN fi = nf - 1 THEN n - 64 * (nf - 1) ELSE 64 END)::int AS frame_bytes
-        | FROM frames WHERE fi % 2 = 0""".stripMargin.replaceAll("\n", " "),
+    "q25_frame_sample" -> frameSampleSql(4096),
     // LSH semantics replayed in SQL: the hyperplanes are the engine's own
     // doubles (planesValues), bucket = sign-bit sum, multi-probe = Hamming
     // distance ≤ 1 on the bucket id — pins bucketing, probing, AND the
@@ -752,29 +863,7 @@ object SparkEntry {
     // full MinHash-LSH replay: word 2-shingles, 64 universal hashes over
     // the md5-32 primitive (coefficients emitted from the engine's PRNG),
     // 16 bands × 4 rows, in-bucket pairing, signature-agreement estimate
-    "q15_minhash_pairs" -> (
-      s"""WITH coeffs(i, a, b) AS ${graft.dedup.Dedup.coeffsValues},
-        | toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-        |          FROM documents),
-        | sh AS (SELECT DISTINCT doc_id, t[g.j] || ' ' || t[g.j+1] AS s
-        |        FROM toks JOIN generate_series(1, 4096) g(j) ON g.j < len(t)),
-        | x AS (SELECT doc_id,
-        |        ('0x' || substr(md5(s),1,8))::BIGINT % 2147483647 AS x FROM sh),
-        | sig AS (SELECT doc_id, c.i, min((c.a * x.x + c.b) % 2147483647) AS h
-        |         FROM x CROSS JOIN coeffs c GROUP BY doc_id, c.i),
-        | band AS (SELECT doc_id, i // 4 AS band,
-        |           string_agg(h, ',' ORDER BY i) AS key
-        |          FROM sig GROUP BY doc_id, i // 4),
-        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |          FROM band a JOIN band b
-        |            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-        | est AS (SELECT c.doc_a, c.doc_b,
-        |           sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 64.0 AS e
-        |         FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
-        |           JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
-        |         GROUP BY c.doc_a, c.doc_b)
-        | SELECT doc_a, doc_b, round(e, 4) AS est_jaccard
-        | FROM est WHERE e >= 0.1""".stripMargin.replaceAll("\n", " ")),
+    "q15_minhash_pairs" -> minhashSql(4096),
     // SimHash replay: md5_number_lower == the engine's md5Hash64 (lower 8
     // MD5 bytes, little-endian); fingerprint compared as a 64-char bit
     // string, MSB first
@@ -842,11 +931,28 @@ object SparkEntry {
   /** Oracle rows whose SQL depends on the DATA, built per sfDir (Verify
     * dumps this superset): q42's k-means centroids are a deterministic
     * function of the embeddings table, so the SQL embeds the centroids
-    * trained on THAT table and replays assignment → probe → re-rank. */
+    * trained on THAT table and replays assignment → probe → re-rank; and
+    * every fixed-bound position-scan oracle gets its series bound derived
+    * from the table's own maxima (+small slack), so the gate cannot
+    * silently under-count if fixtures grow. */
   def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val m = t(spark, sfDir, "documents").agg(
+      max(length(col("text"))),
+      max(octet_length(col("text"))),
+      max(size(split(trim(col("text")), "\\s+")))).head()
+    val maxLen = m.getInt(0).toLong
+    val maxBytes = m.getInt(1).toLong
+    val maxToks = m.getInt(2).toLong
+    val derived = Map(
+      "q10_ner_mentions" -> nerMentionsSql(maxLen + 1),
+      "q26_ner_batched" -> nerMentionsSql(maxLen + 1),
+      "q44_find_all_native" -> findAllSql(maxLen + 1),
+      "q21_langid" -> langidSql(maxLen + 4),
+      "q25_frame_sample" -> frameSampleSql(maxBytes / 64 + 2),
+      "q15_minhash_pairs" -> minhashSql(maxToks + 1))
     val cent = graft.sim.Ivf.centroidsFor(
       spark, t(spark, sfDir, "embeddings"), 16, 5, 100000)
-    oracleSql + ("q42_ann_ivf" -> (
+    oracleSql ++ derived + ("q42_ann_ivf" -> (
       s"""WITH cent(cell, c) AS ${graft.sim.Ivf.centroidValues(cent)},
         | a AS (SELECT vec_id, embedding, cell FROM (
         |   SELECT e.vec_id, e.embedding, c.cell,
