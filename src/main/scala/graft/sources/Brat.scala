@@ -77,10 +77,16 @@ object Brat {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
       .map(_.getPath.toString).toSeq.sorted
+    // the SESSION's Hadoop conf rides to the executors (the
+    // FileSourceScanExec pattern) — spark.hadoop.* settings (S3
+    // credentials, fs overrides) must reach the task-side opens
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     spark.createDataset(files)
       .repartition(math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBc.value.value
         it.map { pathStr =>
           val path = new org.apache.hadoop.fs.Path(pathStr)
           val in = path.getFileSystem(conf).open(path)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.annotate.{DictAnnotator, MentionExtractor, Prompts}
+import graft.annotate.{Annotator, DictAnnotator, MentionExtractor, Prompts}
 import graft.kg.{Kg, KgPipeline}
 import graft.ner.NerSpark
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -15,28 +15,47 @@ import org.apache.spark.sql.functions._
   * trailing dedup is Spark's stateful streaming dedup, state-bounded by a
   * `warc_ts` watermark (`dropDuplicatesWithinWatermark`) on the streaming
   * path — without the bound, dedup state grows with the corpus forever.
+  *
+  * Feature parity with the batch pipeline: the annotator is pluggable
+  * (an [[graft.annotate.HttpAnnotator]] binds a model server, default is
+  * the deterministic [[DictAnnotator]]), `sentences_per_call` batching is
+  * honored, and per-page `failed_batches` lineage is carried on
+  * [[annotatedPages]] — sink those columns beside the triples to get the
+  * batch path's metrics table, incrementally.
   */
 object StreamingKg {
 
   /** Continuous WARC ingestion — the crawl-queue pattern: the stream is a
     * MANIFEST of archive paths (one per line, appended as archives land;
     * file-stream text source), and each task opens its paths through the
-    * Hadoop FileSystem and parses the records. This sidesteps the binary
-    * file source's lack of streaming support, and matches how production
-    * crawl ingestion actually arrives (a queue of finished archive names,
-    * not a stream of record bytes). One task per manifest line ⇒ per-file
-    * parallelism, same as the batch [[graft.sources.Warc.read]] shape.
+    * Hadoop FileSystem and parses the records (plain or `.warc.gz`). This
+    * sidesteps the binary file source's lack of streaming support, and
+    * matches how production crawl ingestion actually arrives (a queue of
+    * finished archive names, not a stream of record bytes). One task per
+    * manifest line ⇒ per-file parallelism, same as the batch
+    * [[graft.sources.Warc.read]] shape.
+    *
+    * The session's Hadoop configuration is broadcast to the tasks (the
+    * `FileSourceScanExec` pattern) so `spark.hadoop.*` settings — S3
+    * credentials, filesystem overrides — reach the executor-side opens; a
+    * bare `new Configuration()` would silently drop them.
     *
     * Output columns match [[triplesStream]]'s input contract: `url`,
-    * `warc_ts` (parsed from `WARC-Date`), `html`, `lang` (crawls don't
-    * carry a language tag; `defaultLang` stands in until a langid stage). */
+    * `warc_ts` (parsed from `WARC-Date`), `html`, `lang`. Crawls carry no
+    * language tag, so `lang` is detected from the extracted text with the
+    * engine's own trigram language-ID ([[graft.quality.TextQuality
+    * .detectLang]] — same semantics as the batch `langIdCol`);
+    * `defaultLang` stands in only when detection returns "und". */
   def warcPages(spark: SparkSession, manifestDir: String,
       defaultLang: String = "en"): DataFrame = {
     import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     spark.readStream.text(manifestDir)
       .as[String].map(_.trim).filter(_.nonEmpty)
       .mapPartitions { paths =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBc.value.value
         paths.flatMap { p =>
           val path = new org.apache.hadoop.fs.Path(p)
           val fs = path.getFileSystem(conf)
@@ -44,44 +63,72 @@ object StreamingKg {
           val bytes =
             try org.apache.commons.io.IOUtils.toByteArray(in)
             finally in.close()
-          graft.sources.Warc.parseRecords(bytes)
+          graft.sources.Warc.parseRecordsAuto(bytes)
             .filter(r => r.warc_type == "response" && r.target_uri.nonEmpty)
             .map { r =>
               val ts = try java.sql.Timestamp.from(java.time.Instant.parse(r.warc_date))
                        catch { case _: Exception => new java.sql.Timestamp(0L) }
-              (r.target_uri, ts, graft.sources.Warc.httpBody(r.payload))
+              val html = graft.sources.Warc.httpBody(r.payload)
+              val detected = graft.quality.TextQuality.detectLang(
+                graft.html.HtmlText.extract(html))
+              val lang = if (detected == "und") defaultLang else detected
+              (r.target_uri, ts, html, lang)
             }
         }
       }
-      .toDF("url", "warc_ts", "html")
-      .withColumn("lang", lit(defaultLang))
+      .toDF("url", "warc_ts", "html", "lang")
+  }
+
+  /** Per-page annotation with lineage — the streaming analog of the batch
+    * pipeline's docs/ stage: one row per page with its extracted mentions
+    * and the `failed_batches` count the batch path records in its metrics
+    * table (annotator failures are NOT silently dropped on the streaming
+    * path either). Stateless narrow map; works on batch frames too. */
+  def annotatedPages(spark: SparkSession, pages: DataFrame,
+      dict: Seq[(String, String)] = NerSpark.Dict,
+      annotator: Option[Annotator] = None,
+      sentencesPerCall: Int = 0): DataFrame = {
+    import spark.implicits._
+    val sysPromptByLang = Seq("en", "es", "it")
+      .map(l => l -> Prompts.systemPrompt(l, NerSpark.Categories)).toMap
+    val catsLocal = NerSpark.Categories
+    val dictLocal = dict
+    val annotatorCfg = annotator
+    val spc = sentencesPerCall
+
+    pages
+      .select($"url", $"warc_ts", $"html", $"lang")
+      .as[(String, java.sql.Timestamp, Array[Byte], String)]
+      .mapPartitions { it =>
+        val ann = annotatorCfg.getOrElse(DictAnnotator(dictLocal))
+        it.map { case (url, ts, html, lang) =>
+          val text = graft.html.HtmlText.extract(html)
+          val sys = sysPromptByLang.getOrElse(lang, sysPromptByLang("en"))
+          val (ms, failed) = MentionExtractor
+            .extractWithStats(ann, sys, catsLocal, text, spc)
+          (url, ts, lang, ms.map(m => (m.category, m.surface)), ms.size, failed)
+        }
+      }
+      .toDF("url", "warc_ts", "lang", "mentions", "n_mentions", "failed_batches")
   }
 
   /** Transform a (streaming or batch) pages DataFrame into triples.
+    * @param annotator override the deterministic [[DictAnnotator]] — e.g.
+    *        an [[graft.annotate.HttpAnnotator]]; must be serializable.
     * @param watermarkDelay how long out-of-order pages may lag the max
     *        observed `warc_ts` before their duplicate-suppression state may
     *        be dropped (streaming path only; batch dedup is exact). */
   def triplesStream(spark: SparkSession, pages: DataFrame,
       dict: Seq[(String, String)] = NerSpark.Dict,
       aliases: Seq[(String, String, Double)] = Kg.AliasesExtended,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      annotator: Option[Annotator] = None,
+      sentencesPerCall: Int = 0): DataFrame = {
     import spark.implicits._
-    val sysPromptByLang = Seq("en", "es", "it")
-      .map(l => l -> Prompts.systemPrompt(l, NerSpark.Categories)).toMap
-    val catsLocal = NerSpark.Categories
-    val dictLocal = dict
-
-    val mentions = pages
-      .select($"url", $"warc_ts", $"html", $"lang")
-      .as[(String, java.sql.Timestamp, Array[Byte], String)]
-      .flatMap { case (url, ts, html, lang) =>
-        val annotator = DictAnnotator(dictLocal)
-        val text = graft.html.HtmlText.extract(html)
-        val sys = sysPromptByLang.getOrElse(lang, sysPromptByLang("en"))
-        MentionExtractor.extract(annotator, sys, catsLocal, text)
-          .map(m => (url, ts, m.category, m.surface))
-      }
-      .toDF("url", "warc_ts", "category", "surface")
+    val mentions = annotatedPages(spark, pages, dict, annotator, sentencesPerCall)
+      .select(col("url"), col("warc_ts"), explode(col("mentions")).as("m"))
+      .select(col("url"), col("warc_ts"),
+        col("m._1").as("category"), col("m._2").as("surface"))
 
     val canon = KgPipeline.canonicalMap(aliases)
     val winners = Kg.winnersPerAlias(aliases)

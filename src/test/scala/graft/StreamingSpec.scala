@@ -4,6 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Deterministic annotator that fails any batch containing the marker —
+  * exercises the streaming path's failed-batch lineage (top-level class:
+  * ships into tasks without dragging the suite into the closure). */
+final case class FlakyDictAnnotator(dict: Seq[(String, String)], marker: String)
+    extends graft.annotate.Annotator {
+  override def generate(sys: String, user: String): String =
+    graft.annotate.DictAnnotator(dict).generate(sys, user)
+  override def generateChecked(sys: String, user: String): (String, Boolean) =
+    if (user.contains(marker)) ("", true) else (generate(sys, user), false)
+}
+
 /** Structured Streaming coverage: the reference is strictly batch
   * (SURVEY.md §2 "streaming" note); the engine's incremental path is
   * checkpoint-resume, but windowed streaming aggregation is exercised here
@@ -86,5 +97,80 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming path carries failed-batch lineage and honors a pluggable annotator") {
+    import spark.implicits._
+    val flaky = FlakyDictAnnotator(graft.ner.NerSpark.Dict, "FAILME")
+    val good = (0L until 30L).map(graft.fixtures.WebTextGen.page(_))
+    val bad = (100L until 105L).map { id =>
+      val p = graft.fixtures.WebTextGen.page(id)
+      val text = "FAILME " + p.text
+      p.copy(html = graft.html.HtmlGen.render(p.url, s"doc $id", text), text = text)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-flaky-pages-").toString + "/pages"
+    spark.createDataset(good ++ bad).toDF().write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+
+    // lineage: every FAILME page surfaces failed_batches > 0, zero mentions;
+    // clean pages are annotated exactly as the batch DictAnnotator would
+    val annQ = graft.streaming.StreamingKg
+      .annotatedPages(spark, stream, annotator = Some(flaky))
+      .writeStream.outputMode("append").format("memory").queryName("ann_pages").start()
+    try annQ.processAllAvailable() finally annQ.stop()
+    val ann = spark.table("ann_pages")
+      .select("url", "n_mentions", "failed_batches").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(ann.size == 35)
+    bad.foreach(p => assert(ann(p.url)._1 == 0 && ann(p.url)._2 > 0,
+      s"failed page ${p.url} must surface lineage, got ${ann(p.url)}"))
+    assert(good.count(p => ann(p.url)._2 == 0) == 30)
+
+    // triples: the flaky stream equals the default stream minus the failed docs
+    val tq = graft.streaming.StreamingKg
+      .triplesStream(spark, spark.readStream.schema(schema).parquet(dir),
+        annotator = Some(flaky))
+      .writeStream.outputMode("append").format("memory").queryName("flaky_triples").start()
+    try tq.processAllAvailable() finally tq.stop()
+    val streamed = spark.table("flaky_triples")
+      .as[(String, String, String)].collect().toSet
+    val expected = graft.streaming.StreamingKg
+      .triplesStream(spark, spark.createDataset(good).toDF())
+      .as[(String, String, String)].collect().toSet
+    assert(streamed == expected && streamed.nonEmpty)
+  }
+
+  test("WARC stream detects lang with the engine's own language-ID") {
+    import spark.implicits._
+    val texts = Seq(
+      "the house and the garden of the king and the queen",
+      "la casa de la reina que canta en la ciudad",
+      "zz qq xx") // no profile trigram → und → defaultLang
+    val pages = texts.zipWithIndex.map { case (t, i) =>
+      (s"https://lang.example/$i", graft.html.HtmlGen.render(s"u$i", s"d$i", t))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-lang-warc-")
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"),
+      graft.sources.Warc.writeWarcGz(pages))
+    val manifest = java.nio.file.Files.createTempDirectory("graft-lang-manifest-")
+    java.nio.file.Files.write(manifest.resolve("m.txt"),
+      dir.resolve("a.warc.gz").toString.getBytes("UTF-8"))
+
+    val q = graft.streaming.StreamingKg.warcPages(spark, manifest.toString)
+      .select("url", "lang")
+      .writeStream.outputMode("append").format("memory").queryName("warc_lang").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("warc_lang").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // parity with the batch language-ID on the same extracted texts
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val batch = graft.quality.TextQuality.detectLang(t)
+      val want = if (batch == "und") "en" else batch
+      assert(got(s"https://lang.example/$i") == want,
+        s"stream lang for doc $i: got ${got(s"https://lang.example/$i")}, want $want")
+    }
+    assert(got.values.toSet.intersect(Set("en", "es")).size == 2)
   }
 }
