@@ -185,6 +185,14 @@ object KgPipeline {
       else {
         val manifestPath = new org.apache.hadoop.fs.Path(s"${cfg.outDir}/dedup_winners")
         val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+        // a crash mid-write leaves a partial directory that bare exists()
+        // would trust, silently dropping pages on resume — only the
+        // committer's _SUCCESS marker makes a manifest authoritative;
+        // anything else is torn and rebuilt (idempotent: winners are a pure
+        // function of the full input)
+        val success = new org.apache.hadoop.fs.Path(manifestPath, "_SUCCESS")
+        if (fs.exists(manifestPath) && !fs.exists(success))
+          fs.delete(manifestPath, true)
         if (!fs.exists(manifestPath)) {
           withBucket.select(col("url"), xxhash64(col("html")).as("fp"))
             .groupBy("fp").agg(min("url").as("url"), count(lit(1)).as("copies"))
@@ -194,7 +202,14 @@ object KgPipeline {
         val dropped = Option(
           manifest.agg(sum(col("copies") - 1)).head().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-        (withBucket.join(manifest.select("url"), Seq("url"), "left_semi"), dropped)
+        // winners are per CONTENT hash: semi-join on (url, fp) — a url
+        // recrawled with different bytes is two content groups, and a
+        // url-only filter would resurrect the losing payload's row
+        val filtered = withBucket.withColumn("__fp", xxhash64(col("html")))
+          .join(manifest.select(col("url"), col("fp").as("__fp")),
+            Seq("url", "__fp"), "left_semi")
+          .drop("__fp")
+        (filtered, dropped)
       }
 
     // the html-bearing (widest) relation is consumed exactly once below;
