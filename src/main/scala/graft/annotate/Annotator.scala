@@ -75,7 +75,14 @@ final case class HttpAnnotator(
           if (!content.isMissingNode) return (content.asText(""), false)
         }
       } catch {
-        case _: java.io.IOException | _: InterruptedException => // retry
+        case _: InterruptedException =>
+          // a Spark task kill interrupts the task thread mid-send: restore
+          // the flag (swallowing it would absorb the kill) and fail the
+          // batch NOW — retrying would pin a cancelled task for up to
+          // (maxRetries+1) × timeout
+          Thread.currentThread().interrupt()
+          return ("", true)
+        case _: java.io.IOException => // transport error — retry
       }
       attempt += 1
     }
