@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   * runMain graft.Main --dataset multicardioner_track2_en \
   *   [--datasets all] [--sentences-per-call K] \
   *   [--annotator gold|dict|http] [--host http://...] [--model NAME] \
+  *   [--example "few-shot example block"] \
   *   [--results /path/results.csv] [--cpus N]
   * ```
+  *
+  * `--example` is the reference's `example_prompt` (`ref:
+  * ai/extractor_ner.py:27-31`): a few-shot block appended to the system
+  * prompt for the `dict`/`http` extraction modes.
   *
   * Annotators: `gold` replays the corpus gold as predictions — the
   * LLM-free mode that drives the full distributed dataflow (prompt
@@ -46,6 +51,7 @@ object Main {
     val model = opt.getOrElse("model",
       mode match { case "http" => "remote"; case m => s"graft-$m" })
     val results = opt.getOrElse("results", "results_graft.csv")
+    val example = opt.get("example").filter(_.nonEmpty)
     val cpus = opt.getOrElse("cpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
 
     // stop only a session this main itself created — embedders (tests, a
@@ -92,14 +98,14 @@ object Main {
         case "gold" => gold
         case "dict" =>
           NerSpark.mentions(spark, docs, lang = corpus.lang,
-            sentencesPerCall = spc)
+            sentencesPerCall = spc, examplePrompt = example)
         case "http" =>
           val annotator: Annotator = HttpAnnotator(
             endpoint = opt.getOrElse("host", "http://localhost:11434/api/chat"),
             model = model)
           NerSpark.mentions(spark, docs, categories = categories,
             lang = corpus.lang, sentencesPerCall = spc,
-            annotator = Some(annotator))
+            annotator = Some(annotator), examplePrompt = example)
         case other => sys.error(s"unknown annotator '$other'")
       }
 

@@ -59,9 +59,13 @@ object NerSpark {
       sentencesPerCall: Int = 0,
       /** override the default deterministic [[DictAnnotator]] — e.g. an
         * [[graft.annotate.HttpAnnotator]]; must be serializable. */
-      annotator: Option[Annotator] = None): DataFrame = {
+      annotator: Option[Annotator] = None,
+      /** few-shot example block appended to the system prompt — the
+        * reference's `example_prompt` (`ai/extractor_ner.py:27-31`; Python
+        * truthiness: an EMPTY example takes the no-example branch). */
+      examplePrompt: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val sysPrompt = Prompts.systemPrompt(lang, categories)
+    val sysPrompt = Prompts.systemPrompt(lang, categories, examplePrompt)
     val dictLocal = dict
     val catsLocal = categories
     val annotatorCfg = annotator

@@ -42,4 +42,30 @@ class MainSpec extends AnyFunSuite {
       .count().toDouble
     assert(math.abs(row("macro_f1").toDouble - withGold / total) < 1e-9)
   }
+
+  test("few-shot example reaches the executor-side system prompt via the engine API") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark runs a hash join"), (2L, "plain text")).toDF("doc_id", "text")
+    // an annotator gated on the example block: it answers ONLY when the
+    // few-shot example is present in the system prompt — so a non-empty
+    // result proves NerSpark.mentions threaded examplePrompt through
+    // Prompts.systemPrompt into the task-side call, not just the driver
+    val marker = "Example:\nInput: uses spark\nOutput:\n<TOOL>:spark"
+    val gated = ExampleGatedAnnotator(graft.ner.NerSpark.Dict, marker)
+    def run(example: Option[String]) =
+      graft.ner.NerSpark.mentions(spark, docs,
+        annotator = Some(gated), examplePrompt = example).collect()
+    assert(run(Some(marker)).length == 2) // spark + hash join grounded
+    assert(run(None).isEmpty)
+    assert(run(Some("")).isEmpty) // Python truthiness: empty == no example
+  }
+}
+
+/** Answers only when the system prompt carries the few-shot block —
+  * top-level so the closure ships clean. */
+final case class ExampleGatedAnnotator(dict: Seq[(String, String)], marker: String)
+    extends graft.annotate.Annotator {
+  override def generate(sys: String, user: String): String =
+    if (sys.contains(marker)) graft.annotate.DictAnnotator(dict).generate(sys, user)
+    else "None"
 }
