@@ -491,6 +491,39 @@ object SparkEntry {
       en.union(long).distinct()
         .except(d.filter(col("source") === "src0").select("doc_id"))
     }),
+    // deterministic hash split — the standard train/val/test assignment
+    // for training corpora: md5 of the stable doc key → bucket in [0,100),
+    // 80/10/10. Pure narrow map (no shuffle, no RNG state): any slice of
+    // the corpus re-derives the identical assignment on any engine — the
+    // property that makes splits reproducible across reruns and backfills.
+    "q47_hash_split" -> ((s, dir) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      t(s, dir, "documents").select(col("doc_id"), h.as("h"),
+        when(h < 80, "train").when(h < 90, "val")
+          .otherwise("test").as("split"))
+    }),
+    // repetition signals (Gopher-style quality rules): duplicate-2gram
+    // fraction (HOF over the token array — codegen'd, no shuffle) and
+    // top-token fraction (explode → two-level partial aggregation). The
+    // standard web-corpus boilerplate/spam detectors.
+    "q48_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val grams = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val hof = d.select(col("doc_id"),
+        when(size(toks) < 2, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 4))
+          .as("dup_2gram_frac"))
+      val top = d.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max("c").cast("double") / sum("c"), 4).as("top_tok_frac"))
+      hof.join(top, "doc_id")
+    }),
     // ---- BRAT standoff source over the real reference corpora (SURVEY §2
     // op 1; these read /root/reference/datasets, not the sf dir) ----
     "q33_brat_stats" -> ((s, _) => graft.sources.Brat.statistics(s)),
@@ -787,6 +820,28 @@ object SparkEntry {
         | FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
         | WHERE inter::double / (sa.n + sb.n - inter) >= 0.5"""
         .stripMargin.replaceAll("\n", " "),
+    // md5-bucket split replay: same primitive as the engine (first 8 md5
+    // hex chars of the decimal doc key, base-16 → decimal, mod 100)
+    "q47_hash_split" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 100 AS h,
+        | CASE WHEN ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |      WHEN ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        | FROM documents""".stripMargin.replaceAll("\n", " "),
+    "q48_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        | hof AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN 0.0 ELSE
+        |   round(1.0 - list_unique(list_transform(range(1, len(t)),
+        |     i -> t[i] || ' ' || t[i+1]))::double / (len(t) - 1), 4) END AS dup_2gram_frac
+        |  FROM toks),
+        | tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        | tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        | top AS (SELECT doc_id, round(max(c)::double / sum(c), 4) AS top_tok_frac
+        |  FROM tc GROUP BY doc_id)
+        | SELECT h.doc_id, h.dup_2gram_frac, t2.top_tok_frac
+        | FROM hof h JOIN top t2 USING (doc_id)""".stripMargin.replaceAll("\n", " "),
     // BRAT corpus statistics / gold-category counts over the real reference
     // corpora — DuckDB re-parses the same .txt/.ann files via read_text
     "q33_brat_stats" ->
