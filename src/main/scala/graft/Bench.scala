@@ -77,13 +77,25 @@ object Bench {
     var spark = session(cpus)
     if (!scalingOnly)
       spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // min-of-N per query across FULL alternating sweeps (not N back-to-back
+    // runs of one query): a noisy-neighbor blackout hits a contiguous time
+    // window, so consecutive repeats of one query share its fate while
+    // sweep-alternation decorrelates them. Single-sample per-query numbers
+    // made ~±20% round-over-round drift read as regressions.
+    val queryN = sys.env.getOrElse("SPARK_GRAFT_QUERY_N", "2").toInt
     val queryTimes =
       if (scalingOnly) Seq.empty[(String, Double)]
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+      else {
+        val sweeps = (1 to queryN).map { _ =>
+          SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+            name -> (System.nanoTime() - t0) / 1e9
+          }
+        }
+        sweeps.flatten.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (name, ts) => name -> ts.map(_._2).min }
       }
 
     // Part 2: pipeline throughput at the configured parallelism — min-of-N
@@ -113,7 +125,10 @@ object Bench {
     // to <6% of the 4-core run — the regime a real cluster job lives in,
     // where jobs run minutes against seconds of scheduling.
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "3000000").toLong
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+    // 2 initial rounds (not 3): the below-target/stale continuation loop
+    // below adds rounds where they matter, and at the 3M-doc corpus each
+    // round costs ~80 s — the budget is better spent adaptively
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
     // the N / 4N parallelism pair. Default 4,16: the pair where executor
     // threads get dedicated physical cores at BOTH sizes, as cluster
     // executors do — at local[32] every one of the host's 32 cores is an
