@@ -1,0 +1,67 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lakehouse-style MERGE (upsert) for incremental KG snapshot maintenance:
+  * fold a small delta of re-extracted triples into a large base snapshot —
+  * matched keys take the delta row ("update"), unmatched delta rows are
+  * appended ("insert"), untouched base rows pass through ("keep"). This is
+  * the operation an incremental crawl re-processing pipeline runs after
+  * every batch (the reference recomputes its whole corpus from scratch
+  * every run — `main.py` has no incremental path at all).
+  *
+  * Scale shape — the asymmetric-size regime is the whole point: base is
+  * the accumulated 100 TB snapshot, delta is one crawl batch (orders of
+  * magnitude smaller). A naive `full_outer` join shuffles BOTH sides on
+  * the merge key; full-outer cannot be broadcast, so the snapshot pays a
+  * full exchange per batch. This implementation instead composes the merge
+  * from three joins that each BROADCAST the delta (or data derived from
+  * it) and never shuffle the base:
+  *
+  *   keep    = base ⋈ left_anti  bcast(delta)          — untouched rows
+  *   update  = base.keys ⋈ inner bcast(delta)          — delta wins the value
+  *   insert  = delta ⋈ left_anti bcast(update.keys)    — brand-new keys
+  *
+  * Base is scanned twice (columnar, key-pruned on the second pass) but
+  * never exchanged; on a bucketed/partitioned snapshot the scans are also
+  * partition-pruned by the delta's key range. `update` is at most
+  * delta-sized, so the third join broadcasts a tiny table. When the delta
+  * is NOT small (a backfill), fall back to the single full-outer shuffle
+  * join — both variants are provided and produce identical rows.
+  */
+object SnapshotMerge {
+
+  /** Broadcast-delta merge; see object doc. `value` columns are taken from
+    * the delta on matched keys. Adds `op` ∈ keep/update/insert. */
+  def merge(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val keep = base.join(broadcast(delta), keys, "left_anti")
+      .withColumn("op", lit("keep"))
+    val update = base.select(keyCols: _*)
+      .join(broadcast(delta), keys, "inner")
+      .withColumn("op", lit("update"))
+    val insert = delta
+      .join(broadcast(update.select(keyCols: _*)), keys, "left_anti")
+      .withColumn("op", lit("insert"))
+    keep.unionByName(update).unionByName(insert)
+  }
+
+  /** Shuffle full-outer variant for the delta-is-huge backfill regime.
+    * Identical output to [[merge]]; used by the spec as a differential
+    * oracle. `valueCols` are the non-key columns (same names both sides). */
+  def mergeFullOuter(base: DataFrame, delta: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val b = valueCols.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
+    val d = valueCols.foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
+    val bTag = b.withColumn("__in_b", lit(1))
+    val dTag = d.withColumn("__in_d", lit(1))
+    val joined = bTag.join(dTag, keys, "full_outer")
+    val values = valueCols.map(c =>
+      coalesce(col(s"__d_$c"), col(s"__b_$c")).as(c))
+    val op = when(col("__in_b").isNotNull && col("__in_d").isNotNull, "update")
+      .when(col("__in_d").isNotNull, "insert")
+      .otherwise("keep")
+    joined.select(keys.map(col) ++ values :+ op.as("op"): _*)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed-table layout — the storage-side half of the co-located join.
+  *
+  * At 100 TB the dominant join cost is the exchange: a fact⋈fact equi join
+  * shuffles both inputs end-to-end before a single row is joined. Writing
+  * both tables `bucketBy(N, key)` (Spark's table-format analog of Iceberg
+  * `bucket(N, key)` partition transforms — SURVEY.md §1.4) moves that
+  * shuffle to WRITE TIME, once, amortized over every subsequent join and
+  * aggregation on the key: the scan of a bucketed table reports
+  * `HashPartitioning(key, N)`, so Catalyst plans a sort-merge join with NO
+  * Exchange on either side (asserted by BucketedJoinSpec and visible in
+  * PLANS.md). The KG pipeline already uses the same layout for its
+  * shuffle-free extraction stage ([[graft.fixtures.WebTextGen
+  * .pagesBucketed]]); this helper makes the layout available to the query
+  * layer as catalog tables.
+  *
+  * One file per bucket (`repartition(N, key)` before the write — see the
+  * round-1 small-files note) keeps the per-bucket sort usable and the
+  * file count at N, not tasks×N.
+  */
+object BucketedTables {
+
+  /** Creates catalog table `name` from `df` bucketed+sorted by `key` at an
+    * external temp path, or returns the existing one (idempotent within a
+    * session — bench sweeps re-enter the same query). */
+  def ensure(spark: SparkSession, name: String, df: => DataFrame, key: String,
+      nBuckets: Int): DataFrame = {
+    if (!spark.catalog.tableExists(name)) {
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+                 else System.getProperty("java.io.tmpdir")
+      val dir = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get(base), s"graft-bt-$name-")
+      df.repartition(nBuckets, col(key))
+        .write
+        .bucketBy(nBuckets, key)
+        .sortBy(key)
+        .option("path", dir.toString)
+        .mode("overwrite")
+        .saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
+  /** The documents table re-written `partitionBy(lang)` — the identity-
+    * partition pruning axis (Iceberg identity transform): a filter on
+    * `lang` prunes whole directories at PLANNING time (`PartitionFilters`
+    * in the scan, zero tasks for pruned partitions). Deterministic
+    * location per sf dir, `_SUCCESS`-gated reuse across sessions of the
+    * same JVM run; `repartition(lang)` first so the write emits one file
+    * per partition value, not tasks×values (round-1 small-files note). */
+  def partitionedDocsByLang(spark: SparkSession, sfDir: String): String = {
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+               else System.getProperty("java.io.tmpdir")
+    val out = s"$base/graft-docs-bylang-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+    }
+    out
+  }
+}

@@ -311,4 +311,87 @@ class OpsSpec extends AnyFunSuite {
     val c2 = graft.sim.Ivf.train(sample, 16, 5)
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
+
+  test("triangle count matches closed forms and a brute-force reference") {
+    import spark.implicits._
+    def count(edges: Seq[(Long, Long)]): Long =
+      graft.kg.Triangles.count(spark,
+        graft.kg.Triangles.canonicalEdges(edges.toDF("u", "v"), "u", "v"))
+        .head().getLong(0)
+
+    // K4 has C(4,3)=4 triangles; a 5-cycle has none; duplicate/reversed/
+    // self-loop edges must not change the count
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(count(k4) == 4L)
+    assert(count(k4 ++ k4.map(_.swap) ++ Seq((2L, 2L))) == 4L)
+    assert(count(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))) == 0L)
+
+    // seeded random graph vs O(n³) brute force
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter { case (a, b) => a != b }
+    val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val nodes = adj.map(_._1).toSeq.sorted
+    val brute = (for {
+      a <- nodes; b <- nodes if a < b && adj((a, b))
+      c <- nodes if b < c && adj((b, c)) && adj((a, c))
+    } yield 1).size.toLong
+    assert(count(edges) == brute)
+  }
+
+  test("snapshot merge: broadcast-delta and full-outer variants agree; ops are exact") {
+    import spark.implicits._
+    val base = Seq(("a", 1L, 1L), ("b", 2L, 1L), ("c", 3L, 1L))
+      .toDF("k", "val", "rev")
+    val delta = Seq(("b", 20L, 2L), ("d", 40L, 2L)).toDF("k", "val", "rev")
+
+    val merged = graft.kg.SnapshotMerge.merge(base, delta, Seq("k"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("val"),
+        r.getAs[Long]("rev"), r.getAs[String]("op"))).toSet
+    assert(merged == Set(
+      ("a", 1L, 1L, "keep"), ("c", 3L, 1L, "keep"),
+      ("b", 20L, 2L, "update"), ("d", 40L, 2L, "insert")))
+
+    val fo = graft.kg.SnapshotMerge.mergeFullOuter(base, delta, Seq("k"),
+      Seq("val", "rev"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("val"),
+        r.getAs[Long]("rev"), r.getAs[String]("op"))).toSet
+    assert(fo == merged)
+  }
+
+  test("heavy-hitter profile is exact and count-min sketch stays inside its error bound") {
+    import spark.implicits._
+    // one hot key (90 rows) over 10 cold keys (1 row each)
+    val rows = (Seq.fill(90)("hot") ++ (0 until 10).map(i => s"k$i")).toDF("key")
+    val hh = graft.quality.Skew.heavyHitters(rows, "key", 3).collect()
+    assert(hh.head.getAs[String]("key") == "hot")
+    assert(hh.head.getAs[Long]("cnt") == 90L)
+    assert(hh.head.getAs[Double]("frac") == 0.9)
+    // mean count = 100/11; ceil(90 / (100/11)) = ceil(9.9) = 10
+    assert(hh.head.getAs[Long]("salt_factor") == 10L)
+    assert(hh(1).getAs[Long]("cnt") == 1L)
+
+    // the sketch alternative: eps=0.01 ⇒ overcount ≤ eps·N = 1 at 99% conf
+    val sketchBytes = rows
+      .agg(expr("count_min_sketch(key, 0.01d, 0.99d, 42)")).head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val est = cms.estimateCount("hot")
+    assert(est >= 90L && est <= 91L, s"cms estimate $est outside [90, 91]")
+  }
+
+  test("tf-idf top terms match a closed-form two-document corpus") {
+    import spark.implicits._
+    // doc 0: x x x y   doc 1: y z   (N=2; df: x=1, y=2, z=1)
+    val docs = Seq((0L, "x x x y"), (1L, "y z")).toDF("doc_id", "text")
+    val got = graft.quality.TfIdf.topTerms(spark, docs, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Double]("tfidf"))).toSet
+    val ln2 = BigDecimal(3 * math.log(2.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln1 = BigDecimal(math.log(2.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // y scores tf·ln(2/2)=0 in both docs; x: 3·ln2, z: 1·ln2
+    assert(got == Set((0L, "x", ln2), (0L, "y", 0.0), (1L, "z", ln1), (1L, "y", 0.0)))
+  }
 }
