@@ -602,6 +602,29 @@ object SparkEntry {
         round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
         round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
         round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))),
+    // train/eval decontamination (the pre-ship overlap check of every
+    // training corpus): eval docs sharing ≥3 distinct word 3-grams with
+    // any train doc, joined on 48-bit md5 gram fingerprints — 8-byte
+    // exchange keys, oracle shares the hash primitive (see Decontam)
+    "q56_decontamination" -> ((s, dir) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val d = t(s, dir, "documents").withColumn("h", h)
+      graft.dedup.Decontam.contaminatedPairs(
+        d.filter(col("h") < 80), d.filter(col("h") >= 80), 3L)
+    }),
+    // deterministic stratified sampling (corpus rebalancing): per-language
+    // keep-rates applied through the same md5 bucket as the q47 split —
+    // no RNG state, any slice of the corpus re-derives the same sample
+    "q57_stratified_sample" -> ((s, dir) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val rate = when(col("lang") === "en", 50L)
+        .when(col("lang") === "de", 25L).otherwise(10L)
+      t(s, dir, "documents").withColumn("h", h)
+        .filter(col("h") < rate)
+        .select(col("doc_id"), col("lang"), col("h"))
+    }),
     // ---- BRAT standoff source over the real reference corpora (SURVEY §2
     // op 1; these read /root/reference/datasets, not the sf dir) ----
     "q33_brat_stats" -> ((s, _) => graft.sources.Brat.statistics(s)),
@@ -987,6 +1010,32 @@ object SparkEntry {
         | round(quantile_cont(n_chars, 0.9), 4) AS p90,
         | round(quantile_cont(n_chars, 0.99), 4) AS p99
         | FROM documents GROUP BY lang""".stripMargin.replaceAll("\n", " "),
+    // decontamination replay: same md5 split bucket, same distinct word
+    // 3-grams, same 48-bit md5 gram fingerprint, same ≥3 threshold
+    "q56_decontamination" ->
+      """WITH split AS (SELECT doc_id, text,
+        |   ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 100 AS h
+        |  FROM documents),
+        | toks AS (SELECT doc_id, h, string_split_regex(trim(text), '\s+') AS t
+        |  FROM split),
+        | sh AS (SELECT doc_id, h, unnest(list_distinct(list_transform(
+        |   range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        | fp AS (SELECT doc_id, h, ('0x' || substr(md5(g), 1, 12))::BIGINT AS gh
+        |  FROM sh),
+        | hits AS (SELECT e.doc_id AS eval_doc, tr.doc_id AS train_doc,
+        |   count(*) AS n_shared
+        |  FROM fp e JOIN fp tr ON e.gh = tr.gh
+        |  WHERE e.h >= 80 AND tr.h < 80 GROUP BY 1, 2)
+        | SELECT eval_doc, train_doc, n_shared FROM hits WHERE n_shared >= 3"""
+        .stripMargin.replaceAll("\n", " "),
+    "q57_stratified_sample" ->
+      """SELECT doc_id, lang,
+        | ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 100 AS h
+        | FROM documents
+        | WHERE ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 100 <
+        |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END"""
+        .stripMargin.replaceAll("\n", " "),
     // BRAT corpus statistics / gold-category counts over the real reference
     // corpora — DuckDB re-parses the same .txt/.ann files via read_text
     "q33_brat_stats" ->

@@ -380,6 +380,24 @@ class OpsSpec extends AnyFunSuite {
     assert(est >= 90L && est <= 91L, s"cms estimate $est outside [90, 91]")
   }
 
+  test("decontamination finds cross-split 3-gram overlap with exact shared counts") {
+    import spark.implicits._
+    // train doc 1 grams: {a b c, b c d, c d e}; eval doc 10 grams:
+    // {x b c, b c d, c d e, d e y} → 2 shared; doc 11 has <3 tokens
+    val train = Seq((1L, "a b c d e"), (2L, "p q r s")).toDF("doc_id", "text")
+    val eval = Seq((10L, "x b c d e y"), (11L, "zz ww")).toDF("doc_id", "text")
+    def pairs(min: Long) =
+      graft.dedup.Decontam.contaminatedPairs(train, eval, min)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs(2L) == Set((10L, 1L, 2L)))
+    assert(pairs(3L) == Set.empty)
+    // repeated gram inside one doc counts once (distinct-per-doc)
+    val evalRep = Seq((20L, "b c d b c d")).toDF("doc_id", "text")
+    val gotRep = graft.dedup.Decontam.contaminatedPairs(train, evalRep, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotRep == Set((20L, 1L, 1L)))
+  }
+
   test("tf-idf top terms match a closed-form two-document corpus") {
     import spark.implicits._
     // doc 0: x x x y   doc 1: y z   (N=2; df: x=1, y=2, z=1)
