@@ -30,15 +30,23 @@ object Decontam {
     conv(substring(md5(g), 1, 12), 16, 10).cast("long")
 
   /** `(doc_id, gram_hash)` — one row per distinct word 3-gram per doc.
-    * Docs with fewer than 3 tokens emit nothing. */
+    * Docs with fewer than 3 tokens emit nothing.
+    *
+    * Built from nested `zip_with` over three shifted slices rather than
+    * `transform(sequence(...), i -> element_at(toks, i+k))`: a lambda body
+    * re-evaluates its free expressions PER ELEMENT, so the element_at form
+    * re-ran the regex tokenizer 3× per gram (O(len²) work per doc — it
+    * benched 11 s at sf0.1); zip_with's argument slices evaluate the
+    * tokenizer O(1) times per row (the q48 repetition-signal pattern). */
   def gramFingerprints(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
-    val grams = transform(
-      sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ",
-        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+    val n = size(toks)
+    val g2 = zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2),
+      (a, b) => concat(a, lit(" "), b))
+    val grams = zip_with(g2, slice(toks, lit(3), n - 2),
+      (ab, c) => concat(ab, lit(" "), c))
     docs
-      .filter(size(toks) >= 3)
+      .filter(n >= 3)
       .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
       .select(col("doc_id"), gramHash(col("g")).as("gh"))
   }

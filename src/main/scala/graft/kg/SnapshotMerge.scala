@@ -38,9 +38,13 @@ object SnapshotMerge {
     val keyCols = keys.map(col)
     val keep = base.join(broadcast(delta), keys, "left_anti")
       .withColumn("op", lit("keep"))
+    // referenced twice (output row set + broadcast into the insert leg) and
+    // at most delta-sized — persist so the key-pruned base scan behind it
+    // runs once, not once per reference
     val update = base.select(keyCols: _*)
       .join(broadcast(delta), keys, "inner")
       .withColumn("op", lit("update"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val insert = delta
       .join(broadcast(update.select(keyCols: _*)), keys, "left_anti")
       .withColumn("op", lit("insert"))

@@ -34,13 +34,30 @@ object Triangles {
       .distinct()
 
   /** Orients canonical edges by (degree, id) and counts triangles.
-    * Input must be the output of [[canonicalEdges]] (u < v, distinct). */
-  def count(spark: SparkSession, canonical: DataFrame): DataFrame = {
+    * Input must be the output of [[canonicalEdges]] (u < v, distinct).
+    *
+    * `broadcastClosure` (default true): probe the wedge stream against a
+    * BROADCAST hash of the oriented edge list instead of shuffling the
+    * wedges — the wedge set is O(|E|^{3/2}) (83M rows at sf0.1 for 1.2M
+    * edges) while the edge list is O(|E|) (~19 MB), so broadcasting the
+    * small side deletes the single biggest exchange of the query
+    * (measured 6.2 s → see BASELINE.md). Set false above ~10⁸ edges,
+    * where the edge list outgrows executor memory and the shuffled
+    * closure join is the correct plan. */
+  def count(spark: SparkSession, canonical: DataFrame,
+      broadcastClosure: Boolean = true): DataFrame = {
     val deg = canonical.select(col("u").as("n"))
       .union(canonical.select(col("v").as("n")))
       .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
 
-    // orient from lower (degree, id) to higher — total order, ties by id
+    // orient from lower (degree, id) to higher — total order, ties by id.
+    // The oriented list is referenced THREE times below (e1/e2/e3) under
+    // three different join keys, so no exchange can be reused across the
+    // references — persist it once or the whole edge-derivation subtree
+    // (dedup + degree joins) recomputes per reference (the same
+    // multiply-referenced-subplan rule PageRank's loop invariants follow).
+    // CacheManager keys by canonicalized plan, so repeated invocations of
+    // the same query share one copy rather than accumulating.
     val oriented = canonical
       .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
@@ -49,10 +66,12 @@ object Triangles {
           .otherwise(col("v")).as("a"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val e1 = oriented
     val e2 = oriented.select(col("a").as("b"), col("b").as("c"))
-    val e3 = oriented.select(col("a").as("a3"), col("b").as("c3"))
+    val e3raw = oriented.select(col("a").as("a3"), col("b").as("c3"))
+    val e3 = if (broadcastClosure) broadcast(e3raw) else e3raw
     e1.join(e2, "b")
       .join(e3, col("a") === col("a3") && col("c") === col("c3"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))

@@ -337,6 +337,12 @@ class OpsSpec extends AnyFunSuite {
       c <- nodes if b < c && adj((b, c)) && adj((a, c))
     } yield 1).size.toLong
     assert(count(edges) == brute)
+    // the shuffled-closure variant (for edge lists too big to broadcast)
+    // counts identically
+    val shuffled = graft.kg.Triangles.count(spark,
+      graft.kg.Triangles.canonicalEdges(edges.toDF("u", "v"), "u", "v"),
+      broadcastClosure = false).head().getLong(0)
+    assert(shuffled == brute)
   }
 
   test("snapshot merge: broadcast-delta and full-outer variants agree; ops are exact") {
