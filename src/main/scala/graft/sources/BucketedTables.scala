@@ -32,13 +32,16 @@ object BucketedTables {
     if (!spark.catalog.tableExists(name)) {
       val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
                  else System.getProperty("java.io.tmpdir")
-      val dir = java.nio.file.Files
-        .createTempDirectory(java.nio.file.Paths.get(base), s"graft-bt-$name-")
+      // deterministic per-table path: repeated sessions overwrite in place
+      // (bucket METADATA lives in the session catalog, so each session must
+      // re-issue the bucketed saveAsTable; the overwrite keeps tmpfs bounded
+      // to one copy per table rather than one per session)
+      val dir = s"$base/graft-bt-$name"
       df.repartition(nBuckets, col(key))
         .write
         .bucketBy(nBuckets, key)
         .sortBy(key)
-        .option("path", dir.toString)
+        .option("path", dir)
         .mode("overwrite")
         .saveAsTable(name)
     }
