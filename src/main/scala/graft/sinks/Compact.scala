@@ -1,0 +1,75 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the table-maintenance operation every
+  * continuously-appending pipeline needs (Iceberg `rewrite_data_files` /
+  * Delta `OPTIMIZE` analog for the plain-parquet stand-in layout,
+  * SURVEY.md §1.4). A resumable pipeline that commits per bucket per run
+  * accretes files; at 100 TB the scan-planning and open-per-file cost of
+  * millions of small files dominates reads long before data volume does.
+  *
+  * Design:
+  *  - bin-pack to `ceil(totalBytes / targetBytes)` output files using
+  *    `coalesce` — a NARROW repack (no exchange: compaction moves bytes,
+  *    it must not pay a shuffle);
+  *  - no-op when the directory already meets the target file count — safe
+  *    to run on a schedule;
+  *  - crash-safe swap: write to `<dir>.compact-tmp` + `_SUCCESS`, move the
+  *    old dir aside, rename tmp into place, then drop the old dir. A crash
+  *    leaves either the intact original (tmp is ignored and re-created on
+  *    the next run) or the intact compacted dir plus a `.compact-old`
+  *    remnant that the next run clears — never a half-written table.
+  */
+object Compact {
+
+  final case class Stats(filesBefore: Int, filesAfter: Int, bytes: Long,
+      compacted: Boolean)
+
+  /** Compacts the flat parquet directory at `dir`. Returns before/after
+    * file counts. Row content is preserved exactly (spec-pinned). */
+  def rewrite(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Stats = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(dir + ".compact-tmp")
+    val old = new Path(dir + ".compact-old")
+    // clear remnants of a previous crash (old dir = compaction finished but
+    // cleanup didn't; tmp dir = compaction never finished)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+
+    val parts = fs.listStatus(new Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val totalBytes = parts.map(_.getLen).sum
+    val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (parts.length <= target)
+      return Stats(parts.length, parts.length, totalBytes, compacted = false)
+
+    // The scan itself groups small files into FilePartitions of up to
+    // spark.sql.files.maxPartitionBytes — at the 128 MB default a pile of
+    // tiny files collapses into FEWER partitions than the bin target, and
+    // coalesce can only reduce. Scope the scan to (maxPartitionBytes =
+    // targetBytes, openCost = 0) so it yields ≥ target partitions, then
+    // coalesce down to exactly `target` — still a narrow repack end-to-end.
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      spark.read.parquet(dir).coalesce(target)
+        .write.mode("overwrite").parquet(tmp.toString)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+    require(fs.exists(new Path(tmp, "_SUCCESS")), s"compaction write to $tmp failed")
+    require(fs.rename(new Path(dir), old), s"could not move $dir aside")
+    require(fs.rename(tmp, new Path(dir)), s"could not activate $tmp")
+    fs.delete(old, true)
+
+    val after = fs.listStatus(new Path(dir))
+      .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    Stats(parts.length, after, totalBytes, compacted = true)
+  }
+}

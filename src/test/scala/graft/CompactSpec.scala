@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction: row preservation, bin-packing arithmetic, no-op idempotence,
+  * and crash-remnant cleanup. */
+class CompactSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-compact-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  test("compaction bin-packs small files, preserves rows, and no-ops when met") {
+    import spark.implicits._
+    val dir = freshDir()
+    val rows = (0L until 5000L).map(i => (i, s"doc $i body"))
+    rows.toDF("id", "body").repartition(40).write.parquet(dir)
+
+    val before = spark.read.parquet(dir)
+    assert(before.inputFiles.length == 40)
+
+    // huge target → everything packs into one file
+    val s1 = graft.sinks.Compact.rewrite(spark, dir)
+    assert(s1.compacted && s1.filesBefore == 40 && s1.filesAfter == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      rows.sortBy(_._1))
+
+    // already compact → no-op, nothing rewritten
+    val s2 = graft.sinks.Compact.rewrite(spark, dir)
+    assert(!s2.compacted && s2.filesBefore == 1 && s2.filesAfter == 1)
+  }
+
+  test("target-size arithmetic: ceil(total/target) output files") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0L until 20000L).map(i => (i, f"padding-padding-padding-$i%08d"))
+      .toDF("id", "body").repartition(32).write.parquet(dir)
+    val total = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.length).sum
+    // pick a target that lands strictly between 2 and 32 output files
+    val target = total / 5
+    val s = graft.sinks.Compact.rewrite(spark, dir, target)
+    val expected = math.ceil(total.toDouble / target).toInt
+    assert(s.compacted && s.filesAfter == expected,
+      s"expected $expected files, got ${s.filesAfter}")
+    assert(spark.read.parquet(dir).count() == 20000L)
+  }
+
+  test("stale crash remnants are cleared before compacting") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0L until 100L).map(i => (i, i.toString)).toDF("id", "body")
+      .repartition(10).write.parquet(dir)
+    // simulate a crash: leftover tmp and old dirs with junk
+    new java.io.File(dir + ".compact-tmp").mkdirs()
+    new java.io.File(dir + ".compact-tmp/garbage").createNewFile()
+    new java.io.File(dir + ".compact-old").mkdirs()
+    val s = graft.sinks.Compact.rewrite(spark, dir)
+    assert(s.compacted && s.filesAfter == 1)
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
+    assert(!new java.io.File(dir + ".compact-old").exists())
+    assert(spark.read.parquet(dir).count() == 100L)
+  }
+}
