@@ -1189,9 +1189,13 @@ object SparkEntry {
       max(length(col("text"))),
       max(octet_length(col("text"))),
       max(size(split(trim(col("text")), "\\s+")))).head()
-    val maxLen = m.getInt(0).toLong
-    val maxBytes = m.getInt(1).toLong
-    val maxToks = m.getInt(2).toLong
+    // max() over zero rows is null — fall back to the former static bounds
+    // rather than NPE-ing the whole verify dump on an empty table
+    def bound(i: Int, default: Long): Long =
+      if (m.isNullAt(i)) default else m.getInt(i).toLong
+    val maxLen = bound(0, 32768L)
+    val maxBytes = bound(1, 262144L)
+    val maxToks = bound(2, 4096L)
     val derived = Map(
       "q10_ner_mentions" -> nerMentionsSql(maxLen + 1),
       "q26_ner_batched" -> nerMentionsSql(maxLen + 1),

@@ -182,7 +182,10 @@ object Dedup {
     * then join back against the signature table for the agreement
     * estimate; that table is persisted because it feeds both the banding
     * scan and the join-back, and at ~0.5 KB/doc it is a rounding error
-    * next to the corpus it summarizes. */
+    * next to the corpus it summarizes. The cache entry lives until session
+    * end (CacheManager dedups identical plans, so re-running the same
+    * corpus shares one copy); a long-lived session sweeping many DISTINCT
+    * corpora should `spark.catalog.clearCache()` between them. */
   private def pairsFromSigs(spark: SparkSession, sigs: DataFrame,
       minJaccard: Double,
       truncatedBuckets: org.apache.spark.util.LongAccumulator): DataFrame = {

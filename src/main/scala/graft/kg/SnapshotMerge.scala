@@ -40,7 +40,9 @@ object SnapshotMerge {
       .withColumn("op", lit("keep"))
     // referenced twice (output row set + broadcast into the insert leg) and
     // at most delta-sized — persist so the key-pruned base scan behind it
-    // runs once, not once per reference
+    // runs once, not once per reference. Lives in the session cache until
+    // session end (identical re-merges share one entry); sessions merging
+    // many distinct batches should spark.catalog.clearCache() between them
     val update = base.select(keyCols: _*)
       .join(broadcast(delta), keys, "inner")
       .withColumn("op", lit("update"))

@@ -36,16 +36,23 @@ object Triangles {
   /** Orients canonical edges by (degree, id) and counts triangles.
     * Input must be the output of [[canonicalEdges]] (u < v, distinct).
     *
-    * `broadcastClosure` (default true): probe the wedge stream against a
-    * BROADCAST hash of the oriented edge list instead of shuffling the
-    * wedges — the wedge set is O(|E|^{3/2}) (83M rows at sf0.1 for 1.2M
-    * edges) while the edge list is O(|E|) (~19 MB), so broadcasting the
-    * small side deletes the single biggest exchange of the query
-    * (measured 6.2 s → see BASELINE.md). Set false above ~10⁸ edges,
-    * where the edge list outgrows executor memory and the shuffled
-    * closure join is the correct plan. */
+    * Closure-probe strategy, decided from the MEASURED edge count (the
+    * oriented list is persisted anyway, so the count just materializes the
+    * cache the joins need next): when the edge list fits comfortably in
+    * executor memory (≤ `maxBroadcastEdges`), probe the wedge stream
+    * against a BROADCAST hash of it instead of shuffling the wedges — the
+    * wedge set is O(|E|^{3/2}) (83M rows at sf0.1 for 1.2M edges) while
+    * the edge list is O(|E|) (~19 MB), so broadcasting the small side
+    * deletes the single biggest exchange of the query (measured
+    * 6.2 s → 4.8 s, BASELINE.md). Above the limit the shuffled closure
+    * join is the correct plan and is chosen automatically — no caller
+    * ever hard-codes a broadcast that OOMs at scale.
+    *
+    * The persisted list lives in the session cache until session end;
+    * callers counting many distinct graphs in one long session should
+    * `spark.catalog.clearCache()` between corpora. */
   def count(spark: SparkSession, canonical: DataFrame,
-      broadcastClosure: Boolean = true): DataFrame = {
+      maxBroadcastEdges: Long = 50000000L): DataFrame = {
     val deg = canonical.select(col("u").as("n"))
       .union(canonical.select(col("v").as("n")))
       .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
@@ -68,10 +75,11 @@ object Triangles {
           .otherwise(col("u")).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val nEdges = oriented.count() // materializes the cache; decides the plan
     val e1 = oriented
     val e2 = oriented.select(col("a").as("b"), col("b").as("c"))
     val e3raw = oriented.select(col("a").as("a3"), col("b").as("c3"))
-    val e3 = if (broadcastClosure) broadcast(e3raw) else e3raw
+    val e3 = if (nEdges <= maxBroadcastEdges) broadcast(e3raw) else e3raw
     e1.join(e2, "b")
       .join(e3, col("a") === col("a3") && col("c") === col("c3"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))

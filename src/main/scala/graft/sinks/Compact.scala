@@ -32,10 +32,25 @@ object Compact {
   def rewrite(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): Stats = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dirP = new Path(dir)
     val tmp = new Path(dir + ".compact-tmp")
     val old = new Path(dir + ".compact-old")
-    // clear remnants of a previous crash (old dir = compaction finished but
-    // cleanup didn't; tmp dir = compaction never finished)
+    // Crash recovery BEFORE touching any remnant: a previous run may have
+    // died between the two renames, leaving the data dir absent while the
+    // only surviving copies are tmp (complete iff _SUCCESS) and/or old.
+    // Deleting remnants first would destroy the last copy of the table.
+    if (!fs.exists(dirP)) {
+      if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+        require(fs.rename(tmp, dirP), s"could not promote $tmp to $dir")
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, dirP), s"could not restore $old to $dir")
+      } else {
+        throw new java.io.FileNotFoundException(
+          s"$dir missing and no recoverable compaction remnant exists")
+      }
+    }
+    // now the data dir is intact — remnants are stale and safe to clear
+    // (old = swap finished but cleanup didn't; tmp = write never finished)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(tmp)) fs.delete(tmp, true)
 

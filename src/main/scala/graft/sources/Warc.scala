@@ -185,15 +185,24 @@ object Warc {
           http.getBytes(US_ASCII) ++ html, date)
       }
 
+  /** Single-pass concatenation — `reduce(_ ++ _)` would copy a growing
+    * prefix per record (O(records × bytes) memcpy on a realistic segment). */
+  private def concatAll(chunks: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      chunks.iterator.map(_.length).sum max 64)
+    chunks.foreach(out.write)
+    out.toByteArray
+  }
+
   /** Serialize `(url, html)` pages as one WARC file's bytes (warcinfo
     * record + one `response` record per page) — the test/fixture writer;
     * also the shape a re-crawl sink would emit. */
   def writeWarc(pages: Seq[(String, Array[Byte])], date: String = "2026-01-01T00:00:00Z"): Array[Byte] =
-    allRecords(pages, date).reduce(_ ++ _)
+    concatAll(allRecords(pages, date))
 
   /** Serialize pages in Common Crawl's shipping format: `.warc.gz` with one
     * gzip member PER RECORD, concatenated — exactly what [[gunzipAll]]
     * inverts and what a real crawl segment looks like on disk. */
   def writeWarcGz(pages: Seq[(String, Array[Byte])], date: String = "2026-01-01T00:00:00Z"): Array[Byte] =
-    allRecords(pages, date).map(gzipMember).reduce(_ ++ _)
+    concatAll(allRecords(pages, date).map(gzipMember))
 }

@@ -69,14 +69,18 @@ object StreamingKg {
               val ts = try java.sql.Timestamp.from(java.time.Instant.parse(r.warc_date))
                        catch { case _: Exception => new java.sql.Timestamp(0L) }
               val html = graft.sources.Warc.httpBody(r.payload)
-              val detected = graft.quality.TextQuality.detectLang(
-                graft.html.HtmlText.extract(html))
+              // extract ONCE: the text feeds language-ID here and mention
+              // extraction downstream (annotatedPages reuses the column
+              // instead of re-parsing the html — extraction is the dominant
+              // per-page ingest cost)
+              val text = graft.html.HtmlText.extract(html)
+              val detected = graft.quality.TextQuality.detectLang(text)
               val lang = if (detected == "und") defaultLang else detected
-              (r.target_uri, ts, html, lang)
+              (r.target_uri, ts, html, text, lang)
             }
         }
       }
-      .toDF("url", "warc_ts", "html", "lang")
+      .toDF("url", "warc_ts", "html", "text", "lang")
   }
 
   /** Per-page annotation with lineage — the streaming analog of the batch
@@ -96,13 +100,22 @@ object StreamingKg {
     val annotatorCfg = annotator
     val spc = sentencesPerCall
 
-    pages
-      .select($"url", $"warc_ts", $"html", $"lang")
-      .as[(String, java.sql.Timestamp, Array[Byte], String)]
+    // reuse an existing extracted-text column (the input-table shape and
+    // [[warcPages]] both carry one — contract: text == extract(html), the
+    // batch pipeline's html_ok invariant); extract only when absent
+    val withText: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp, String, String)] =
+      if (pages.columns.contains("text"))
+        pages.select($"url", $"warc_ts", $"text", $"lang")
+          .as[(String, java.sql.Timestamp, String, String)]
+      else
+        pages.select($"url", $"warc_ts", $"html", $"lang")
+          .as[(String, java.sql.Timestamp, Array[Byte], String)]
+          .map { case (url, ts, html, lang) =>
+            (url, ts, graft.html.HtmlText.extract(html), lang) }
+    withText
       .mapPartitions { it =>
         val ann = annotatorCfg.getOrElse(DictAnnotator(dictLocal))
-        it.map { case (url, ts, html, lang) =>
-          val text = graft.html.HtmlText.extract(html)
+        it.map { case (url, ts, text, lang) =>
           val sys = sysPromptByLang.getOrElse(lang, sysPromptByLang("en"))
           val (ms, failed) = MentionExtractor
             .extractWithStats(ann, sys, catsLocal, text, spc)

@@ -58,6 +58,39 @@ class CompactSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 20000L)
   }
 
+  test("crash between the two renames recovers: tmp with _SUCCESS is promoted") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0L until 200L).map(i => (i, i.toString)).toDF("id", "body")
+      .repartition(10).write.parquet(dir)
+    // simulate: compacted write finished, dir moved aside, process died
+    // before tmp was renamed into place
+    val f = new java.io.File(dir)
+    (0L until 200L).map(i => (i, i.toString)).toDF("id", "body")
+      .coalesce(1).write.parquet(dir + ".compact-tmp")
+    org.apache.commons.io.FileUtils.moveDirectory(f, new java.io.File(dir + ".compact-old"))
+    val s = graft.sinks.Compact.rewrite(spark, dir)
+    // tmp (complete, _SUCCESS) was promoted; already compact → no-op stats
+    assert(!s.compacted && s.filesAfter == 1)
+    assert(spark.read.parquet(dir).count() == 200L)
+    assert(!new java.io.File(dir + ".compact-old").exists())
+  }
+
+  test("crash before the tmp write finished recovers: original is restored") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0L until 150L).map(i => (i, i.toString)).toDF("id", "body")
+      .repartition(10).write.parquet(dir)
+    // simulate: dir moved aside, tmp incomplete (no _SUCCESS), process died
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(dir), new java.io.File(dir + ".compact-old"))
+    new java.io.File(dir + ".compact-tmp").mkdirs()
+    new java.io.File(dir + ".compact-tmp/part-junk").createNewFile()
+    val s = graft.sinks.Compact.rewrite(spark, dir)
+    assert(s.compacted && s.filesBefore == 10 && s.filesAfter == 1)
+    assert(spark.read.parquet(dir).count() == 150L)
+  }
+
   test("stale crash remnants are cleared before compacting") {
     import spark.implicits._
     val dir = freshDir()

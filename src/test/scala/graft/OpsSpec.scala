@@ -337,11 +337,11 @@ class OpsSpec extends AnyFunSuite {
       c <- nodes if b < c && adj((b, c)) && adj((a, c))
     } yield 1).size.toLong
     assert(count(edges) == brute)
-    // the shuffled-closure variant (for edge lists too big to broadcast)
-    // counts identically
+    // the shuffled-closure variant (chosen automatically above the edge
+    // limit) counts identically
     val shuffled = graft.kg.Triangles.count(spark,
       graft.kg.Triangles.canonicalEdges(edges.toDF("u", "v"), "u", "v"),
-      broadcastClosure = false).head().getLong(0)
+      maxBroadcastEdges = 0L).head().getLong(0)
     assert(shuffled == brute)
   }
 
