@@ -29,6 +29,18 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(df.count() == spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
+  test("aggregation on the bucket key also plans with zero exchanges") {
+    val sfx = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val d = graft.sources.BucketedTables.ensure(spark, s"graft_docs_b$sfx",
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", 8)
+    val agg = d.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("chars"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-key aggregation must not shuffle:\n$plan")
+    assert(agg.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
   test("bucketed table ensure() is idempotent within a session") {
     val sfx = sf.replaceAll("[^A-Za-z0-9]", "_")
     val t1 = graft.sources.BucketedTables.ensure(spark, s"graft_docs_b$sfx",
