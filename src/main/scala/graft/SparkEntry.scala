@@ -445,6 +445,40 @@ object SparkEntry {
           col("prev_click_sec"),
           (col("sec") - col("prev_click_sec")).as("gap_s"))
     }),
+    // interval (point-in-range) join WITHOUT a nested-loop plan: the
+    // bin-bucketing rewrite — each session explodes over the coarse time
+    // bins it covers, each probe point maps to its single bin, and the
+    // match becomes an EQUI-join on (user_id, bin) + a residual range
+    // filter. A raw `ts BETWEEN start AND end` join gives Catalyst no
+    // equi key (BroadcastNestedLoopJoin — quadratic per user at scale);
+    // the rewrite is one hash-partitioned shuffle per side. Sessions =
+    // gap sessionization of click events (the q40 machinery; gap 200000 s
+    // ≈ the corpus's per-user click cadence so sessions have real extent);
+    // probes = error events attributed to the session containing them.
+    // Disjoint per-user sessions + one bin per probe ⇒ no duplicates.
+    "q58_interval_join" -> ((s, dir) => {
+      val sec = col("ts").cast("timestamp").cast("long")
+      val w = Window.partitionBy("user_id").orderBy(sec, col("event_id"))
+      val gap = sec - lag(sec, 1).over(w)
+      val isNew = when(gap.isNull || gap > 200000, 1).otherwise(0)
+      val ev = t(s, dir, "events")
+      val sessions = ev.filter(col("event_type") === "click")
+        .withColumn("session_idx",
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(min(sec).as("s_start"), max(sec).as("s_end"))
+      val binSz = 86400L
+      // NB Spark's `/` on longs is DOUBLE division — bin ids need floor+cast
+      def bin(c: org.apache.spark.sql.Column) = floor(c / binSz).cast("long")
+      val sBinned = sessions.withColumn("bin",
+        explode(sequence(bin(col("s_start")), bin(col("s_end")))))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), sec.as("err_sec"),
+          bin(sec).as("bin"))
+      errs.join(sBinned, Seq("user_id", "bin"))
+        .filter(col("err_sec").between(col("s_start"), col("s_end")))
+        .select("event_id", "user_id", "err_sec", "session_idx", "s_start", "s_end")
+    }),
     // BPE-ish pre-tokenizer count (training-data length budgeting) — pure
     // codegen'd regexp, no UDF; the pattern is RE2-compatible so the
     // DuckDB oracle runs the IDENTICAL regex
@@ -1140,6 +1174,29 @@ object SparkEntry {
         | SELECT event_id, user_id, sec, prev_click_sec,
         |  sec - prev_click_sec AS gap_s
         | FROM w WHERE event_type = 'error'"""
+        .stripMargin.replaceAll("\n", " "),
+    // interval-join replay: the binning is a plan-level rewrite, not a
+    // semantic one — the oracle states the plain point-in-range join
+    "q58_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |   floor(epoch(ts::timestamp))::bigint AS sec FROM events),
+        | g AS (SELECT user_id, event_id, sec,
+        |   CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 200000
+        |        THEN 1 ELSE 0 END AS isnew
+        |  FROM e WHERE event_type = 'click'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        | sidx AS (SELECT user_id, sec,
+        |   sum(isnew) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_idx FROM g),
+        | sess AS (SELECT user_id, session_idx::bigint AS session_idx,
+        |   min(sec) AS s_start, max(sec) AS s_end
+        |  FROM sidx GROUP BY 1, 2)
+        | SELECT err.event_id, err.user_id, err.sec AS err_sec,
+        |  sess.session_idx, sess.s_start, sess.s_end
+        | FROM (SELECT event_id, user_id, sec FROM e
+        |       WHERE event_type = 'error') err
+        | JOIN sess ON err.user_id = sess.user_id
+        |  AND err.sec BETWEEN sess.s_start AND sess.s_end"""
         .stripMargin.replaceAll("\n", " "),
     "q40_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -136,4 +136,15 @@ class SparkQueriesSpec extends AnyFunSuite {
     val (pe, pa) = (r.getDouble(2), r.getDouble(3))
     assert(math.abs(pa - pe) / pe < 0.01, s"percentile sketch off: $pe vs $pa")
   }
+
+  test("q58 interval join plans as an equi-join (no nested-loop, no cartesian)") {
+    val df = SparkEntry.queries("q58_interval_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bin-bucketing must yield an equi-join plan:\n$plan")
+    // every attributed error really sits inside its session's interval
+    val bad = df.filter(col("err_sec") < col("s_start") ||
+      col("err_sec") > col("s_end")).count()
+    assert(bad == 0)
+  }
 }
