@@ -659,6 +659,28 @@ object SparkEntry {
         .filter(col("h") < rate)
         .select(col("doc_id"), col("lang"), col("h"))
     }),
+    // JSONL round-trip — the interchange format training corpora actually
+    // ship in: write the documents table as JSON Lines (native writer,
+    // splittable line-per-record at scale), read it back under the
+    // original schema, and join against the source to prove per-row
+    // losslessness (text_ok must be true on EVERY row for the oracle hash
+    // to match). The write happens once per sf dir (_SUCCESS-gated reuse).
+    "q59_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+                 else System.getProperty("java.io.tmpdir")
+      val out = s"$base/graft-jsonl-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        docs.repartition(4).write.mode("overwrite").json(out)
+      val back = s.read.schema(docs.schema).json(out)
+        .select(col("doc_id"), col("text").as("text_back"),
+          col("n_chars").as("n_chars_back"))
+      docs.join(back, "doc_id")
+        .select(col("doc_id"),
+          (col("text") === col("text_back") &&
+            col("n_chars") === col("n_chars_back")).as("text_ok"),
+          col("n_chars"))
+    }),
     // ---- BRAT standoff source over the real reference corpora (SURVEY §2
     // op 1; these read /root/reference/datasets, not the sf dir) ----
     "q33_brat_stats" -> ((s, _) => graft.sources.Brat.statistics(s)),
@@ -1069,6 +1091,11 @@ object SparkEntry {
         | FROM documents
         | WHERE ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 100 <
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END"""
+        .stripMargin.replaceAll("\n", " "),
+    // the JSONL round-trip is lossless iff every row reads text_ok=true —
+    // the oracle simply asserts that shape from the source table
+    "q59_jsonl_roundtrip" ->
+      """SELECT doc_id, true AS text_ok, n_chars FROM documents"""
         .stripMargin.replaceAll("\n", " "),
     // BRAT corpus statistics / gold-category counts over the real reference
     // corpora — DuckDB re-parses the same .txt/.ann files via read_text
