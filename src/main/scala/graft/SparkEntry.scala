@@ -595,15 +595,20 @@ object SparkEntry {
     // (see [[graft.kg.SnapshotMerge]] scaladoc for the 100 TB regime).
     "q51_merge_upsert" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      def triplesOf(mod: Int, rev: Int) = {
-        val sub = docs.filter(col("doc_id") % mod === 0)
-        val linked = Kg.disambiguate(
-          Kg.candidates(NerSpark.mentions(s, sub), Kg.aliasDf(s)))
-        Kg.triples(linked, NerSpark.Predicates)
-          .select("subj", "pred", "obj").distinct()
-          .withColumn("rev", lit(rev.toLong))
-      }
-      graft.kg.SnapshotMerge.merge(triplesOf(2, 1), triplesOf(3, 2),
+        .filter(col("doc_id") % 2 === 0 || col("doc_id") % 3 === 0)
+      val linked = Kg.disambiguate(
+        Kg.candidates(NerSpark.mentions(s, docs), Kg.aliasDf(s)))
+      // one extraction pass shared by both merge legs (in production base
+      // and delta are table scans; here both derive from the same NER
+      // subtree, which would otherwise recompute per leg)
+      val tr = Kg.triples(linked, NerSpark.Predicates)
+        .select(col("subj"), col("pred"), col("obj"),
+          substring_index(col("obj"), "/", -1).cast("long").as("did"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def leg(mod: Int, rev: Int) = tr.filter(col("did") % mod === 0)
+        .select("subj", "pred", "obj").withColumn("rev", lit(rev.toLong))
+      graft.kg.SnapshotMerge.merge(leg(2, 1), leg(3, 2),
         Seq("subj", "pred", "obj"))
     }),
     // skew profiler: the measurement that decides broadcast vs AQE vs
