@@ -274,10 +274,8 @@ object SparkEntry {
     }),
     // ---- north-rule pipeline on synthesized webtext (no external data) ----
     "q20_kg_pipeline" -> ((s, _) => {
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-                 else System.getProperty("java.io.tmpdir")
-      val out = java.nio.file.Files
-        .createTempDirectory(java.nio.file.Paths.get(base), "graft-q20-").toString
+      val out = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.core.TmpFs.base), "graft-q20-").toString
       val pages = graft.fixtures.WebTextGen.pages(s, 500, 8).toDF()
       graft.kg.KgPipeline.run(s, pages, graft.kg.KgPipeline.Config(out, numBuckets = 8))
       // materialize the (fixed 500-doc demo-sized) result, then delete the
@@ -297,10 +295,8 @@ object SparkEntry {
     // dictionary × containment × the engine-emitted winner map
     "q46_kg_pipeline_sf" -> ((s, dir) => {
       import s.implicits._
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-                 else System.getProperty("java.io.tmpdir")
-      val out = java.nio.file.Files
-        .createTempDirectory(java.nio.file.Paths.get(base), "graft-q46-").toString
+      val out = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.core.TmpFs.base), "graft-q46-").toString
       val pages = t(s, dir, "documents")
         .select(col("doc_id").cast("long"), col("text"), col("lang"))
         .as[(Long, String, String)]
@@ -672,9 +668,11 @@ object SparkEntry {
     // to match). The write happens once per sf dir (_SUCCESS-gated reuse).
     "q59_jsonl_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-                 else System.getProperty("java.io.tmpdir")
-      val out = s"$base/graft-jsonl-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      // path keyed by source mtime+size so a regenerated table invalidates
+      // the reuse; the copy is sf-dir-sized (MBs), not bench-corpus-sized
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val out = s"${graft.core.TmpFs.base}/graft-jsonl-" +
+        s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}-${src.lastModified}-${src.length}"
       if (!new java.io.File(out, "_SUCCESS").exists())
         docs.repartition(4).write.mode("overwrite").json(out)
       val back = s.read.schema(docs.schema).json(out)

@@ -24,24 +24,30 @@ import org.apache.spark.sql.functions.col
   */
 object BucketedTables {
 
+  /** Per-PROCESS scratch root, removed on JVM exit. Bucket METADATA lives
+    * in the session catalog so each process must re-issue the bucketed
+    * saveAsTable anyway; keying the path by pid means two concurrent JVMs
+    * (a verify run beside a bench, forked test JVMs) can never overwrite
+    * the part files the other's scan is reading — a shared deterministic
+    * path made that race possible. The shutdown hook keeps tmpfs bounded. */
+  private lazy val procDir: String = {
+    val d = s"${graft.core.TmpFs.base}/graft-bt-${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
+    d
+  }
+
   /** Creates catalog table `name` from `df` bucketed+sorted by `key` at an
-    * external temp path, or returns the existing one (idempotent within a
-    * session — bench sweeps re-enter the same query). */
+    * external per-process path, or returns the existing one (idempotent
+    * within a session — bench sweeps re-enter the same query). */
   def ensure(spark: SparkSession, name: String, df: => DataFrame, key: String,
       nBuckets: Int): DataFrame = {
     if (!spark.catalog.tableExists(name)) {
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-                 else System.getProperty("java.io.tmpdir")
-      // deterministic per-table path: repeated sessions overwrite in place
-      // (bucket METADATA lives in the session catalog, so each session must
-      // re-issue the bucketed saveAsTable; the overwrite keeps tmpfs bounded
-      // to one copy per table rather than one per session)
-      val dir = s"$base/graft-bt-$name"
       df.repartition(nBuckets, col(key))
         .write
         .bucketBy(nBuckets, key)
         .sortBy(key)
-        .option("path", dir)
+        .option("path", s"$procDir/$name")
         .mode("overwrite")
         .saveAsTable(name)
     }
@@ -52,13 +58,15 @@ object BucketedTables {
     * partition pruning axis (Iceberg identity transform): a filter on
     * `lang` prunes whole directories at PLANNING time (`PartitionFilters`
     * in the scan, zero tasks for pruned partitions). Deterministic
-    * location per sf dir, `_SUCCESS`-gated reuse across sessions of the
-    * same JVM run; `repartition(lang)` first so the write emits one file
-    * per partition value, not tasks×values (round-1 small-files note). */
+    * location per (sf dir, source mtime+size) — the tag invalidates the
+    * `_SUCCESS`-gated reuse if the source table is ever regenerated in
+    * place; `repartition(lang)` first so the write emits one file per
+    * partition value, not tasks×values (round-1 small-files note). */
   def partitionedDocsByLang(spark: SparkSession, sfDir: String): String = {
-    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-               else System.getProperty("java.io.tmpdir")
-    val out = s"$base/graft-docs-bylang-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val tag = s"${src.lastModified}-${src.length}"
+    val out = s"${graft.core.TmpFs.base}/graft-docs-bylang-" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}-$tag"
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       spark.read.parquet(s"$sfDir/documents.parquet")
         .repartition(col("lang"))

@@ -41,9 +41,11 @@ object StreamingKg {
     * bare `new Configuration()` would silently drop them.
     *
     * Output columns match [[triplesStream]]'s input contract: `url`,
-    * `warc_ts` (parsed from `WARC-Date`), `html`, `lang`. Crawls carry no
-    * language tag, so `lang` is detected from the extracted text with the
-    * engine's own trigram language-ID ([[graft.quality.TextQuality
+    * `warc_ts` (parsed from `WARC-Date`), `text` (engine-extracted from
+    * the response html, ONCE — html itself is deliberately not emitted,
+    * see [[annotatedPages]]'s annotation-input rule), `lang`. Crawls carry
+    * no language tag, so `lang` is detected from the extracted text with
+    * the engine's own trigram language-ID ([[graft.quality.TextQuality
     * .detectLang]] — same semantics as the batch `langIdCol`);
     * `defaultLang` stands in only when detection returns "und". */
   def warcPages(spark: SparkSession, manifestDir: String,
@@ -70,17 +72,18 @@ object StreamingKg {
                        catch { case _: Exception => new java.sql.Timestamp(0L) }
               val html = graft.sources.Warc.httpBody(r.payload)
               // extract ONCE: the text feeds language-ID here and mention
-              // extraction downstream (annotatedPages reuses the column
-              // instead of re-parsing the html — extraction is the dominant
-              // per-page ingest cost)
+              // extraction downstream. html is deliberately NOT emitted —
+              // annotatedPages re-extracts whenever raw html is present
+              // (batch-pipeline parity), so carrying both would re-parse
+              // every page, the dominant per-page ingest cost
               val text = graft.html.HtmlText.extract(html)
               val detected = graft.quality.TextQuality.detectLang(text)
               val lang = if (detected == "und") defaultLang else detected
-              (r.target_uri, ts, html, text, lang)
+              (r.target_uri, ts, text, lang)
             }
         }
       }
-      .toDF("url", "warc_ts", "html", "text", "lang")
+      .toDF("url", "warc_ts", "text", "lang")
   }
 
   /** Per-page annotation with lineage — the streaming analog of the batch
@@ -100,18 +103,21 @@ object StreamingKg {
     val annotatorCfg = annotator
     val spc = sentencesPerCall
 
-    // reuse an existing extracted-text column (the input-table shape and
-    // [[warcPages]] both carry one — contract: text == extract(html), the
-    // batch pipeline's html_ok invariant); extract only when absent
+    // Annotation input rule, matching the batch pipeline exactly: when raw
+    // html is present, annotate extract(html) — a stored text column that
+    // disagrees with the html must change only the html_ok metric, never
+    // the mentions (KgPipeline does the same). Sources that ship ONLY
+    // extracted text ([[warcPages]], which extracts once at ingest and
+    // deliberately omits html) provide text without html.
     val withText: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp, String, String)] =
-      if (pages.columns.contains("text"))
-        pages.select($"url", $"warc_ts", $"text", $"lang")
-          .as[(String, java.sql.Timestamp, String, String)]
-      else
+      if (pages.columns.contains("html"))
         pages.select($"url", $"warc_ts", $"html", $"lang")
           .as[(String, java.sql.Timestamp, Array[Byte], String)]
           .map { case (url, ts, html, lang) =>
             (url, ts, graft.html.HtmlText.extract(html), lang) }
+      else
+        pages.select($"url", $"warc_ts", $"text", $"lang")
+          .as[(String, java.sql.Timestamp, String, String)]
     withText
       .mapPartitions { it =>
         val ann = annotatorCfg.getOrElse(DictAnnotator(dictLocal))
