@@ -522,13 +522,14 @@ object SparkEntry {
         .except(d.filter(col("source") === "src0").select("doc_id"))
     }),
     // deterministic hash split — the standard train/val/test assignment
-    // for training corpora: md5 of the stable doc key → bucket in [0,100),
-    // 80/10/10. Pure narrow map (no shuffle, no RNG state): any slice of
-    // the corpus re-derives the identical assignment on any engine — the
-    // property that makes splits reproducible across reruns and backfills.
+    // for training corpora: the shared md5 bucket ([[graft.core.Buckets]],
+    // the SAME primitive as q56's decontam split and q57's sampling, so
+    // the three can never drift) in [0,100), 80/10/10. Pure narrow map
+    // (no shuffle, no RNG state): any slice of the corpus re-derives the
+    // identical assignment on any engine — the property that makes splits
+    // reproducible across reruns and backfills.
     "q47_hash_split" -> ((s, dir) => {
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+      val h = graft.core.Buckets.md5Bucket(col("doc_id"), 100)
       t(s, dir, "documents").select(col("doc_id"), h.as("h"),
         when(h < 80, "train").when(h < 90, "val")
           .otherwise("test").as("split"))
@@ -638,13 +639,16 @@ object SparkEntry {
         round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
         round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))),
     // train/eval decontamination (the pre-ship overlap check of every
-    // training corpus): eval docs sharing ≥3 distinct word 3-grams with
-    // any train doc, joined on 48-bit md5 gram fingerprints — 8-byte
-    // exchange keys, oracle shares the hash primitive (see Decontam)
+    // training corpus): eval docs sharing ≥3 distinct word 13-grams with
+    // any train doc (the GPT-3-appendix gram length; shorter grams are
+    // corpus stop-phrases), joined on 48-bit md5 gram fingerprints —
+    // 8-byte exchange keys, train side never exchanged (eval-set
+    // broadcast semi-join), boilerplate grams df-capped before the join;
+    // the split reuses q47's md5 bucket ([[graft.core.Buckets]]) and the
+    // oracle shares every hash primitive (see Decontam)
     "q56_decontamination" -> ((s, dir) => {
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-      val d = t(s, dir, "documents").withColumn("h", h)
+      val d = t(s, dir, "documents")
+        .withColumn("h", graft.core.Buckets.md5Bucket(col("doc_id"), 100))
       graft.dedup.Decontam.contaminatedPairs(
         d.filter(col("h") < 80), d.filter(col("h") >= 80), 3L)
     }),
@@ -652,8 +656,7 @@ object SparkEntry {
     // keep-rates applied through the same md5 bucket as the q47 split —
     // no RNG state, any slice of the corpus re-derives the same sample
     "q57_stratified_sample" -> ((s, dir) => {
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+      val h = graft.core.Buckets.md5Bucket(col("doc_id"), 100)
       val rate = when(col("lang") === "en", 50L)
         .when(col("lang") === "de", 25L).otherwise(10L)
       t(s, dir, "documents").withColumn("h", h)
@@ -1070,7 +1073,9 @@ object SparkEntry {
         | round(quantile_cont(n_chars, 0.99), 4) AS p99
         | FROM documents GROUP BY lang""".stripMargin.replaceAll("\n", " "),
     // decontamination replay: same md5 split bucket, same distinct word
-    // 3-grams, same 48-bit md5 gram fingerprint, same ≥3 threshold
+    // 13-grams, same 48-bit md5 gram fingerprint, same train-side df cap
+    // (10000 — a no-op on the fixture, replayed anyway so the gate checks
+    // the FULL semantics), same ≥3 threshold
     "q56_decontamination" ->
       """WITH split AS (SELECT doc_id, text,
         |   ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 100 AS h
@@ -1078,14 +1083,16 @@ object SparkEntry {
         | toks AS (SELECT doc_id, h, string_split_regex(trim(text), '\s+') AS t
         |  FROM split),
         | sh AS (SELECT doc_id, h, unnest(list_distinct(list_transform(
-        |   range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
-        |  FROM toks WHERE len(t) >= 3),
+        |   range(1, len(t) - 11),
+        |   i -> list_aggregate(t[i:i+12], 'string_agg', ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 13),
         | fp AS (SELECT doc_id, h, ('0x' || substr(md5(g), 1, 12))::BIGINT AS gh
         |  FROM sh),
+        | tdf AS (SELECT gh, count(*) AS tdf FROM fp WHERE h < 80 GROUP BY 1),
         | hits AS (SELECT e.doc_id AS eval_doc, tr.doc_id AS train_doc,
         |   count(*) AS n_shared
-        |  FROM fp e JOIN fp tr ON e.gh = tr.gh
-        |  WHERE e.h >= 80 AND tr.h < 80 GROUP BY 1, 2)
+        |  FROM fp e JOIN fp tr ON e.gh = tr.gh JOIN tdf ON tdf.gh = e.gh
+        |  WHERE e.h >= 80 AND tr.h < 80 AND tdf.tdf <= 10000 GROUP BY 1, 2)
         | SELECT eval_doc, train_doc, n_shared FROM hits WHERE n_shared >= 3"""
         .stripMargin.replaceAll("\n", " "),
     "q57_stratified_sample" ->

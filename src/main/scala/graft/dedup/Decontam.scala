@@ -10,17 +10,37 @@ import org.apache.spark.sql.functions._
   * by the GPT-3/PaLM/Llama decontamination appendices; the reference has
   * no notion of splits at all — its corpora ARE the eval).
   *
-  * Shape: per-doc DISTINCT word 3-grams → 48-bit fingerprints → inner join
-  * eval-side × train-side on the fingerprint → count distinct shared grams
-  * per (eval, train) pair → threshold. Joining on a FIXED-WIDTH HASH
-  * rather than the gram string is the scale decision: the exchange carries
-  * 8-byte keys instead of arbitrary-length text (the same trick as the
-  * MinHash banding slim-down), at a ~2⁻⁴⁸ per-pair collision rate — and
-  * because the oracle uses the identical md5-prefix primitive, a collision
-  * changes both sides the same way and the comparison stays exact. The
-  * join fans out per shared gram; the n_shared ≥ k threshold bounds the
-  * output, and the per-doc `array_distinct` bounds the fan-out at
-  * doc-length per side (no quadratic blowup within a document).
+  * Two knobs carry the published protocol AND the scale contract:
+  *
+  *  - **Gram length `n` (default 13)**: the GPT-3 appendix uses 8–13-word
+  *    grams precisely because short grams are corpus stop-phrases — "one
+  *    of the" appears in a large fraction of ALL documents and carries no
+  *    contamination signal, only join fan-out.
+  *  - **Train-side document-frequency cap `maxTrainDf`**: grams contained
+  *    in more than `maxTrainDf` training documents are boilerplate by
+  *    definition (navigation chrome, licence footers) and are dropped
+  *    BEFORE the join. This bounds the fingerprint join's output at
+  *    #evalGrams × maxTrainDf rows — without it a single hot gram
+  *    contributes df_train(g) × df_eval(g) rows (at 10⁹ train docs that is
+  *    the "curse of the last reducer" on a maximally skewed key).
+  *
+  * Plan shape at scale (train ≫ eval — the only regime the operation runs
+  * in): eval grams are fingerprinted and their distinct hash set broadcast;
+  * the train corpus takes ONE NARROW pass (fingerprint → broadcast
+  * semi-join) that keeps only train grams present in the eval set — the
+  * train side is never exchanged. Train df is then counted over that
+  * eval-bounded remainder (identical to the global df for those grams,
+  * since the semi-join keeps every train occurrence), the cap filters it,
+  * and the final equi-join runs on 8-byte fingerprints with both its
+  * inputs and its output eval-bounded. Joining on a FIXED-WIDTH HASH
+  * rather than the gram string keeps exchange keys at 8 bytes (the MinHash
+  * banding trick) at a ~2⁻⁴⁸ per-pair collision rate — and because the
+  * oracle uses the identical md5-prefix primitive, a collision changes
+  * both sides the same way and the comparison stays exact. The train
+  * subtree is evaluated twice (df count + join legs) — two narrow scans;
+  * persisting the unbounded pre-cap intermediate would trade them for
+  * corpus-scale cache pressure, the worse deal ([[graft.core.Buckets]]'s
+  * determinism makes the recompute byte-stable).
   */
 object Decontam {
 
@@ -29,35 +49,52 @@ object Decontam {
   private def gramHash(g: Column): Column =
     conv(substring(md5(g), 1, 12), 16, 10).cast("long")
 
-  /** `(doc_id, gram_hash)` — one row per distinct word 3-gram per doc.
-    * Docs with fewer than 3 tokens emit nothing.
+  /** `(doc_id, gram_hash)` — one row per distinct word n-gram per doc.
+    * Docs with fewer than `n` tokens emit nothing.
     *
-    * Built from nested `zip_with` over three shifted slices rather than
-    * `transform(sequence(...), i -> element_at(toks, i+k))`: a lambda body
-    * re-evaluates its free expressions PER ELEMENT, so the element_at form
-    * re-ran the regex tokenizer 3× per gram (O(len²) work per doc — it
-    * benched 11 s at sf0.1); zip_with's argument slices evaluate the
-    * tokenizer O(1) times per row (the q48 repetition-signal pattern). */
-  def gramFingerprints(docs: DataFrame): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val n = size(toks)
-    val g2 = zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2),
-      (a, b) => concat(a, lit(" "), b))
-    val grams = zip_with(g2, slice(toks, lit(3), n - 2),
-      (ab, c) => concat(ab, lit(" "), c))
-    docs
-      .filter(n >= 3)
+    * Built by folding `zip_with` over n shifted slices of a PROJECTED
+    * token array rather than `transform(sequence(...),
+    * i -> element_at(toks, i+k))`: a lambda body re-evaluates its free
+    * expressions PER ELEMENT, so the element_at form re-ran the regex
+    * tokenizer O(n) times per gram (it benched 11 s at sf0.1); projecting
+    * the tokens first and slicing the materialized array column runs the
+    * tokenizer exactly once per row regardless of n. */
+  def gramFingerprints(docs: DataFrame, n: Int = 13): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
+    val toked = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= n)
+    val m = size(col("t")) - (n - 1) // number of grams per doc
+    val grams = (2 to n).foldLeft(slice(col("t"), lit(1), m): Column) {
+      (acc, k) => zip_with(acc, slice(col("t"), lit(k), m),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    toked
       .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
       .select(col("doc_id"), gramHash(col("g")).as("gh"))
   }
 
   /** Contaminated `(eval_doc, train_doc, n_shared)` pairs: eval docs
-    * sharing at least `minShared` distinct 3-grams with a train doc. */
+    * sharing at least `minShared` distinct word n-grams with a train doc,
+    * counting only grams whose train-side document frequency is at most
+    * `maxTrainDf` (boilerplate grams above the cap carry no signal and
+    * are dropped before the join — see object doc for the scale shape). */
   def contaminatedPairs(train: DataFrame, eval: DataFrame,
-      minShared: Long): DataFrame = {
-    val tr = gramFingerprints(train).withColumnRenamed("doc_id", "train_doc")
-    val ev = gramFingerprints(eval).withColumnRenamed("doc_id", "eval_doc")
-    ev.join(tr, "gh")
+      minShared: Long, n: Int = 13, maxTrainDf: Long = 10000L): DataFrame = {
+    val ev = gramFingerprints(eval, n).withColumnRenamed("doc_id", "eval_doc")
+    val evGrams = broadcast(ev.select("gh").distinct())
+    // narrow pass over train: only grams the eval set contains survive.
+    // def (not val): referenced twice below with no shared exchange anyway
+    def trHits = gramFingerprints(train, n)
+      .withColumnRenamed("doc_id", "train_doc")
+      .join(evGrams, Seq("gh"), "left_semi")
+    // train df per surviving gram == global train df for that gram (the
+    // semi-join keeps every train occurrence of it); eval-set-sized output
+    val kept = broadcast(
+      trHits.groupBy("gh").agg(count(lit(1)).as("tdf"))
+        .filter(col("tdf") <= maxTrainDf)
+        .select("gh"))
+    ev.join(trHits.join(kept, Seq("gh"), "left_semi"), "gh")
       .groupBy("eval_doc", "train_doc")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.io.InputStream
 import java.nio.charset.StandardCharsets.US_ASCII
 
 /** WARC (ISO 28500) source — the canonical container for web-crawl corpora
@@ -12,15 +13,18 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * carry an HTTP message in the payload; [[responses]] strips the HTTP head
   * and yields `(url, html)` rows ready for the KG pipeline.
   *
-  * Scale shape: one task per WARC file (`binaryFile` source) — the standard
-  * Common Crawl layout is tens of thousands of ~1 GB files, so per-file
-  * parallelism saturates any cluster without a record-splitting reader.
-  * Gzipped archives (`.warc.gz`, the format crawls actually ship: one gzip
-  * member per record, concatenated) are detected by magic bytes and
-  * inflated in-task via a concatenated-member-aware stream — see
-  * [[gunzipAll]]; an intra-file member-boundary splitter remains the
-  * upgrade path if single files ever dominate. Parsing is a narrow
-  * flatMap — no shuffle until the pipeline's own wide stages.
+  * Scale shape: one task per WARC file — the standard Common Crawl layout
+  * is tens of thousands of ~1 GB files, so per-file parallelism saturates
+  * any cluster without a record-splitting reader. Within a task the file is
+  * STREAMED record-by-record ([[parseRecordsStream]]): memory is O(one
+  * record), never O(file) — a real crawl file inflates to 3–5 GB, past the
+  * JVM's 2 GB array bound, so a whole-file inflate (this source's original
+  * design) throws on file one of a production segment. Gzipped archives
+  * (`.warc.gz`, the format crawls actually ship: one gzip member per
+  * record, concatenated) are detected by magic bytes and inflated through
+  * a concatenated-member-aware stream that the record parser consumes
+  * member-by-member as it advances. Parsing is a narrow flatMap — no
+  * shuffle until the pipeline's own wide stages.
   *
   * Reference context: the reference reads pre-extracted text corpora
   * (ref: datasets_info/utils/brat.py); a web-scale deployment of the same
@@ -50,8 +54,9 @@ object Warc {
 
   private val CrLfCrLf = "\r\n\r\n".getBytes(US_ASCII)
 
-  /** Parse all records of one WARC file held in memory (one task = one
-    * file; Common Crawl files are ~1 GB, well within executor memory). */
+  /** Parse all records of one WARC byte array (fixtures, small files, and
+    * the differential oracle for [[parseRecordsStream]] — the file-reading
+    * paths stream instead and never materialize an archive). */
   def parseRecords(bytes: Array[Byte]): Iterator[WarcRecord] = new Iterator[WarcRecord] {
     private var pos = 0
     private var nextRec: WarcRecord = advance()
@@ -63,23 +68,80 @@ object Warc {
       val headEnd = Warc.bytesIndexOf(bytes, CrLfCrLf, start)
       if (headEnd < 0) return null
       val head = new String(bytes, start, headEnd - start, US_ASCII)
-      val headers = head.split("\r\n").drop(1).flatMap { line =>
-        line.indexOf(':') match {
-          case -1 => None
-          case i  => Some(line.take(i).trim.toLowerCase -> line.drop(i + 1).trim)
-        }
-      }.toMap
+      val headers = parseHeaders(head.split("\r\n").drop(1))
       val len = headers.getOrElse("content-length", "0").toInt
       val bodyStart = headEnd + 4
       val bodyEnd = math.min(bodyStart + len, bytes.length)
       pos = bodyEnd
-      WarcRecord(
-        headers.getOrElse("warc-type", ""),
-        // the spec wraps the URI in <> in some writers — strip both forms
-        headers.getOrElse("warc-target-uri", "").stripPrefix("<").stripSuffix(">"),
-        headers.getOrElse("warc-date", ""),
-        headers.getOrElse("content-type", ""),
-        java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd))
+      record(headers, java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd))
+    }
+
+    override def hasNext: Boolean = nextRec != null
+    override def next(): WarcRecord = {
+      val r = nextRec; nextRec = advance(); r
+    }
+  }
+
+  private def parseHeaders(lines: Array[String]): Map[String, String] =
+    lines.flatMap { line =>
+      line.indexOf(':') match {
+        case -1 => None
+        case i  => Some(line.take(i).trim.toLowerCase -> line.drop(i + 1).trim)
+      }
+    }.toMap
+
+  private def record(headers: Map[String, String], body: Array[Byte]): WarcRecord =
+    WarcRecord(
+      headers.getOrElse("warc-type", ""),
+      // the spec wraps the URI in <> in some writers — strip both forms
+      headers.getOrElse("warc-target-uri", "").stripPrefix("<").stripSuffix(">"),
+      headers.getOrElse("warc-date", ""),
+      headers.getOrElse("content-type", ""),
+      body)
+
+  /** One CRLF-terminated ASCII line from the stream, `null` at EOF with no
+    * bytes pending. Bounded: a line longer than `maxLine` (binary garbage
+    * with no newline) is truncated rather than buffered unboundedly —
+    * truncated garbage can never start with `WARC/`, so framing recovers
+    * at the next real version line. */
+  private def readLine(in: InputStream, maxLine: Int = 1 << 20): String = {
+    val buf = new java.io.ByteArrayOutputStream(64)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') {
+      if (buf.size < maxLine) buf.write(b)
+      b = in.read()
+    }
+    val s = new String(buf.toByteArray, US_ASCII)
+    if (s.endsWith("\r")) s.dropRight(1) else s
+  }
+
+  /** Streaming record parse: memory O(one record), not O(archive). Skips
+    * non-record lines until a `WARC/` version line (the same padding
+    * tolerance as [[parseRecords]] for line-structured padding), reads the
+    * header block to the empty line, then exactly `Content-Length` payload
+    * bytes. The stream is consumed lazily as the iterator advances — a
+    * gzip-member-aware stream on top makes this the `.warc.gz` path with
+    * peak memory = one record + the codec's fixed buffers. */
+  def parseRecordsStream(in: InputStream): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var nextRec: WarcRecord = advance()
+
+    @annotation.tailrec
+    private def advance(): WarcRecord = {
+      var line = readLine(in)
+      while (line != null && !line.startsWith("WARC/")) line = readLine(in)
+      if (line == null) return null
+      val headerLines = scala.collection.mutable.ArrayBuffer.empty[String]
+      var h = readLine(in)
+      while (h != null && h.nonEmpty) { headerLines += h; h = readLine(in) }
+      if (h == null) return null // truncated header block at EOF
+      val headers = parseHeaders(headerLines.toArray)
+      headers.get("content-length").flatMap(_.toLongOption) match {
+        case Some(len) if len <= Int.MaxValue - 8 =>
+          val body = in.readNBytes(len.toInt)
+          record(headers, body)
+        case _ => advance() // unframeable record — reseek the next version line
+      }
     }
 
     override def hasNext: Boolean = nextRec != null
@@ -94,24 +156,32 @@ object Warc {
   def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && bytes(0) == GzipMagic(0) && bytes(1) == GzipMagic(1)
 
-  /** Inflate ALL members of a (possibly multi-member) gzip stream into one
-    * byte array. Common Crawl `.warc.gz` files are one gzip member PER
-    * RECORD (the ISO 28500 annex's recommendation, which is what makes the
-    * format seekable), concatenated back-to-back;
-    * `GzipCompressorInputStream(decompressConcatenated = true)` walks every
-    * member. The inflated stream then goes through the same [[parseRecords]]
-    * as an uncompressed archive. */
-  def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream(
-      new java.io.ByteArrayInputStream(bytes), true)
-    try org.apache.commons.io.IOUtils.toByteArray(in)
-    finally in.close()
+  /** Wrap a raw archive stream for record parsing: sniff the gzip magic
+    * (2-byte pushback — object stores routinely mislabel, so the FILE NAME
+    * is never trusted) and, when present, inflate through a concatenated-
+    * member-aware gzip stream (Common Crawl `.warc.gz` is one gzip member
+    * PER RECORD, the ISO 28500 annex's seekability recommendation —
+    * members are walked one at a time as the parser consumes them). */
+  def recordStream(raw: InputStream): InputStream = {
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(raw, 1 << 16), 2)
+    val head = new Array[Byte](2)
+    val n = pb.read(head)
+    if (n > 0) pb.unread(head, 0, n)
+    if (n == 2 && head(0) == GzipMagic(0) && head(1) == GzipMagic(1))
+      org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
+        .builder().setInputStream(pb).setDecompressConcatenated(true).get()
+    else pb
   }
 
-  /** [[parseRecords]] with transparent per-file gzip detection (magic
-    * bytes, not file name — object stores routinely mislabel). */
+  /** [[parseRecords]] semantics over an in-memory archive with transparent
+    * gzip detection — streams the inflate (O(record) peak) rather than
+    * materializing the inflated archive (which exceeds the 2 GB array
+    * bound on real crawl files). */
   def parseRecordsAuto(bytes: Array[Byte]): Iterator[WarcRecord] =
-    parseRecords(if (isGzip(bytes)) gunzipAll(bytes) else bytes)
+    if (isGzip(bytes))
+      parseRecordsStream(recordStream(new java.io.ByteArrayInputStream(bytes)))
+    else parseRecords(bytes)
 
   /** Deflate one gzip member. */
   private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
@@ -128,16 +198,47 @@ object Warc {
     else java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
   }
 
-  /** All WARC records under a path/glob: one narrow parse task per file.
-    * Gzipped archives (`.warc.gz`, detected by magic bytes) are inflated
-    * in-task before parsing. */
+  /** Open one archive for streaming on an executor. A fresh Hadoop conf
+    * resolves file:/hdfs:/s3a: schemes from the executor's own classpath
+    * defaults — the listing (driver-side, via the binaryFile source with
+    * the content column PRUNED) already proved the path readable. */
+  private def openArchive(path: String): InputStream = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    recordStream(fs.open(p))
+  }
+
+  /** Parse a whole archive as a stream, closing it at exhaustion and — when
+    * running inside a Spark task — at task completion (covers early
+    * termination: limits, take(), task kills). */
+  private def streamArchive(path: String): Iterator[WarcRecord] = {
+    val in = openArchive(path)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+    val it = parseRecordsStream(in)
+    new Iterator[WarcRecord] {
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) in.close()
+        h
+      }
+      override def next(): WarcRecord = it.next()
+    }
+  }
+
+  private def archivePaths(spark: SparkSession, path: String): DataFrame =
+    // binaryFile with only `path` selected prunes the content read — this
+    // is purely a listing (driver-side planning), no file bytes move
+    spark.read.format("binaryFile").load(path).select(col("path"))
+
+  /** All WARC records under a path/glob: one narrow STREAMING parse task
+    * per file — peak task memory is one record, for plain and `.warc.gz`
+    * archives alike (magic-byte detection per file). */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) =>
-        parseRecordsAuto(bytes).map(r =>
+    archivePaths(spark, path).as[String]
+      .flatMap { file =>
+        streamArchive(file).map(r =>
           (file, r.warc_type, r.target_uri, r.warc_date, r.content_type, r.payload))
       }
       .toDF("file", "warc_type", "target_uri", "warc_date", "content_type", "payload")
@@ -145,14 +246,12 @@ object Warc {
 
   /** `(url, html)` rows from the `response` records — the KG pipeline's
     * input contract (html as BINARY, exactly as crawled). Reads plain and
-    * gzipped archives alike. */
+    * gzipped archives alike, streaming each file record-by-record. */
   def responses(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap { bytes =>
-        parseRecordsAuto(bytes)
+    archivePaths(spark, path).as[String]
+      .flatMap { file =>
+        streamArchive(file)
           .filter(r => r.warc_type == "response" && r.target_uri.nonEmpty)
           .map(r => (r.target_uri, httpBody(r.payload)))
       }
@@ -201,8 +300,8 @@ object Warc {
     concatAll(allRecords(pages, date))
 
   /** Serialize pages in Common Crawl's shipping format: `.warc.gz` with one
-    * gzip member PER RECORD, concatenated — exactly what [[gunzipAll]]
-    * inverts and what a real crawl segment looks like on disk. */
+    * gzip member PER RECORD, concatenated — exactly what [[recordStream]]
+    * walks and what a real crawl segment looks like on disk. */
   def writeWarcGz(pages: Seq[(String, Array[Byte])], date: String = "2026-01-01T00:00:00Z"): Array[Byte] =
     concatAll(allRecords(pages, date).map(gzipMember))
 }

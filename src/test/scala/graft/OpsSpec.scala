@@ -393,15 +393,70 @@ class OpsSpec extends AnyFunSuite {
     val train = Seq((1L, "a b c d e"), (2L, "p q r s")).toDF("doc_id", "text")
     val eval = Seq((10L, "x b c d e y"), (11L, "zz ww")).toDF("doc_id", "text")
     def pairs(min: Long) =
-      graft.dedup.Decontam.contaminatedPairs(train, eval, min)
+      graft.dedup.Decontam.contaminatedPairs(train, eval, min, n = 3)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs(2L) == Set((10L, 1L, 2L)))
     assert(pairs(3L) == Set.empty)
     // repeated gram inside one doc counts once (distinct-per-doc)
     val evalRep = Seq((20L, "b c d b c d")).toDF("doc_id", "text")
-    val gotRep = graft.dedup.Decontam.contaminatedPairs(train, evalRep, 1L)
+    val gotRep = graft.dedup.Decontam.contaminatedPairs(train, evalRep, 1L, n = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotRep == Set((20L, 1L, 1L)))
+  }
+
+  test("decontamination default is 13-grams: a 13-word shared run matches, a 12-word run doesn't") {
+    import spark.implicits._
+    val run13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val run12 = (1 to 12).map(i => s"v$i").mkString(" ")
+    val train = Seq(
+      (1L, s"prefix $run13 suffix"),
+      (2L, s"other $run12 tail pad pad2")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"intro $run13 outro"),
+      (11L, s"intro $run12 outro close end")).toDF("doc_id", "text")
+    val got = graft.dedup.Decontam.contaminatedPairs(train, eval, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L)), s"got $got")
+  }
+
+  test("decontamination train-df cap drops boilerplate grams and bounds join input (~linear)") {
+    import spark.implicits._
+    val boiler = (1 to 13).map(i => s"b$i").mkString(" ") // the hot gram
+    val rare = (1 to 13).map(i => s"r$i").mkString(" ")
+    def corpus(nHot: Int) = (
+      ((1 to nHot).map(i => (i.toLong, s"doc$i $boiler")) :+
+        (9000L, s"unique $rare")).toDF("doc_id", "text"),
+      Seq((10000L, s"eval $boiler and $rare here")).toDF("doc_id", "text"))
+    // semantics: with the cap below the hot gram's train df, only the rare
+    // gram counts — the boilerplate footer alone cannot flag contamination
+    val (train, eval) = corpus(50)
+    val capped = graft.dedup.Decontam
+      .contaminatedPairs(train, eval, 1L, maxTrainDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((10000L, 9000L, 1L)), s"got $capped")
+    // and the uncapped default still sees the hot-gram pairs
+    val uncapped = graft.dedup.Decontam.contaminatedPairs(train, eval, 1L)
+    assert(uncapped.count() == 51L)
+    // scale evidence: the fingerprint-join input is Σ_g min-capped df — it
+    // must stay ~flat as the hot gram's train df grows 4×, while the
+    // uncapped input grows linearly with it (at web scale: quadratically
+    // in the pair fan-out). Measured through the same public primitives
+    // the operator composes.
+    def joinInputRows(nHot: Int, cap: Long): Long = {
+      val (tr, ev) = corpus(nHot)
+      val trFp = graft.dedup.Decontam.gramFingerprints(tr)
+      val evG = graft.dedup.Decontam.gramFingerprints(ev).select("gh").distinct()
+      val hits = trFp.join(evG, "gh")
+      hits.join(
+        hits.groupBy("gh").agg(count(lit(1)).as("tdf"))
+          .filter(col("tdf") <= cap).select("gh"),
+        Seq("gh"), "left_semi").count()
+    }
+    val small = joinInputRows(50, 10L)
+    val big = joinInputRows(200, 10L)
+    assert(small == big && small <= 2L,
+      s"capped join input grew: $small -> $big")
+    assert(joinInputRows(200, Long.MaxValue) >= 200L)
   }
 
   test("tf-idf top terms match a closed-form two-document corpus") {
@@ -417,5 +472,22 @@ class OpsSpec extends AnyFunSuite {
       BigDecimal.RoundingMode.HALF_UP).toDouble
     // y scores tf·ln(2/2)=0 in both docs; x: 3·ln2, z: 1·ln2
     assert(got == Set((0L, "x", ln2), (0L, "y", 0.0), (1L, "z", ln1), (1L, "y", 0.0)))
+  }
+
+  test("tf-idf broadcast gate: hint only under the measured-vocabulary limit, rows identical") {
+    import spark.implicits._
+    val docs = Seq((0L, "x x x y"), (1L, "y z")).toDF("doc_id", "text")
+    def hasBroadcastHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    val under = graft.quality.TfIdf.topTerms(spark, docs, 2)
+    val over = graft.quality.TfIdf.topTerms(spark, docs, 2, maxBroadcastTerms = 0L)
+    assert(hasBroadcastHint(under), "vocab under the gate must carry the hint")
+    assert(!hasBroadcastHint(over), "vocab over the gate must NOT carry the hint")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Double]("tfidf"))).toSet
+    assert(rows(under) == rows(over))
   }
 }

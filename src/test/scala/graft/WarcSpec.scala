@@ -68,7 +68,7 @@ class WarcSpec extends AnyFunSuite {
     pages.foreach(p => assert(got(p.url).sameElements(p.html), s"byte mismatch ${p.url}"))
   }
 
-  test("gunzipAll inflates concatenated members and tolerates in-stream padding") {
+  test("gz auto-detect walks concatenated members and tolerates in-stream padding") {
     val html = "<html><body>gz</body></html>".getBytes("UTF-8")
     // member 1: warcinfo+response; member 2 (separate gzip member): a
     // record preceded by inter-record garbage INSIDE the deflated stream —
@@ -87,6 +87,45 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.map(_.target_uri).drop(1) ==
       Seq("https://gz.example/1", "https://gz.example/2"))
     recs.drop(1).foreach(r => assert(Warc.httpBody(r.payload).sameElements(html)))
+  }
+
+  test("streaming .warc.gz parse is incremental (O(record) memory) and matches the byte parser") {
+    // incompressible payloads so compressed size tracks inflated size and
+    // the consumption assertion below is robust to codec buffering
+    val rnd = new scala.util.Random(42)
+    val pages = (1 to 8).map { i =>
+      val body = new Array[Byte](512 * 1024)
+      rnd.nextBytes(body)
+      s"https://stream.example/$i" -> body
+    }
+    val gz = Warc.writeWarcGz(pages)
+    var consumed = 0L
+    val counting = new java.io.FilterInputStream(
+        new java.io.ByteArrayInputStream(gz)) {
+      override def read(): Int = {
+        val b = super.read(); if (b >= 0) consumed += 1; b
+      }
+      override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+        val n = super.read(buf, off, len); if (n > 0) consumed += n; n
+      }
+    }
+    val it = Warc.parseRecordsStream(Warc.recordStream(counting))
+    val first2 = Seq(it.next(), it.next()) // warcinfo + response 1
+    assert(first2.map(_.warc_type) == Seq("warcinfo", "response"))
+    // after two records only ~one 512 KB member (+codec buffers) may have
+    // been consumed — a whole-file inflate would have read all ~4 MB here
+    assert(consumed < gz.length * 0.3,
+      s"stream read $consumed of ${gz.length} bytes for the first 2 records")
+    val rest = it.toSeq
+    // full differential parity against the in-memory byte parser
+    val expected = Warc.parseRecords(Warc.writeWarc(pages)).toSeq
+    val got = first2 ++ rest
+    assert(got.size == expected.size)
+    got.zip(expected).foreach { case (a, b) =>
+      assert(a.warc_type == b.warc_type && a.target_uri == b.target_uri &&
+        a.warc_date == b.warc_date && a.content_type == b.content_type &&
+        a.payload.sameElements(b.payload))
+    }
   }
 
   test("parser skips warcinfo, unwraps <URI>, and survives padding") {
