@@ -676,8 +676,10 @@ object SparkEntry {
       val src = new java.io.File(s"$dir/documents.parquet")
       val out = s"${graft.core.TmpFs.base}/graft-jsonl-" +
         s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}-${src.lastModified}-${src.length}"
-      if (!new java.io.File(out, "_SUCCESS").exists())
-        docs.repartition(4).write.mode("overwrite").json(out)
+      // per-pid staging + atomic rename: concurrent JVMs can't tear the copy
+      graft.core.TmpFs.ensureShared(out) { staging =>
+        docs.repartition(4).write.mode("overwrite").json(staging)
+      }
       val back = s.read.schema(docs.schema).json(out)
         .select(col("doc_id"), col("text").as("text_back"),
           col("n_chars").as("n_chars_back"))

@@ -94,6 +94,131 @@ final case class HttpAnnotator(
     generateChecked(systemPrompt, userPrompt)._1
 }
 
+/** Together-AI-shaped annotator — the reference's second production client
+  * (ref `ai/llm.py:104-144`: `ChatTogether(model=TOGETHER_MODEL,
+  * temperature=0)` over Together's hosted endpoint). Speaks the OpenAI
+  * chat-completions contract: `POST <endpoint>` with `Authorization:
+  * Bearer <key>` and `{model, temperature, max_tokens, messages:[system,
+  * user]}`; the completion arrives at `choices[0].message.content`.
+  *
+  * Hosted endpoints are RATE-LIMITED (the reference's default model is
+  * the free tier), so unlike [[HttpAnnotator]] this client throttles:
+  * all task threads of an executor JVM share one request-slot reservation
+  * (CAS on the companion's clock — `minIntervalMillis` between departures)
+  * and a `429` response honors `Retry-After` before retrying. Both waits
+  * are interrupt-safe: a Spark task kill mid-sleep fails the batch
+  * immediately instead of pinning the cancelled task.
+  *
+  * Serializable by construction: only config strings/numbers ship to
+  * executors; the HTTP client and throttle clock are per-executor-JVM. */
+final case class TogetherAnnotator(
+    endpoint: String, // e.g. https://api.together.xyz/v1/chat/completions
+    apiKey: String,
+    model: String = "meta-llama/Llama-3.3-70B-Instruct-Turbo-Free", // llm.py:11
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(600),
+    maxRetries: Int = 3,
+    minIntervalMillis: Long = 1000L) extends Annotator {
+
+  @transient private lazy val client =
+    java.net.http.HttpClient.newBuilder().connectTimeout(timeout).build()
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def requestBody(systemPrompt: String, userPrompt: String): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("temperature", 0) // determinism prerequisite (llm.py:116)
+    root.put("max_tokens", 16384)
+    val msgs = root.putArray("messages")
+    val sys = msgs.addObject(); sys.put("role", "system"); sys.put("content", systemPrompt)
+    val usr = msgs.addObject(); usr.put("role", "user"); usr.put("content", userPrompt)
+    mapper.writeValueAsString(root)
+  }
+
+  /** Sleep until `untilNanos`; false if interrupted (task kill). */
+  private def sleepUntil(untilNanos: Long): Boolean = {
+    val waitMs = (untilNanos - System.nanoTime()) / 1000000L
+    if (waitMs <= 0) return true
+    try { Thread.sleep(waitMs); true }
+    catch {
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt(); false
+    }
+  }
+
+  override def generateChecked(systemPrompt: String, userPrompt: String): (String, Boolean) = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(timeout)
+      .header("Content-Type", "application/json")
+      .header("Authorization", s"Bearer $apiKey")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        requestBody(systemPrompt, userPrompt)))
+      .build()
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      if (!sleepUntil(TogetherAnnotator.reserveSlot(minIntervalMillis)))
+        return ("", true) // interrupted while throttled — fail the batch now
+      try {
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() == 200) {
+          val content = mapper.readTree(resp.body())
+            .path("choices").path(0).path("message").path("content")
+          if (!content.isMissingNode) return (content.asText(""), false)
+        } else if (resp.statusCode() == 429) {
+          // push the shared clock past the server's cool-down so sibling
+          // task threads don't immediately re-trip the limit
+          val retryAfter = resp.headers().firstValue("Retry-After")
+          val coolDownMs =
+            if (retryAfter.isPresent)
+              retryAfter.get().toLongOption.map(_ * 1000L).getOrElse(minIntervalMillis)
+            else minIntervalMillis
+          TogetherAnnotator.pushBack(coolDownMs)
+        }
+      } catch {
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+          return ("", true)
+        case _: java.io.IOException => // transport error — retry
+      }
+      attempt += 1
+    }
+    ("", true)
+  }
+
+  /** Reference-faithful face: failures collapse to `""` (`llm.py:75-76`). */
+  override def generate(systemPrompt: String, userPrompt: String): String =
+    generateChecked(systemPrompt, userPrompt)._1
+}
+
+object TogetherAnnotator {
+  /** Next free departure time (nanos) — ONE clock per executor JVM, shared
+    * by every task thread, so aggregate request rate stays under the
+    * provider limit regardless of task parallelism. */
+  private val nextFreeNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Reserve the next departure slot ≥ now, spaced `intervalMillis` after
+    * the previous reservation; returns the nanos to sleep until. */
+  private[annotate] def reserveSlot(intervalMillis: Long): Long = {
+    while (true) {
+      val now = System.nanoTime()
+      val prev = nextFreeNanos.get()
+      val slot = math.max(now, prev)
+      if (nextFreeNanos.compareAndSet(prev, slot + intervalMillis * 1000000L))
+        return slot
+    }
+    0L // unreachable
+  }
+
+  /** Delay all future slots by at least `coolDownMs` from now (429). */
+  private[annotate] def pushBack(coolDownMs: Long): Unit = {
+    val until = System.nanoTime() + coolDownMs * 1000000L
+    var prev = nextFreeNanos.get()
+    while (prev < until && !nextFreeNanos.compareAndSet(prev, until))
+      prev = nextFreeNanos.get()
+  }
+}
+
 /** Deterministic mock: emits `<category>:<surface>` for every dictionary
   * entry whose surface occurs verbatim in the user prompt (the batch text),
   * in dictionary order; "None" when nothing matches (the reference prompt's

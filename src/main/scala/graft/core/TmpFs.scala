@@ -8,4 +8,36 @@ object TmpFs {
   def base: String =
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
     else System.getProperty("java.io.tmpdir")
+
+  /** Populate a SHARED deterministic cache directory exactly once across
+    * concurrent JVMs: `write` lands in a per-pid staging dir which is then
+    * atomically renamed to `target` (rename is atomic within a tmpfs/posix
+    * filesystem, and never exposes a torn directory). If another process
+    * won the race meanwhile, the staging copy is discarded — the reader
+    * either sees no directory or a complete `_SUCCESS`-gated one, never a
+    * partial write (the prior design had both processes writing the SAME
+    * path and one could scan the other's half-written table).
+    *
+    * Returns `target`. `write` receives the staging path and must leave a
+    * `_SUCCESS` marker (Spark writers do). */
+  def ensureShared(target: String)(write: String => Unit): String = {
+    val done = new java.io.File(target, "_SUCCESS")
+    if (!done.exists()) {
+      val staging = s"$target.staging-${ProcessHandle.current().pid()}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      try {
+        write(staging)
+        require(new java.io.File(staging, "_SUCCESS").exists(),
+          s"cache write to $staging left no _SUCCESS marker")
+        // a failed rename means another process won the race (identical
+        // deterministic content) — use theirs; staging drops in the finally
+        new java.io.File(staging).renameTo(new java.io.File(target))
+        require(done.exists(), s"cache at $target incomplete after populate")
+      } finally
+        // success renames staging away; every failure/lost-race path must
+        // drop it, or the remnant accretes in the shared tmpfs forever
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    }
+    target
+  }
 }

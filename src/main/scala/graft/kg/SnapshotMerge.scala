@@ -33,9 +33,29 @@ import org.apache.spark.sql.functions._
 object SnapshotMerge {
 
   /** Broadcast-delta merge; see object doc. `value` columns are taken from
-    * the delta on matched keys. Adds `op` ∈ keep/update/insert. */
-  def merge(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    * the delta on matched keys. Adds `op` ∈ keep/update/insert.
+    *
+    * PRECONDITION — `keys` must be unique within base AND within delta
+    * (the MERGE contract every lakehouse engine shares): a duplicate delta
+    * key multiplies the update leg and a duplicate base key duplicates
+    * keep rows, silently diverging from any MERGE semantics. The delta is
+    * small by regime, so `validateDelta` (default on) rejects a
+    * multi-match delta with one delta-sized aggregation — the same
+    * runtime error Delta/Iceberg MERGE raises. Base uniqueness is a
+    * documented precondition only: verifying it would cost a full
+    * exchange of the 100 TB snapshot per batch, and the snapshot is
+    * key-unique by construction (it is itself the output of merges). */
+  def merge(base: DataFrame, delta: DataFrame, keys: Seq[String],
+      validateDelta: Boolean = true): DataFrame = {
     val keyCols = keys.map(col)
+    if (validateDelta) {
+      val dup = delta.groupBy(keyCols: _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L).limit(1)
+        .collect()
+      require(dup.isEmpty,
+        s"MERGE delta has duplicate key ${dup.headOption.mkString} — " +
+          "deduplicate the delta or merge with validateDelta = false")
+    }
     val keep = base.join(broadcast(delta), keys, "left_anti")
       .withColumn("op", lit("keep"))
     // referenced twice (output row set + broadcast into the insert leg) and

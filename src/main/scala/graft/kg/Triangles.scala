@@ -46,13 +46,17 @@ object Triangles {
     * deletes the single biggest exchange of the query (measured
     * 6.2 s → 4.8 s, BASELINE.md). Above the limit the shuffled closure
     * join is the correct plan and is chosen automatically — no caller
-    * ever hard-codes a broadcast that OOMs at scale.
+    * ever hard-codes a broadcast that OOMs at scale. The 5M-row default
+    * keeps the hashed relation at ~80 MB raw (two longs/row) ≈ low
+    * hundreds of MB hashed — comfortable executor headroom; the earlier
+    * 50M default would have built a multi-GB hashed relation, exactly the
+    * OOM the gate exists to prevent.
     *
     * The persisted list lives in the session cache until session end;
     * callers counting many distinct graphs in one long session should
     * `spark.catalog.clearCache()` between corpora. */
   def count(spark: SparkSession, canonical: DataFrame,
-      maxBroadcastEdges: Long = 50000000L): DataFrame = {
+      maxBroadcastEdges: Long = 5000000L): DataFrame = {
     val deg = canonical.select(col("u").as("n"))
       .union(canonical.select(col("v").as("n")))
       .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))

@@ -28,9 +28,21 @@ object Compact {
       compacted: Boolean)
 
   /** Compacts the flat parquet directory at `dir`. Returns before/after
-    * file counts. Row content is preserved exactly (spec-pinned). */
+    * file counts. Row content is preserved exactly (spec-pinned).
+    *
+    * `sortBy` additionally establishes CLUSTERING while compacting (the
+    * Iceberg `rewrite_data_files(strategy => 'sort')` / z-order-lite
+    * analog): rows are range-partitioned on the key into the bin-packed
+    * file count and sorted within each file, so every output file covers
+    * a DISJOINT key range — parquet min/max footer stats then let any
+    * later key-predicate scan skip whole files. This mode intentionally
+    * pays ONE exchange (plain compaction stays narrow — moving bytes must
+    * not shuffle; establishing an order is exactly the case that must)
+    * and rewrites even when the file-count target is already met, because
+    * its goal is layout, not count. */
   def rewrite(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L * 1024 * 1024): Stats = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortBy: Option[String] = None): Stats = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val dirP = new Path(dir)
     val tmp = new Path(dir + ".compact-tmp")
@@ -58,7 +70,7 @@ object Compact {
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     val totalBytes = parts.map(_.getLen).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    if (parts.length <= target)
+    if (parts.length <= target && sortBy.isEmpty)
       return Stats(parts.length, parts.length, totalBytes, compacted = false)
 
     // The scan itself groups small files into FilePartitions of up to
@@ -67,17 +79,21 @@ object Compact {
     // coalesce can only reduce. Scope the scan to (maxPartitionBytes =
     // targetBytes, openCost = 0) so it yields ≥ target partitions, then
     // coalesce down to exactly `target` — still a narrow repack end-to-end.
-    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
-    try {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-      spark.conf.set("spark.sql.files.openCostInBytes", "0")
-      spark.read.parquet(dir).coalesce(target)
-        .write.mode("overwrite").parquet(tmp.toString)
-    } finally {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
-      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    // The overrides live in a CLONED session (own SQLConf, shared
+    // SparkContext/catalog): mutating the caller's session conf would leak
+    // the altered scan sizing into any query planned concurrently in the
+    // same session, and made two concurrent rewrites unsafe.
+    val scanSession = spark.newSession()
+    scanSession.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    scanSession.conf.set("spark.sql.files.openCostInBytes", "0")
+    val scan = scanSession.read.parquet(dir)
+    val packed = sortBy match {
+      case Some(key) =>
+        val k = org.apache.spark.sql.functions.col(key)
+        scan.repartitionByRange(target, k).sortWithinPartitions(k)
+      case None => scan.coalesce(target)
     }
+    packed.write.mode("overwrite").parquet(tmp.toString)
     require(fs.exists(new Path(tmp, "_SUCCESS")), s"compaction write to $tmp failed")
     require(fs.rename(new Path(dir), old), s"could not move $dir aside")
     require(fs.rename(tmp, new Path(dir)), s"could not activate $tmp")

@@ -61,17 +61,19 @@ object BucketedTables {
     * location per (sf dir, source mtime+size) — the tag invalidates the
     * `_SUCCESS`-gated reuse if the source table is ever regenerated in
     * place; `repartition(lang)` first so the write emits one file per
-    * partition value, not tasks×values (round-1 small-files note). */
+    * partition value, not tasks×values (round-1 small-files note).
+    * Populated through [[graft.core.TmpFs.ensureShared]] (per-pid staging
+    * + atomic rename) so two cold-starting JVMs can never tear each
+    * other's copy. */
   def partitionedDocsByLang(spark: SparkSession, sfDir: String): String = {
     val src = new java.io.File(s"$sfDir/documents.parquet")
     val tag = s"${src.lastModified}-${src.length}"
     val out = s"${graft.core.TmpFs.base}/graft-docs-bylang-" +
       s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}-$tag"
-    if (!new java.io.File(out, "_SUCCESS").exists()) {
+    graft.core.TmpFs.ensureShared(out) { staging =>
       spark.read.parquet(s"$sfDir/documents.parquet")
         .repartition(col("lang"))
-        .write.mode("overwrite").partitionBy("lang").parquet(out)
+        .write.mode("overwrite").partitionBy("lang").parquet(staging)
     }
-    out
   }
 }

@@ -106,4 +106,40 @@ class CompactSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + ".compact-old").exists())
     assert(spark.read.parquet(dir).count() == 100L)
   }
+
+  test("sorted compaction clusters: per-file key ranges disjoint, rewrite even when count met") {
+    import spark.implicits._
+    val dir = freshDir()
+    // keys scattered across files (i*7919 mod n is a permutation for prime
+    // stride) so every input file spans nearly the full key range
+    val n = 20000
+    val rows = (0 until n).map(i => ((i.toLong * 7919L) % n, s"body $i"))
+    rows.toDF("id", "body").repartition(20).write.parquet(dir)
+    val targetBytes = math.max(1L,
+      org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(dir)) / 4)
+
+    val s = graft.sinks.Compact.rewrite(spark, dir, targetBytes, sortBy = Some("id"))
+    assert(s.compacted && s.filesAfter >= 3, s"expected >=3 clustered files, got $s")
+    // per-file footer ranges must be pairwise disjoint — that is the whole
+    // point of the sort mode: a key predicate then skips whole files
+    val ranges = spark.read.parquet(dir).inputFiles.toSeq.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap in $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1).toSeq
+      == rows.sortBy(_._1))
+
+    // count target already met — the sort mode must STILL rewrite (its
+    // goal is layout); plain mode must still no-op
+    val again = graft.sinks.Compact.rewrite(spark, dir, targetBytes, sortBy = Some("id"))
+    assert(again.compacted)
+    val plain = graft.sinks.Compact.rewrite(spark, dir, targetBytes)
+    assert(!plain.compacted)
+  }
 }

@@ -365,6 +365,22 @@ class OpsSpec extends AnyFunSuite {
     assert(fo == merged)
   }
 
+  test("snapshot merge rejects a multi-match delta (duplicate keys) like lakehouse MERGE") {
+    import spark.implicits._
+    val base = Seq(("a", 1L, 1L)).toDF("k", "val", "rev")
+    val dupDelta = Seq(("a", 20L, 2L), ("a", 21L, 2L)).toDF("k", "val", "rev")
+    val e = intercept[IllegalArgumentException] {
+      graft.kg.SnapshotMerge.merge(base, dupDelta, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate key"))
+    // explicit opt-out keeps the old composed behavior for callers that
+    // pre-deduplicate elsewhere
+    val rows = graft.kg.SnapshotMerge
+      .merge(base, dupDelta.dropDuplicates("k"), Seq("k"))
+      .collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("op") == "update")
+  }
+
   test("heavy-hitter profile is exact and count-min sketch stays inside its error bound") {
     import spark.implicits._
     // one hot key (90 rows) over 10 cold keys (1 row each)
