@@ -663,6 +663,21 @@ object SparkEntry {
         .filter(col("h") < rate)
         .select(col("doc_id"), col("lang"), col("h"))
     }),
+    // bounded-hop BFS (graph traversal — the "entities within k hops"
+    // neighborhood query a KG serves constantly): 3 hops from the
+    // smallest node of the parts-co-occurrence graph, frontier-relaxed
+    // with a visited set so each edge is relaxed at most once per
+    // endpoint (see graft.kg.Bfs for the scale shape)
+    "q60_khop_bfs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      val canon = graft.kg.Triangles.canonicalEdges(pairs, "u", "v")
+      val seeds = canon.agg(min(col("u")).as("node"))
+      graft.kg.Bfs.distances(s, canon, seeds, 3)
+    }),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -1103,6 +1118,23 @@ object SparkEntry {
         | FROM documents
         | WHERE ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 100 <
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END"""
+        .stripMargin.replaceAll("\n", " "),
+    // BFS replay: same co-occurrence graph, recursive CTE with UNION
+    // (per-iteration dedup keeps walks from exploding), min dist per node
+    "q60_khop_bfs" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | edges AS (SELECT u, v FROM pairs
+        |  UNION ALL SELECT v AS u, u AS v FROM pairs),
+        | seed AS (SELECT min(u) AS s FROM pairs),
+        | bfs(node, dist) AS (
+        |   SELECT s, 0::BIGINT FROM seed
+        |   UNION
+        |   SELECT e.v, b.dist + 1 FROM bfs b JOIN edges e ON e.u = b.node
+        |   WHERE b.dist < 3)
+        | SELECT node, min(dist) AS dist FROM bfs GROUP BY node"""
         .stripMargin.replaceAll("\n", " "),
     // the JSONL round-trip is lossless iff every row reads text_ok=true —
     // the oracle simply asserts that shape from the source table

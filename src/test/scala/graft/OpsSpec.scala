@@ -345,6 +345,40 @@ class OpsSpec extends AnyFunSuite {
     assert(shuffled == brute)
   }
 
+  test("bounded-hop BFS matches closed forms and a reference BFS on random graphs") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], seeds: Seq[Long], k: Int): Map[Long, Long] = {
+      val canon = graft.kg.Triangles.canonicalEdges(
+        edges.toDF("u", "v"), "u", "v")
+      graft.kg.Bfs.distances(spark, canon, seeds.toDF("node"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // chain 1-2-3-4-5 from node 1: hop bound cuts at 3; node 9 disconnected
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    assert(run(chain, Seq(1L), 3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // two seeds: every node takes the nearer one
+    assert(run(chain, Seq(1L, 5L), 1) ==
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L))
+    // seeded fuzz vs an in-memory reference BFS
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 40
+      val edges = (1 to 120).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).distinct).toMap
+      val seed = edges.head._1
+      var ref = Map(seed -> 0L)
+      var frontier = Seq(seed)
+      (1 to 2).foreach { d =>
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+          .distinct.filterNot(ref.contains)
+        ref ++= frontier.map(_ -> d.toLong)
+      }
+      assert(run(edges, Seq(seed), 2) == ref)
+    }
+  }
+
   test("snapshot merge: broadcast-delta and full-outer variants agree; ops are exact") {
     import spark.implicits._
     val base = Seq(("a", 1L, 1L), ("b", 2L, 1L), ("c", 3L, 1L))
