@@ -23,6 +23,27 @@ object TmpFs {
   def ensureShared(target: String)(write: String => Unit): String = {
     val done = new java.io.File(target, "_SUCCESS")
     if (!done.exists()) {
+      // self-heal a TORN target (present without _SUCCESS — a crash under
+      // a pre-staging design, or external damage): the rename below cannot
+      // land on an existing directory, so the garbage must go first. A
+      // complete target can never be deleted here: rename is atomic and
+      // only ever publishes _SUCCESS-verified staging dirs.
+      if (new java.io.File(target).exists())
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(target))
+      // sweep orphaned staging dirs of DEAD processes for this target (a
+      // SIGKILL mid-populate skips the finally below; on /dev/shm the
+      // orphan would otherwise hold RAM until reboot)
+      val t = new java.io.File(target)
+      Option(t.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(t.getName + ".staging-"))
+        .foreach { orphan =>
+          val pid = orphan.getName.substring((t.getName + ".staging-").length)
+          val alive = pid.toLongOption.exists { p =>
+            val h = ProcessHandle.of(p)
+            h.isPresent && h.get().isAlive
+          }
+          if (!alive) org.apache.commons.io.FileUtils.deleteQuietly(orphan)
+        }
       val staging = s"$target.staging-${ProcessHandle.current().pid()}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
       try {

@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   *    the "curse of the last reducer" on a maximally skewed key).
   *
   * Plan shape at scale (train ≫ eval — the only regime the operation runs
-  * in): eval grams are fingerprinted and their distinct hash set broadcast;
-  * the train corpus takes ONE NARROW pass (fingerprint → broadcast
-  * semi-join) that keeps only train grams present in the eval set — the
-  * train side is never exchanged. Train df is then counted over that
+  * in): eval grams are fingerprinted and their distinct hash set broadcast
+  * — gated on its MEASURED count, with a shuffled semi-join fallback for
+  * an eval side that is itself corpus-sized; the train corpus then takes
+  * ONE NARROW pass (fingerprint → broadcast semi-join) that keeps only
+  * train grams present in the eval set — the train side is never
+  * exchanged on the broadcast path. Train df is then counted over that
   * eval-bounded remainder (identical to the global df for those grams,
   * since the semi-join keeps every train occurrence), the cap filters it,
   * and the final equi-join runs on 8-byte fingerprints with both its
@@ -78,22 +80,36 @@ object Decontam {
     * sharing at least `minShared` distinct word n-grams with a train doc,
     * counting only grams whose train-side document frequency is at most
     * `maxTrainDf` (boilerplate grams above the cap carry no signal and
-    * are dropped before the join — see object doc for the scale shape). */
+    * are dropped before the join — see object doc for the scale shape).
+    *
+    * `maxBroadcastGrams` gates the eval-gram-set broadcasts on the
+    * MEASURED distinct-fingerprint count (the [[graft.quality.TfIdf]] /
+    * Triangles pattern): a genuinely small eval benchmark takes the
+    * narrow broadcast-semi-join path over train; an eval side that is
+    * itself corpus-sized (e.g. a 20% split) falls back to shuffled
+    * semi-joins — slower but never an over-limit broadcast. The 10M-long
+    * default is ~80 MB raw. */
   def contaminatedPairs(train: DataFrame, eval: DataFrame,
-      minShared: Long, n: Int = 13, maxTrainDf: Long = 10000L): DataFrame = {
+      minShared: Long, n: Int = 13, maxTrainDf: Long = 10000L,
+      maxBroadcastGrams: Long = 10000000L): DataFrame = {
     val ev = gramFingerprints(eval, n).withColumnRenamed("doc_id", "eval_doc")
-    val evGrams = broadcast(ev.select("gh").distinct())
-    // narrow pass over train: only grams the eval set contains survive.
+    val evG = ev.select("gh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEvGrams = evG.count() // materializes the cache; decides the plan
+    val bcast = nEvGrams <= maxBroadcastGrams
+    val evGrams = if (bcast) broadcast(evG) else evG
+    // pass over train keeping only grams the eval set contains — narrow
+    // under the broadcast gate, shuffled semi-join above it.
     // def (not val): referenced twice below with no shared exchange anyway
     def trHits = gramFingerprints(train, n)
       .withColumnRenamed("doc_id", "train_doc")
       .join(evGrams, Seq("gh"), "left_semi")
     // train df per surviving gram == global train df for that gram (the
-    // semi-join keeps every train occurrence of it); eval-set-sized output
-    val kept = broadcast(
-      trHits.groupBy("gh").agg(count(lit(1)).as("tdf"))
-        .filter(col("tdf") <= maxTrainDf)
-        .select("gh"))
+    // semi-join keeps every train occurrence of it); ≤ eval-gram-set rows
+    val keptRaw = trHits.groupBy("gh").agg(count(lit(1)).as("tdf"))
+      .filter(col("tdf") <= maxTrainDf)
+      .select("gh")
+    val kept = if (bcast) broadcast(keptRaw) else keptRaw
     ev.join(trHits.join(kept, Seq("gh"), "left_semi"), "gh")
       .groupBy("eval_doc", "train_doc")
       .agg(count(lit(1)).as("n_shared"))

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * visited set at `dist = round`. Work is Σ_rounds deg(frontier) ==
   * O(|E|) edge relaxations total for full traversals, and hop-bounded
   * traversals touch only the k-ball. The hop bound is a FIXED small k —
-  * the iteration count is data-independent, so the plan suits the same
-  * `localCheckpoint` cadence as PageRank but at k ≤ ~6 simply persists
-  * per round (lineage depth is bounded by construction).
+  * the iteration count is data-independent, so lineage depth is bounded
+  * by construction; only the per-level frontiers and the edge list are
+  * persisted (every one re-read by later rounds), never the cumulative
+  * union, which is a free re-concatenation of cached levels.
   *
   * Joins are left to Catalyst/AQE: the frontier starts tiny (seed set)
   * and AQE broadcasts it while it fits, switching to shuffled joins if a
@@ -37,11 +38,25 @@ object Bfs {
   def distances(spark: SparkSession, canonical: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // every persisted intermediate is freed before returning — only the
+    // RESULT stays cached, so repeated neighborhood queries (this
+    // operator's whole use case) don't pile k dead levels + the edge list
+    // into executor memory per call
+    // persist exactly the MULTIPLY-REFERENCED frames: the edge list (one
+    // join per round) and each level (anti-joined and unioned this round,
+    // then referenced through every later round's visited union). The
+    // cumulative visited union itself is NOT persisted — it is a bare
+    // union of already-cached levels, free to re-concatenate — so no
+    // dead snapshot ever enters the cache. Entries live in the session
+    // cache (CacheManager dedups identical plans, so repeated identical
+    // traversals share them rather than accumulate); sessions traversing
+    // many distinct graphs should clearCache between corpora — the same
+    // residency contract as [[Triangles.count]].
     val sym = canonical.select(col("u"), col("v"))
       .union(canonical.select(col("v").as("u"), col("u").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var visited = seeds.select(col("node"), lit(0L).as("dist"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    var visited = seeds.select(col("node"), lit(0L).as("dist")).persist(lvl)
     var frontier = visited
     (1 to maxHops).foreach { d =>
       val next = sym
@@ -49,9 +64,8 @@ object Bfs {
         .select(col("v").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(d.toLong).as("dist"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(lvl)
       visited = visited.unionByName(next)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       frontier = next
     }
     visited

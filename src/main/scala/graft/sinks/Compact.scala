@@ -16,11 +16,15 @@ import org.apache.spark.sql.SparkSession
   *    it must not pay a shuffle);
   *  - no-op when the directory already meets the target file count — safe
   *    to run on a schedule;
-  *  - crash-safe swap: write to `<dir>.compact-tmp` + `_SUCCESS`, move the
-  *    old dir aside, rename tmp into place, then drop the old dir. A crash
-  *    leaves either the intact original (tmp is ignored and re-created on
-  *    the next run) or the intact compacted dir plus a `.compact-old`
-  *    remnant that the next run clears — never a half-written table.
+  *  - crash-safe swap: write to the hidden sibling `.<dir>.compact-tmp`
+  *    + `_SUCCESS`, move the old dir aside (`.<dir>.compact-old`), rename
+  *    tmp into place, then drop the old dir. A crash leaves either the
+  *    intact original (tmp is ignored and re-created on the next run) or
+  *    the intact compacted dir plus an old-dir remnant that the next run
+  *    clears — never a half-written table. Remnants are dot-prefixed so
+  *    Spark/Hadoop listings skip them: when `dir` is one partition of a
+  *    partitioned table, a concurrent whole-table reader can never pick a
+  *    remnant up as a bogus partition.
   */
 object Compact {
 
@@ -45,8 +49,12 @@ object Compact {
       sortBy: Option[String] = None): Stats = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val dirP = new Path(dir)
-    val tmp = new Path(dir + ".compact-tmp")
-    val old = new Path(dir + ".compact-old")
+    // remnants are DOT-PREFIXED siblings: Spark/Hadoop listings skip
+    // hidden dirs, so when `dir` is one partition of a partitioned table
+    // (rewritePartitioned) a concurrent whole-table read can never pick a
+    // remnant up as a bogus partition, even mid-crash
+    val tmp = new Path(dirP.getParent, s".${dirP.getName}.compact-tmp")
+    val old = new Path(dirP.getParent, s".${dirP.getName}.compact-old")
     // Crash recovery BEFORE touching any remnant: a previous run may have
     // died between the two renames, leaving the data dir absent while the
     // only surviving copies are tmp (complete iff _SUCCESS) and/or old.
@@ -102,5 +110,39 @@ object Compact {
     val after = fs.listStatus(new Path(dir))
       .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
     Stats(parts.length, after, totalBytes, compacted = true)
+  }
+
+  /** Per-partition compaction of a `partitionBy(col)` table — the layout
+    * the KG pipeline's `triples/` and `docs/` land in (`bucket=N/`
+    * subdirectories), and the Iceberg `rewrite_data_files` reality: a
+    * partitioned table is rewritten one partition at a time, so each
+    * partition's swap stays independently crash-safe (a crash mid-sweep
+    * leaves every partition either untouched or fully compacted — the
+    * per-dir recovery logic of [[rewrite]] applies unchanged) and a
+    * re-run skips partitions already at their target. Resumable pipelines
+    * accrete files per run per bucket; at 100 TB the open-per-file cost
+    * of millions of small files dominates reads — this is the scheduled
+    * job that keeps that bounded. Returns per-partition stats keyed by
+    * the partition directory name (e.g. `bucket=17`). */
+  def rewritePartitioned(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortBy: Option[String] = None): Map[String, Stats] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // Partition names come from BOTH live dirs and crash remnants: a crash
+    // between rewrite()'s two renames leaves `.p=X.compact-old`/`-tmp`
+    // beside an ABSENT `p=X` — remnants are never compacted as partitions
+    // (hidden dirs don't match the live filter; readers skip them too),
+    // but the missing real partition must still be visited so rewrite()'s
+    // own recovery branch restores it.
+    val entries = fs.listStatus(new Path(dir)).filter(_.isDirectory)
+    val live = entries.map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && n.contains("="))
+    val remnants = entries.map(_.getPath.getName)
+      .filter(n => n.startsWith(".") &&
+        (n.endsWith(".compact-old") || n.endsWith(".compact-tmp")))
+      .map(_.stripPrefix(".").stripSuffix(".compact-old").stripSuffix(".compact-tmp"))
+    val names = (live ++ remnants).distinct.sorted
+    names.map(n =>
+      n -> rewrite(spark, new Path(dir, n).toString, targetBytes, sortBy)).toMap
   }
 }

@@ -61,6 +61,7 @@ object Warc {
     private var pos = 0
     private var nextRec: WarcRecord = advance()
 
+    @annotation.tailrec
     private def advance(): WarcRecord = {
       // tolerate inter-record padding/garbage: seek the next version line
       val start = Warc.bytesIndexOf(bytes, "WARC/".getBytes(US_ASCII), pos)
@@ -69,11 +70,19 @@ object Warc {
       if (headEnd < 0) return null
       val head = new String(bytes, start, headEnd - start, US_ASCII)
       val headers = parseHeaders(head.split("\r\n").drop(1))
-      val len = headers.getOrElse("content-length", "0").toInt
       val bodyStart = headEnd + 4
-      val bodyEnd = math.min(bodyStart + len, bytes.length)
-      pos = bodyEnd
-      record(headers, java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd))
+      // malformed Content-Length (non-numeric, negative, > array bound):
+      // skip past the header block and reseek — same recovery as the
+      // streaming parser, so the two stay differentially interchangeable
+      headers.get("content-length").flatMap(_.toLongOption) match {
+        case Some(len) if len >= 0 && len <= Int.MaxValue - 8 =>
+          val bodyEnd = math.min(bodyStart + len.toInt, bytes.length)
+          pos = bodyEnd
+          record(headers, java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd))
+        case _ =>
+          pos = bodyStart
+          advance()
+      }
     }
 
     override def hasNext: Boolean = nextRec != null
@@ -128,8 +137,10 @@ object Warc {
 
     @annotation.tailrec
     private def advance(): WarcRecord = {
+      // tolerate garbage ABUTTING the version marker mid-line (the byte
+      // parser seeks the "WARC/" pattern anywhere; match that)
       var line = readLine(in)
-      while (line != null && !line.startsWith("WARC/")) line = readLine(in)
+      while (line != null && !line.contains("WARC/")) line = readLine(in)
       if (line == null) return null
       val headerLines = scala.collection.mutable.ArrayBuffer.empty[String]
       var h = readLine(in)
@@ -137,7 +148,7 @@ object Warc {
       if (h == null) return null // truncated header block at EOF
       val headers = parseHeaders(headerLines.toArray)
       headers.get("content-length").flatMap(_.toLongOption) match {
-        case Some(len) if len <= Int.MaxValue - 8 =>
+        case Some(len) if len >= 0 && len <= Int.MaxValue - 8 =>
           val body = in.readNBytes(len.toInt)
           record(headers, body)
         case _ => advance() // unframeable record — reseek the next version line
@@ -165,10 +176,11 @@ object Warc {
   def recordStream(raw: InputStream): InputStream = {
     val pb = new java.io.PushbackInputStream(
       new java.io.BufferedInputStream(raw, 1 << 16), 2)
-    val head = new Array[Byte](2)
-    val n = pb.read(head)
-    if (n > 0) pb.unread(head, 0, n)
-    if (n == 2 && head(0) == GzipMagic(0) && head(1) == GzipMagic(1))
+    // readNBytes loops to the full 2 bytes — a single read() may legally
+    // return 1 byte (network FS) and would misdetect gzip as plain
+    val head = pb.readNBytes(2)
+    if (head.length > 0) pb.unread(head)
+    if (head.length == 2 && head(0) == GzipMagic(0) && head(1) == GzipMagic(1))
       org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
         .builder().setInputStream(pb).setDecompressConcatenated(true).get()
     else pb
@@ -198,21 +210,33 @@ object Warc {
     else java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
   }
 
-  /** Open one archive for streaming on an executor. A fresh Hadoop conf
-    * resolves file:/hdfs:/s3a: schemes from the executor's own classpath
-    * defaults — the listing (driver-side, via the binaryFile source with
-    * the content column PRUNED) already proved the path readable. */
-  private def openArchive(path: String): InputStream = {
+  /** The session's Hadoop settings as a plain serializable map — the
+    * executor-side rebuild overlays them on classpath defaults so
+    * object-store credentials/endpoints configured via `spark.hadoop.*`
+    * (the standard way) reach the per-task `fs.open`, exactly as they
+    * would through a binaryFile content read. */
+  private def hadoopConfMap(spark: SparkSession): Map[String, String] = {
+    val c = spark.sessionState.newHadoopConf()
+    val it = c.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+
+  /** Open one archive for streaming on an executor, under the session's
+    * Hadoop configuration (rebuilt from `confMap`). */
+  private def openArchive(path: String, confMap: Map[String, String]): InputStream = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confMap.foreach { case (k, v) => conf.set(k, v) }
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    recordStream(fs.open(p))
+    recordStream(p.getFileSystem(conf).open(p))
   }
 
   /** Parse a whole archive as a stream, closing it at exhaustion and — when
     * running inside a Spark task — at task completion (covers early
     * termination: limits, take(), task kills). */
-  private def streamArchive(path: String): Iterator[WarcRecord] = {
-    val in = openArchive(path)
+  private def streamArchive(path: String, confMap: Map[String, String]): Iterator[WarcRecord] = {
+    val in = openArchive(path, confMap)
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
     val it = parseRecordsStream(in)
@@ -236,9 +260,10 @@ object Warc {
     * archives alike (magic-byte detection per file). */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    val confMap = hadoopConfMap(spark)
     archivePaths(spark, path).as[String]
       .flatMap { file =>
-        streamArchive(file).map(r =>
+        streamArchive(file, confMap).map(r =>
           (file, r.warc_type, r.target_uri, r.warc_date, r.content_type, r.payload))
       }
       .toDF("file", "warc_type", "target_uri", "warc_date", "content_type", "payload")
@@ -249,9 +274,10 @@ object Warc {
     * gzipped archives alike, streaming each file record-by-record. */
   def responses(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    val confMap = hadoopConfMap(spark)
     archivePaths(spark, path).as[String]
       .flatMap { file =>
-        streamArchive(file)
+        streamArchive(file, confMap)
           .filter(r => r.warc_type == "response" && r.target_uri.nonEmpty)
           .map(r => (r.target_uri, httpBody(r.payload)))
       }

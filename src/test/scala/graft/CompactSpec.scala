@@ -21,6 +21,12 @@ class CompactSpec extends AnyFunSuite {
     d
   }
 
+  /** Remnant paths mirror Compact's hidden-sibling naming. */
+  private def remnant(dir: String, kind: String): java.io.File = {
+    val f = new java.io.File(dir)
+    new java.io.File(f.getParentFile, s".${f.getName}.compact-$kind")
+  }
+
   test("compaction bin-packs small files, preserves rows, and no-ops when met") {
     import spark.implicits._
     val dir = freshDir()
@@ -67,13 +73,13 @@ class CompactSpec extends AnyFunSuite {
     // before tmp was renamed into place
     val f = new java.io.File(dir)
     (0L until 200L).map(i => (i, i.toString)).toDF("id", "body")
-      .coalesce(1).write.parquet(dir + ".compact-tmp")
-    org.apache.commons.io.FileUtils.moveDirectory(f, new java.io.File(dir + ".compact-old"))
+      .coalesce(1).write.parquet(remnant(dir, "tmp").getPath)
+    org.apache.commons.io.FileUtils.moveDirectory(f, remnant(dir, "old"))
     val s = graft.sinks.Compact.rewrite(spark, dir)
     // tmp (complete, _SUCCESS) was promoted; already compact → no-op stats
     assert(!s.compacted && s.filesAfter == 1)
     assert(spark.read.parquet(dir).count() == 200L)
-    assert(!new java.io.File(dir + ".compact-old").exists())
+    assert(!remnant(dir, "old").exists())
   }
 
   test("crash before the tmp write finished recovers: original is restored") {
@@ -83,9 +89,9 @@ class CompactSpec extends AnyFunSuite {
       .repartition(10).write.parquet(dir)
     // simulate: dir moved aside, tmp incomplete (no _SUCCESS), process died
     org.apache.commons.io.FileUtils.moveDirectory(
-      new java.io.File(dir), new java.io.File(dir + ".compact-old"))
-    new java.io.File(dir + ".compact-tmp").mkdirs()
-    new java.io.File(dir + ".compact-tmp/part-junk").createNewFile()
+      new java.io.File(dir), remnant(dir, "old"))
+    remnant(dir, "tmp").mkdirs()
+    new java.io.File(remnant(dir, "tmp"), "part-junk").createNewFile()
     val s = graft.sinks.Compact.rewrite(spark, dir)
     assert(s.compacted && s.filesBefore == 10 && s.filesAfter == 1)
     assert(spark.read.parquet(dir).count() == 150L)
@@ -97,13 +103,13 @@ class CompactSpec extends AnyFunSuite {
     (0L until 100L).map(i => (i, i.toString)).toDF("id", "body")
       .repartition(10).write.parquet(dir)
     // simulate a crash: leftover tmp and old dirs with junk
-    new java.io.File(dir + ".compact-tmp").mkdirs()
-    new java.io.File(dir + ".compact-tmp/garbage").createNewFile()
-    new java.io.File(dir + ".compact-old").mkdirs()
+    remnant(dir, "tmp").mkdirs()
+    new java.io.File(remnant(dir, "tmp"), "garbage").createNewFile()
+    remnant(dir, "old").mkdirs()
     val s = graft.sinks.Compact.rewrite(spark, dir)
     assert(s.compacted && s.filesAfter == 1)
-    assert(!new java.io.File(dir + ".compact-tmp").exists())
-    assert(!new java.io.File(dir + ".compact-old").exists())
+    assert(!remnant(dir, "tmp").exists())
+    assert(!remnant(dir, "old").exists())
     assert(spark.read.parquet(dir).count() == 100L)
   }
 
@@ -141,5 +147,45 @@ class CompactSpec extends AnyFunSuite {
     assert(again.compacted)
     val plain = graft.sinks.Compact.rewrite(spark, dir, targetBytes)
     assert(!plain.compacted)
+  }
+
+  test("partitioned compaction: per-partition rewrite of a bucket=N table, rows+partitions exact") {
+    import spark.implicits._
+    val dir = freshDir()
+    // the pipeline's triples layout: partitionBy(bucket), files accreted
+    // over several "runs" (appends) → many small files per partition
+    val rows = (0L until 3000L).map(i => (i, s"triple $i", i % 4))
+    (0 until 3).foreach { run =>
+      rows.filter(_._1 % 3 == run).toDF("id", "payload", "bucket")
+        .repartition(5)
+        .write.mode("append").partitionBy("bucket").parquet(dir)
+    }
+    val before = spark.read.parquet(dir)
+    assert(before.inputFiles.length >= 4 * 3 * 3) // ≥ files per part per run
+
+    val stats = graft.sinks.Compact.rewritePartitioned(spark, dir)
+    assert(stats.keySet == Set("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
+    assert(stats.values.forall(s => s.compacted && s.filesAfter == 1))
+    val after = spark.read.parquet(dir)
+    assert(after.inputFiles.length == 4)
+    assert(after.select("id", "payload", "bucket")
+      .as[(Long, String, Long)].collect().map(t => (t._1, t._2, t._3.toInt)).sorted.toSeq
+      == rows.map(t => (t._1, t._2, t._3.toInt)).sortBy(_._1))
+    // idempotent: second sweep is a no-op everywhere
+    val s2 = graft.sinks.Compact.rewritePartitioned(spark, dir)
+    assert(s2.values.forall(!_.compacted))
+
+    // crash recovery mid-sweep: one partition vanished between the two
+    // renames, leaving only its hidden old-dir remnant — the sweep must
+    // restore bucket=2 (NOT compact the remnant as a bogus partition) and
+    // a whole-table read mid-crash must not see remnant rows
+    val p2 = new java.io.File(dir, "bucket=2")
+    org.apache.commons.io.FileUtils.moveDirectory(
+      p2, remnant(p2.getPath, "old"))
+    assert(spark.read.parquet(dir).count() == 3000L - rows.count(_._3 == 2))
+    val s3 = graft.sinks.Compact.rewritePartitioned(spark, dir)
+    assert(s3.keySet == Set("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
+    assert(spark.read.parquet(dir).count() == 3000L)
+    assert(!remnant(p2.getPath, "old").exists())
   }
 }

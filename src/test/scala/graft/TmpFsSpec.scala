@@ -49,6 +49,36 @@ class TmpFsSpec extends AnyFunSuite {
     assert(stagingOf(target).isEmpty)
   }
 
+  test("a torn pre-existing target (no _SUCCESS) is self-healed, not a permanent failure") {
+    val target = fresh()
+    // the torn state: directory present, _SUCCESS missing
+    new java.io.File(target).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(target, "half-written"), "junk".getBytes)
+    var writes = 0
+    graft.core.TmpFs.ensureShared(target) { st => writes += 1; writeOk(st) }
+    assert(writes == 1)
+    assert(new java.io.File(target, "_SUCCESS").exists())
+    assert(!new java.io.File(target, "half-written").exists())
+  }
+
+  test("orphan staging dirs of dead processes are swept; live ones are left alone") {
+    val target = fresh()
+    val base = new java.io.File(target).getName
+    val parent = new java.io.File(target).getParentFile
+    // a staging dir from a pid that no longer exists (SIGKILL mid-populate)
+    val deadStaging = new java.io.File(parent, s"$base.staging-999999999")
+    deadStaging.mkdirs()
+    // and one from a LIVE process — pid 1 (init) is always alive here,
+    // standing in for a concurrent populate in flight
+    val livePidStaging = new java.io.File(parent, s"$base.staging-1")
+    livePidStaging.mkdirs()
+    graft.core.TmpFs.ensureShared(target)(writeOk)
+    assert(!deadStaging.exists(), "dead-pid orphan must be swept")
+    assert(livePidStaging.exists(), "live-pid staging must be left alone")
+    org.apache.commons.io.FileUtils.deleteQuietly(livePidStaging)
+  }
+
   test("a writer that leaves no _SUCCESS is rejected; target untouched, staging cleaned") {
     val target = fresh()
     intercept[IllegalArgumentException] {

@@ -89,6 +89,38 @@ class WarcSpec extends AnyFunSuite {
     recs.drop(1).foreach(r => assert(Warc.httpBody(r.payload).sameElements(html)))
   }
 
+  test("both parsers skip malformed Content-Length records identically and recover") {
+    val html = "<html><body>ok</body></html>".getBytes("UTF-8")
+    def badRecord(lenValue: String): Array[Byte] =
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://bad.example/x\r\n" +
+        s"Content-Length: $lenValue\r\n\r\n").getBytes("UTF-8")
+    val good = Warc.writeWarc(Seq("https://good.example/1" -> html))
+    // non-numeric, negative, and over-bound lengths before a valid archive
+    val bytes = badRecord("abc") ++ badRecord("-5") ++
+      badRecord("99999999999999") ++ good
+    val fromBytes = Warc.parseRecords(bytes).toSeq
+    val fromStream = Warc.parseRecordsStream(
+      new java.io.ByteArrayInputStream(bytes)).toSeq
+    assert(fromBytes.map(_.target_uri) == fromStream.map(_.target_uri))
+    assert(fromBytes.map(_.warc_type) == Seq("warcinfo", "response"))
+    assert(Warc.httpBody(fromBytes.last.payload).sameElements(html))
+  }
+
+  test("streaming parser recovers when garbage abuts the version line mid-line") {
+    val html = "<html><body>abut</body></html>".getBytes("UTF-8")
+    val rec = Warc.writeWarc(Seq("https://abut.example/1" -> html))
+    // no newline between the junk and "WARC/1.0" — the byte parser seeks
+    // the pattern anywhere; the stream parser must match that tolerance
+    val bytes = "mid-line-junk-no-newline".getBytes("UTF-8") ++ rec
+    val fromStream = Warc.parseRecordsStream(
+      new java.io.ByteArrayInputStream(bytes)).toSeq
+    val fromBytes = Warc.parseRecords(bytes).toSeq
+    assert(fromStream.map(_.target_uri) == fromBytes.map(_.target_uri))
+    assert(fromStream.map(_.warc_type) == Seq("warcinfo", "response"))
+    assert(Warc.httpBody(fromStream.last.payload).sameElements(html))
+  }
+
   test("streaming .warc.gz parse is incremental (O(record) memory) and matches the byte parser") {
     // incompressible payloads so compressed size tracks inflated size and
     // the consumption assertion below is robust to codec buffering
