@@ -88,7 +88,14 @@ object Decontam {
     * narrow broadcast-semi-join path over train; an eval side that is
     * itself corpus-sized (e.g. a 20% split) falls back to shuffled
     * semi-joins — slower but never an over-limit broadcast. The 10M-long
-    * default is ~80 MB raw. */
+    * default is ~80 MB raw.
+    *
+    * Note the gate makes construction EAGER (one fingerprint+distinct job
+    * over the eval side decides the plan — the same contract as
+    * [[graft.quality.TfIdf.topTerms]] and `Triangles.count`), and the
+    * eval gram set stays in the session cache (CacheManager dedups
+    * identical plans across calls; sessions decontaminating many corpora
+    * should clearCache between them). */
   def contaminatedPairs(train: DataFrame, eval: DataFrame,
       minShared: Long, n: Int = 13, maxTrainDf: Long = 10000L,
       maxBroadcastGrams: Long = 10000000L): DataFrame = {

@@ -39,10 +39,6 @@ object Bfs {
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // every persisted intermediate is freed before returning — only the
-    // RESULT stays cached, so repeated neighborhood queries (this
-    // operator's whole use case) don't pile k dead levels + the edge list
-    // into executor memory per call
     // persist exactly the MULTIPLY-REFERENCED frames: the edge list (one
     // join per round) and each level (anti-joined and unioned this round,
     // then referenced through every later round's visited union). The

@@ -55,6 +55,11 @@ object Compact {
     // remnant up as a bogus partition, even mid-crash
     val tmp = new Path(dirP.getParent, s".${dirP.getName}.compact-tmp")
     val old = new Path(dirP.getParent, s".${dirP.getName}.compact-old")
+    // one-time migration: earlier releases wrote remnants as VISIBLE
+    // siblings (`<dir>.compact-*`); a table that crashed under that
+    // naming must still recover, and its stale remnants must still clear
+    val legacyTmp = new Path(dir + ".compact-tmp")
+    val legacyOld = new Path(dir + ".compact-old")
     // Crash recovery BEFORE touching any remnant: a previous run may have
     // died between the two renames, leaving the data dir absent while the
     // only surviving copies are tmp (complete iff _SUCCESS) and/or old.
@@ -64,6 +69,10 @@ object Compact {
         require(fs.rename(tmp, dirP), s"could not promote $tmp to $dir")
       } else if (fs.exists(old)) {
         require(fs.rename(old, dirP), s"could not restore $old to $dir")
+      } else if (fs.exists(new Path(legacyTmp, "_SUCCESS"))) {
+        require(fs.rename(legacyTmp, dirP), s"could not promote $legacyTmp to $dir")
+      } else if (fs.exists(legacyOld)) {
+        require(fs.rename(legacyOld, dirP), s"could not restore $legacyOld to $dir")
       } else {
         throw new java.io.FileNotFoundException(
           s"$dir missing and no recoverable compaction remnant exists")
@@ -71,8 +80,8 @@ object Compact {
     }
     // now the data dir is intact — remnants are stale and safe to clear
     // (old = swap finished but cleanup didn't; tmp = write never finished)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    Seq(old, tmp, legacyOld, legacyTmp).foreach(p =>
+      if (fs.exists(p)) fs.delete(p, true))
 
     val parts = fs.listStatus(new Path(dir))
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
@@ -135,12 +144,15 @@ object Compact {
     // but the missing real partition must still be visited so rewrite()'s
     // own recovery branch restores it.
     val entries = fs.listStatus(new Path(dir)).filter(_.isDirectory)
+    def isRemnant(n: String): Boolean =
+      n.endsWith(".compact-old") || n.endsWith(".compact-tmp")
     val live = entries.map(_.getPath.getName)
-      .filter(n => !n.startsWith(".") && n.contains("="))
+      .filter(n => !n.startsWith(".") && n.contains("=") && !isRemnant(n))
+    // remnants both hidden (current naming) and visible (legacy naming)
     val remnants = entries.map(_.getPath.getName)
-      .filter(n => n.startsWith(".") &&
-        (n.endsWith(".compact-old") || n.endsWith(".compact-tmp")))
+      .filter(isRemnant)
       .map(_.stripPrefix(".").stripSuffix(".compact-old").stripSuffix(".compact-tmp"))
+      .filter(_.contains("="))
     val names = (live ++ remnants).distinct.sorted
     names.map(n =>
       n -> rewrite(spark, new Path(dir, n).toString, targetBytes, sortBy)).toMap

@@ -76,7 +76,9 @@ object Warc {
       // streaming parser, so the two stay differentially interchangeable
       headers.get("content-length").flatMap(_.toLongOption) match {
         case Some(len) if len >= 0 && len <= Int.MaxValue - 8 =>
-          val bodyEnd = math.min(bodyStart + len.toInt, bytes.length)
+          // Long arithmetic: bodyStart + a near-max declared length wraps
+          // Int and would crash the copy instead of clamping to the array
+          val bodyEnd = math.min(bodyStart.toLong + len, bytes.length.toLong).toInt
           pos = bodyEnd
           record(headers, java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd))
         case _ =>
@@ -110,15 +112,19 @@ object Warc {
 
   /** One CRLF-terminated ASCII line from the stream, `null` at EOF with no
     * bytes pending. Bounded: a line longer than `maxLine` (binary garbage
-    * with no newline) is truncated rather than buffered unboundedly —
-    * truncated garbage can never start with `WARC/`, so framing recovers
-    * at the next real version line. */
+    * with no newline) keeps only its LAST ≤`maxLine` bytes — the retained
+    * TAIL is what matters, because a version marker abutting the garbage
+    * sits at the line's end and the parser's `contains("WARC/")` seek must
+    * still find it (keeping the head would silently drop such a record;
+    * the marker straddling a discard boundary remains a theoretical miss,
+    * at odds ~5/2²⁰ per overflowing chunk). */
   private def readLine(in: InputStream, maxLine: Int = 1 << 20): String = {
     val buf = new java.io.ByteArrayOutputStream(64)
     var b = in.read()
     if (b < 0) return null
     while (b >= 0 && b != '\n') {
-      if (buf.size < maxLine) buf.write(b)
+      if (buf.size >= maxLine) buf.reset() // keep the tail, not the head
+      buf.write(b)
       b = in.read()
     }
     val s = new String(buf.toByteArray, US_ASCII)

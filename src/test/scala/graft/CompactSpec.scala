@@ -113,6 +113,26 @@ class CompactSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 100L)
   }
 
+  test("legacy visible-sibling remnants (old naming) still recover and clear") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0L until 120L).map(i => (i, i.toString)).toDF("id", "body")
+      .repartition(6).write.parquet(dir)
+    // crash under the PREVIOUS release's naming: data dir moved aside to
+    // the visible sibling `<dir>.compact-old`, process died
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(dir), new java.io.File(dir + ".compact-old"))
+    val s = graft.sinks.Compact.rewrite(spark, dir)
+    assert(s.compacted && s.filesBefore == 6 && s.filesAfter == 1)
+    assert(spark.read.parquet(dir).count() == 120L)
+    assert(!new java.io.File(dir + ".compact-old").exists())
+    // stale legacy tmp beside an intact dir is cleared too
+    new java.io.File(dir + ".compact-tmp").mkdirs()
+    val s2 = graft.sinks.Compact.rewrite(spark, dir)
+    assert(!s2.compacted)
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
+  }
+
   test("sorted compaction clusters: per-file key ranges disjoint, rewrite even when count met") {
     import spark.implicits._
     val dir = freshDir()

@@ -105,6 +105,24 @@ class WarcSpec extends AnyFunSuite {
     assert(fromBytes.map(_.target_uri) == fromStream.map(_.target_uri))
     assert(fromBytes.map(_.warc_type) == Seq("warcinfo", "response"))
     assert(Warc.httpBody(fromBytes.last.payload).sameElements(html))
+
+    // a near-Int.MaxValue declared length passes the guard but must CLAMP
+    // (Long arithmetic), not wrap negative and crash the copy
+    val bytes2 = good ++ badRecord("2147483630")
+    val b2 = Warc.parseRecords(bytes2).toSeq
+    val s2 = Warc.parseRecordsStream(new java.io.ByteArrayInputStream(bytes2)).toSeq
+    assert(b2.map(_.target_uri) == s2.map(_.target_uri))
+    assert(b2.size == 3) // warcinfo + good response + clamped empty-body record
+  }
+
+  test("streaming parser finds a version marker after >1MB of newline-free garbage (tail-keep)") {
+    val html = "<html><body>big</body></html>".getBytes("UTF-8")
+    val rec = Warc.writeWarc(Seq("https://tail.example/1" -> html))
+    val junk = Array.fill[Byte]((1 << 20) + 4096)('x'.toByte)
+    val bytes = junk ++ rec
+    val got = Warc.parseRecordsStream(new java.io.ByteArrayInputStream(bytes)).toSeq
+    assert(got.map(_.warc_type) == Seq("warcinfo", "response"))
+    assert(Warc.httpBody(got.last.payload).sameElements(html))
   }
 
   test("streaming parser recovers when garbage abuts the version line mid-line") {
