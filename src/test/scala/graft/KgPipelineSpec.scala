@@ -137,6 +137,35 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(runs == 2)
   }
 
+  test("table maintenance composes with resume: compacting outputs mid-stream stays byte-stable") {
+    import spark.implicits._
+    val out = freshDir()
+    val outRef = freshDir()
+    val pages = WebTextGen.pages(spark, 300, 4).toDF()
+    val cfg = KgPipeline.Config(out, numBuckets = 8)
+    KgPipeline.run(spark, pages, KgPipeline.Config(outRef, numBuckets = 8))
+
+    // interrupted run commits buckets 0-4, then the scheduled maintenance
+    // job compacts the partitioned outputs (the OPTIMIZE-between-runs
+    // reality of a continuously-appending pipeline)
+    KgPipeline.run(spark, pages.filter(KgPipeline.bucketCol(8) <= 4), cfg)
+    val tStats = graft.sinks.Compact.rewritePartitioned(spark, s"$out/triples")
+    val dStats = graft.sinks.Compact.rewritePartitioned(spark, s"$out/docs")
+    assert(tStats.nonEmpty && dStats.nonEmpty)
+
+    // resume over compacted state: only the missing buckets run, and the
+    // final triples equal the uninterrupted reference run exactly
+    val s2 = KgPipeline.run(spark, pages, cfg)
+    assert(s2.bucketsProcessed == 3, s"expected 3 remaining buckets, got ${s2.bucketsProcessed}")
+    val s3 = KgPipeline.run(spark, pages, cfg)
+    assert(s3.bucketsProcessed == 0)
+    val a = spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    val b = spark.read.parquet(s"$outRef/triples")
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bucketed/aligned input (Iceberg bucket-transform layout) gives the same triples") {
     import spark.implicits._
     val outA = freshDir()
