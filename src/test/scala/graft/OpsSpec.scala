@@ -454,6 +454,36 @@ class OpsSpec extends AnyFunSuite {
     assert(gotRep == Set((20L, 1L, 1L)))
   }
 
+  test("gram fingerprints match a JVM reference across random corpora and gram lengths (fuzz)") {
+    import spark.implicits._
+    def refFingerprints(text: String, n: Int): Set[Long] = {
+      val toks = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (toks.size < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet.map { g: String =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(g.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(12)
+        java.lang.Long.parseLong(hex, 16)
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "z1")
+    (1 to 4).foreach { _ =>
+      val n = 2 + rnd.nextInt(5) // gram length 2..6
+      val docs = (0L until 12L).map { id =>
+        val len = rnd.nextInt(12) // includes < n token docs (emit nothing)
+        (id, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = graft.dedup.Decontam
+        .gramFingerprints(docs.toDF("doc_id", "text"), n)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = docs.map { case (id, t) => id -> refFingerprints(t, n) }
+        .filter(_._2.nonEmpty).toMap
+      assert(got == want, s"n=$n mismatch")
+    }
+  }
+
   test("decontamination default is 13-grams: a 13-word shared run matches, a 12-word run doesn't") {
     import spark.implicits._
     val run13 = (1 to 13).map(i => s"w$i").mkString(" ")
