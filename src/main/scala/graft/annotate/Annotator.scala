@@ -109,15 +109,38 @@ final case class HttpAnnotator(
   * are interrupt-safe: a Spark task kill mid-sleep fails the batch
   * immediately instead of pinning the cancelled task.
   *
+  * The budget is CLUSTER-GLOBAL: `minIntervalMillis` states the
+  * provider's aggregate limit, and `workers` states how many executor
+  * JVMs annotate concurrently (the pipeline's annotator-partition /
+  * executor count — [[graft.kg.KgPipeline]] plans that number). Each JVM
+  * spaces its own departures by `workers × minIntervalMillis`, so N
+  * executors together sustain at most the configured aggregate rate —
+  * a per-JVM-only throttle would multiply the budget by the cluster
+  * size. (The JVM clocks are unsynchronized in phase, so a transient
+  * burst of up to `workers` near-simultaneous requests is possible; the
+  * SUSTAINED rate is what providers meter and what the spacing bounds.)
+  *
   * Serializable by construction: only config strings/numbers ship to
-  * executors; the HTTP client and throttle clock are per-executor-JVM. */
+  * executors; the HTTP client and throttle clock are per-executor-JVM
+  * (`clockKey` selects the clock — production leaves the default, tests
+  * simulate distinct worker JVMs inside one test JVM). */
 final case class TogetherAnnotator(
     endpoint: String, // e.g. https://api.together.xyz/v1/chat/completions
     apiKey: String,
     model: String = "meta-llama/Llama-3.3-70B-Instruct-Turbo-Free", // llm.py:11
     timeout: java.time.Duration = java.time.Duration.ofSeconds(600),
     maxRetries: Int = 3,
-    minIntervalMillis: Long = 1000L) extends Annotator {
+    minIntervalMillis: Long = 1000L,
+    workers: Int = 1,
+    clockKey: String = "global") extends Annotator {
+
+  require(workers >= 1, s"workers must be >= 1, got $workers")
+
+  /** Case-class toString would embed the bearer token — Spark task logs
+    * and exception messages print closure fields, so redact it. */
+  override def toString: String =
+    s"TogetherAnnotator($endpoint,apiKey=***,$model,$timeout,$maxRetries," +
+      s"$minIntervalMillis,$workers,$clockKey)"
 
   @transient private lazy val client =
     java.net.http.HttpClient.newBuilder().connectTimeout(timeout).build()
@@ -156,7 +179,9 @@ final case class TogetherAnnotator(
       .build()
     var attempt = 0
     while (attempt <= maxRetries) {
-      if (!sleepUntil(TogetherAnnotator.reserveSlot(minIntervalMillis)))
+      // this JVM's share of the cluster-global budget: workers × interval
+      if (!sleepUntil(TogetherAnnotator.reserveSlot(
+          minIntervalMillis * workers, clockKey)))
         return ("", true) // interrupted while throttled — fail the batch now
       try {
         val resp = client.send(req,
@@ -173,7 +198,7 @@ final case class TogetherAnnotator(
             if (retryAfter.isPresent)
               retryAfter.get().toLongOption.map(_ * 1000L).getOrElse(minIntervalMillis)
             else minIntervalMillis
-          TogetherAnnotator.pushBack(coolDownMs)
+          TogetherAnnotator.pushBack(coolDownMs, clockKey)
         }
       } catch {
         case _: InterruptedException =>
@@ -192,30 +217,41 @@ final case class TogetherAnnotator(
 }
 
 object TogetherAnnotator {
-  /** Next free departure time (nanos) — ONE clock per executor JVM, shared
-    * by every task thread, so aggregate request rate stays under the
-    * provider limit regardless of task parallelism. */
-  private val nextFreeNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Next free departure time (nanos) per clock key — ONE clock per
+    * executor JVM in production (the default "global" key), shared by
+    * every task thread, so the JVM's request rate stays under its share
+    * of the provider limit regardless of task parallelism. Distinct keys
+    * exist so tests can simulate separate worker JVMs in one process. */
+  private val clocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def clock(key: String): java.util.concurrent.atomic.AtomicLong =
+    clocks.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L))
 
   /** Reserve the next departure slot ≥ now, spaced `intervalMillis` after
     * the previous reservation; returns the nanos to sleep until. */
-  private[annotate] def reserveSlot(intervalMillis: Long): Long = {
+  private[graft] def reserveSlot(intervalMillis: Long,
+      key: String = "global"): Long = {
+    val c = clock(key)
     while (true) {
       val now = System.nanoTime()
-      val prev = nextFreeNanos.get()
+      val prev = c.get()
       val slot = math.max(now, prev)
-      if (nextFreeNanos.compareAndSet(prev, slot + intervalMillis * 1000000L))
+      if (c.compareAndSet(prev, slot + intervalMillis * 1000000L))
         return slot
     }
     0L // unreachable
   }
 
   /** Delay all future slots by at least `coolDownMs` from now (429). */
-  private[annotate] def pushBack(coolDownMs: Long): Unit = {
+  private[graft] def pushBack(coolDownMs: Long,
+      key: String = "global"): Unit = {
+    val c = clock(key)
     val until = System.nanoTime() + coolDownMs * 1000000L
-    var prev = nextFreeNanos.get()
-    while (prev < until && !nextFreeNanos.compareAndSet(prev, until))
-      prev = nextFreeNanos.get()
+    var prev = c.get()
+    while (prev < until && !c.compareAndSet(prev, until))
+      prev = c.get()
   }
 }
 

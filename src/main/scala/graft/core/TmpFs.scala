@@ -35,7 +35,13 @@ object TmpFs {
       // content is deterministic, any complete copy is the right one).
       val tornAside = new java.io.File(
         s"$target.torn-${ProcessHandle.current().pid()}")
-      if (new java.io.File(target).exists() &&
+      // re-check _SUCCESS at the last instant before grabbing the path: a
+      // racer may have published a COMPLETE target since the check above,
+      // and briefly renaming a complete table aside would let a third
+      // reader transiently see it missing. The window shrinks to
+      // check→rename (the restore branch below still handles a racer that
+      // slips inside it).
+      if (new java.io.File(target).exists() && !done.exists() &&
           new java.io.File(target).renameTo(tornAside)) {
         if (new java.io.File(tornAside, "_SUCCESS").exists()) {
           if (!tornAside.renameTo(new java.io.File(target)))
