@@ -35,18 +35,23 @@ object Compact {
     * file counts. Row content is preserved exactly (spec-pinned).
     *
     * `sortBy` additionally establishes CLUSTERING while compacting (the
-    * Iceberg `rewrite_data_files(strategy => 'sort')` / z-order-lite
-    * analog): rows are range-partitioned on the key into the bin-packed
+    * Iceberg `rewrite_data_files(strategy => 'sort' | 'zorder')` analog):
+    * with ONE key, rows are range-partitioned on it into the bin-packed
     * file count and sorted within each file, so every output file covers
     * a DISJOINT key range — parquet min/max footer stats then let any
-    * later key-predicate scan skip whole files. This mode intentionally
-    * pays ONE exchange (plain compaction stays narrow — moving bytes must
-    * not shuffle; establishing an order is exactly the case that must)
-    * and rewrites even when the file-count target is already met, because
-    * its goal is layout, not count. */
+    * later key-predicate scan skip whole files. With TWO OR MORE (numeric)
+    * keys, rows are clustered on the bit-interleaved Z-VALUE of the keys
+    * (each key scaled to 16 bits by its global min/max): every output
+    * file then covers a small HYPER-RECTANGLE of the key space, so
+    * predicates on ANY of the keys skip files — a single-key sort leaves
+    * the other keys' per-file ranges at full width. This mode
+    * intentionally pays ONE exchange (plain compaction stays narrow —
+    * moving bytes must not shuffle; establishing an order is exactly the
+    * case that must) and rewrites even when the file-count target is
+    * already met, because its goal is layout, not count. */
   def rewrite(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      sortBy: Option[String] = None): Stats = {
+      sortBy: Seq[String] = Nil): Stats = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val dirP = new Path(dir)
     // remnants are DOT-PREFIXED siblings: Spark/Hadoop listings skip
@@ -87,6 +92,11 @@ object Compact {
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     val totalBytes = parts.map(_.getLen).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // zero part- files: nothing to rewrite in ANY mode — proceeding to the
+    // scan would throw unable-to-infer-schema, and sort mode's
+    // rewrite-even-at-target rule only applies to data that exists
+    if (parts.isEmpty)
+      return Stats(0, 0, 0L, compacted = false)
     if (parts.length <= target && sortBy.isEmpty)
       return Stats(parts.length, parts.length, totalBytes, compacted = false)
 
@@ -104,11 +114,17 @@ object Compact {
     scanSession.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
     scanSession.conf.set("spark.sql.files.openCostInBytes", "0")
     val scan = scanSession.read.parquet(dir)
+    import org.apache.spark.sql.functions.col
     val packed = sortBy match {
-      case Some(key) =>
-        val k = org.apache.spark.sql.functions.col(key)
-        scan.repartitionByRange(target, k).sortWithinPartitions(k)
-      case None => scan.coalesce(target)
+      case Nil => scan.coalesce(target)
+      case Seq(key) =>
+        scan.repartitionByRange(target, col(key)).sortWithinPartitions(col(key))
+      case keys =>
+        // the projection after the sort preserves within-partition order
+        scan.withColumn("__z", zValue(scan, keys))
+          .repartitionByRange(target, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
     }
     packed.write.mode("overwrite").parquet(tmp.toString)
     require(fs.exists(new Path(tmp, "_SUCCESS")), s"compaction write to $tmp failed")
@@ -119,6 +135,38 @@ object Compact {
     val after = fs.listStatus(new Path(dir))
       .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
     Stats(parts.length, after, totalBytes, compacted = true)
+  }
+
+  /** Bit-interleaved z-value of up to 4 numeric key columns: each key is
+    * scaled to 16 bits by its GLOBAL min/max (one tiny aggregate job over
+    * the scan), then bit b of key i lands at position `b*n + i` — the
+    * classic Morton code, built as a pure Catalyst expression (codegen'd,
+    * ~64 shift/or ops; no UDF). Nulls sort first (scaled to 0). A key
+    * whose min == max contributes nothing (constant 0 bits). */
+  private def zValue(scan: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(keys.size <= 4, s"z-order interleave supports <= 4 keys, got $keys")
+    val aggs = keys.flatMap(k => Seq(
+      min(col(k).cast("double")), max(col(k).cast("double"))))
+    val row = scan.agg(aggs.head, aggs.tail: _*).head()
+    val n = keys.size
+    val scaled = keys.zipWithIndex.map { case (k, i) =>
+      // all-null key ⇒ no min/max ⇒ constant-0 contribution
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+      else {
+      val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L), greatest(lit(0L),
+        floor((coalesce(col(k).cast("double"), lit(lo)) - lo)
+          / (hi - lo) * 65536.0).cast("long")))
+      }
+    }
+    (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (s, i)) =>
+        a.bitwiseOR(shiftleft(shiftright(s, b).bitwiseAND(lit(1L)), b * n + i))
+      }
+    }
   }
 
   /** Per-partition compaction of a `partitionBy(col)` table — the layout
@@ -135,7 +183,7 @@ object Compact {
     * the partition directory name (e.g. `bucket=17`). */
   def rewritePartitioned(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      sortBy: Option[String] = None): Map[String, Stats] = {
+      sortBy: Seq[String] = Nil): Map[String, Stats] = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     // Partition names come from BOTH live dirs and crash remnants: a crash
     // between rewrite()'s two renames leaves `.p=X.compact-old`/`-tmp`

@@ -144,7 +144,7 @@ class CompactSpec extends AnyFunSuite {
     val targetBytes = math.max(1L,
       org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(dir)) / 4)
 
-    val s = graft.sinks.Compact.rewrite(spark, dir, targetBytes, sortBy = Some("id"))
+    val s = graft.sinks.Compact.rewrite(spark, dir, targetBytes, sortBy = Seq("id"))
     assert(s.compacted && s.filesAfter >= 3, s"expected >=3 clustered files, got $s")
     // per-file footer ranges must be pairwise disjoint — that is the whole
     // point of the sort mode: a key predicate then skips whole files
@@ -163,10 +163,68 @@ class CompactSpec extends AnyFunSuite {
 
     // count target already met — the sort mode must STILL rewrite (its
     // goal is layout); plain mode must still no-op
-    val again = graft.sinks.Compact.rewrite(spark, dir, targetBytes, sortBy = Some("id"))
+    val again = graft.sinks.Compact.rewrite(spark, dir, targetBytes, sortBy = Seq("id"))
     assert(again.compacted)
     val plain = graft.sinks.Compact.rewrite(spark, dir, targetBytes)
     assert(!plain.compacted)
+  }
+
+  test("z-order compaction bounds per-file ranges on BOTH keys; single-key sort does not") {
+    import spark.implicits._
+    // a 64×64 grid scattered across input files: every file spans nearly
+    // the full range of both keys before clustering
+    val n = 4096
+    val rows = (0 until n).map { j =>
+      val i = (j * 2719) % n // permutation (2719 coprime with 4096)
+      (i % 64L, i / 64L, s"payload-$j%06d")
+    }
+    def spanRatios(dir: String): (Double, Double) = {
+      val files = spark.read.parquet(dir).inputFiles.toSeq
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          org.apache.spark.sql.functions.min("x"), org.apache.spark.sql.functions.max("x"),
+          org.apache.spark.sql.functions.min("y"), org.apache.spark.sql.functions.max("y")).head()
+        (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+      }
+      (spans.map(_._1).sum.toDouble / spans.size / 63.0,
+        spans.map(_._2).sum.toDouble / spans.size / 63.0)
+    }
+    val zdir = freshDir()
+    rows.toDF("x", "y", "body").repartition(16).write.parquet(zdir)
+    val targetBytes = math.max(1L,
+      org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(zdir)) / 16)
+    val s = graft.sinks.Compact.rewrite(spark, zdir, targetBytes,
+      sortBy = Seq("x", "y"))
+    assert(s.compacted && s.filesAfter >= 8, s"got $s")
+    val (zx, zy) = spanRatios(zdir)
+    // each file must cover a small rectangle: both keys' average per-file
+    // span well under the global range (16 z-blocks of a 64×64 grid are
+    // ~16×16 rectangles ⇒ ratio ~0.25; 0.6 leaves block-boundary slack)
+    assert(zx <= 0.6 && zy <= 0.6, f"z-order spans x=$zx%.2f y=$zy%.2f")
+    // row preservation
+    assert(spark.read.parquet(zdir).as[(Long, Long, String)].collect().sorted.toSeq
+      == rows.sorted)
+
+    // contrast: single-key sort bounds x but leaves y at ~full width —
+    // the case that motivates the interleave
+    val xdir = freshDir()
+    rows.toDF("x", "y", "body").repartition(16).write.parquet(xdir)
+    graft.sinks.Compact.rewrite(spark, xdir, targetBytes, sortBy = Seq("x"))
+    val (sx, sy) = spanRatios(xdir)
+    assert(sx <= 0.6, f"x-sort must bound x spans, got $sx%.2f")
+    assert(sy >= 0.9, f"x-sort should leave y unbounded, got $sy%.2f")
+  }
+
+  test("zero part- files no-ops in every mode (sort mode must not scan an empty dir)") {
+    val dir = freshDir()
+    new java.io.File(dir).mkdirs()
+    // a directory with no part- files (e.g. only a _SUCCESS from an empty
+    // write) must return no-op stats, not throw unable-to-infer-schema
+    new java.io.File(dir, "_SUCCESS").createNewFile()
+    val plain = graft.sinks.Compact.rewrite(spark, dir)
+    assert(plain == graft.sinks.Compact.Stats(0, 0, 0L, compacted = false))
+    val sorted = graft.sinks.Compact.rewrite(spark, dir, sortBy = Seq("id"))
+    assert(sorted == graft.sinks.Compact.Stats(0, 0, 0L, compacted = false))
   }
 
   test("partitioned compaction: per-partition rewrite of a bucket=N table, rows+partitions exact") {
