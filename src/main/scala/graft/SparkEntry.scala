@@ -678,6 +678,21 @@ object SparkEntry {
       val seeds = canon.agg(min(col("u")).as("node"))
       graft.kg.Bfs.distances(s, canon, seeds, 3)
     }),
+    // near-dup cluster collapse — the composition that makes the dedup
+    // family actually DELETE documents: LSH pairs (q15 machinery) → star
+    // connected components (q13 machinery) → one winner per cluster (min
+    // doc_id; singletons win themselves). filter(is_winner) is the
+    // deduplicated corpus. The md5-portable hash path lets the oracle
+    // replay pairs, components, and the winner rule end-to-end.
+    "q61_neardup_clusters" -> ((s, dir) =>
+      Dedup.clusters(s, t(s, dir, "documents"), 0.5, portableHash = true)),
+    // span-level corpus dedup (C4/RefinedWeb hygiene): 3-token spans,
+    // corpus-wide distinct-doc frequency per span fingerprint, keep flag
+    // at df ≤ 2 — the cross-document boilerplate detector that per-doc
+    // signals (q17/q48) cannot express. Newline-line variant + the strip
+    // half (cleanedText) are OpsSpec-pinned with planted boilerplate.
+    "q62_line_dedup" -> ((s, dir) =>
+      Dedup.lineFlags(Dedup.spansOf(t(s, dir, "documents"), 3), 2L)),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -789,8 +804,10 @@ object SparkEntry {
     * token IS its shingle (UNION ALL arm), and an empty/whitespace-only doc
     * (DuckDB splits '' to ['']) contributes no shingles — matching the
     * engine-side skip of empty shingle sets. */
-  private def minhashSql(tokBound: Long): String =
-    s"""WITH coeffs(i, a, b) AS ${graft.dedup.Dedup.coeffsValues},
+  /** The MinHash-LSH CTE chain up to `est(doc_a, doc_b, e)` — shared by
+    * the pair oracle (q15) and the cluster-collapse oracle (q61). */
+  private def minhashEstCtes(tokBound: Long): String =
+    s"""coeffs(i, a, b) AS ${graft.dedup.Dedup.coeffsValues},
        | toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
        |          FROM documents),
        | sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -812,9 +829,47 @@ object SparkEntry {
        |           sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 64.0 AS e
        |         FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
        |           JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
-       |         GROUP BY c.doc_a, c.doc_b)
+       |         GROUP BY c.doc_a, c.doc_b)""".stripMargin
+
+  private def minhashSql(tokBound: Long): String =
+    s"""WITH ${minhashEstCtes(tokBound)}
        | SELECT doc_a, doc_b, round(e, 4) AS est_jaccard
        | FROM est WHERE e >= 0.1""".stripMargin.replaceAll("\n", " ")
+
+  /** q61: full cluster-collapse replay — LSH pairs at est ≥ 0.5 become an
+    * undirected graph, components labeled by recursive min-label
+    * propagation, winner = the cluster's min doc_id; singletons are their
+    * own winner (LEFT JOIN + coalesce). */
+  private def clustersSql(tokBound: Long): String =
+    s"""WITH RECURSIVE ${minhashEstCtes(tokBound)},
+       | p AS (SELECT doc_a, doc_b FROM est WHERE e >= 0.5),
+       | sym AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |         UNION SELECT doc_b, doc_a FROM p),
+       | cc(node, label) AS (
+       |   SELECT src, src FROM sym
+       |   UNION
+       |   SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.node),
+       | comp AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node)
+       | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |  (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_winner
+       | FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** q62: span-level corpus dedup replay — fixed 3-token spans, md5
+    * fingerprints, corpus-wide distinct-doc df, keep = df ≤ 2. */
+  private def lineDedupSql(spanBound: Long): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       | sp AS (SELECT doc_id, g.j - 1 AS line_idx,
+       |   list_aggregate(t[(g.j-1)*3+1 : g.j*3], 'string_agg', ' ') AS ln
+       |  FROM toks JOIN generate_series(1, $spanBound) g(j) ON (g.j-1)*3 < len(t)),
+       | nz AS (SELECT doc_id, line_idx, ln FROM sp WHERE ln <> ''),
+       | dfc AS (SELECT md5(ln) AS fp, count(DISTINCT doc_id) AS line_df
+       |         FROM nz GROUP BY 1)
+       | SELECT nz.doc_id, nz.line_idx::int AS line_idx, md5(nz.ln) AS fp,
+       |  dfc.line_df, (dfc.line_df <= 2) AS keep
+       | FROM nz JOIN dfc ON md5(nz.ln) = dfc.fp"""
+      .stripMargin.replaceAll("\n", " ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -1218,6 +1273,8 @@ object SparkEntry {
     // the md5-32 primitive (coefficients emitted from the engine's PRNG),
     // 16 bands × 4 rows, in-bucket pairing, signature-agreement estimate
     "q15_minhash_pairs" -> minhashSql(4096),
+    "q61_neardup_clusters" -> clustersSql(4096),
+    "q62_line_dedup" -> lineDedupSql(4096),
     // SimHash replay: md5_number_lower == the engine's md5Hash64 (lower 8
     // MD5 bytes, little-endian); fingerprint compared as a 64-char bit
     // string, MSB first
@@ -1330,7 +1387,9 @@ object SparkEntry {
       "q44_find_all_native" -> findAllSql(maxLen + 1),
       "q21_langid" -> langidSql(maxLen + 4),
       "q25_frame_sample" -> frameSampleSql(maxBytes / 64 + 2),
-      "q15_minhash_pairs" -> minhashSql(maxToks + 1))
+      "q15_minhash_pairs" -> minhashSql(maxToks + 1),
+      "q61_neardup_clusters" -> clustersSql(maxToks + 1),
+      "q62_line_dedup" -> lineDedupSql(maxToks / 3 + 2))
     val cent = graft.sim.Ivf.centroidsFor(
       spark, t(spark, sfDir, "embeddings"), 16, 5, 100000)
     oracleSql ++ derived + ("q42_ann_ivf" -> (

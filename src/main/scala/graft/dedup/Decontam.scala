@@ -98,6 +98,23 @@ object Decontam {
     * should clearCache between them). */
   def contaminatedPairs(train: DataFrame, eval: DataFrame,
       minShared: Long, n: Int = 13, maxTrainDf: Long = 10000L,
+      maxBroadcastGrams: Long = 10000000L): DataFrame =
+    contaminatedPairsFromGrams(
+      gramFingerprints(train, n).withColumnRenamed("doc_id", "train_doc"),
+      eval, minShared, n, maxTrainDf, maxBroadcastGrams)
+
+  /** [[contaminatedPairs]] over PRECOMPUTED train gram fingerprints
+    * `(train_doc, gh)` — e.g. the bucketed [[gramTable]]. Decontamination
+    * is run repeatedly (every new eval benchmark, every corpus revision);
+    * re-fingerprinting the train corpus each time repeats its dominant
+    * narrow cost, and in the corpus-sized-eval fallback regime ALSO
+    * re-exchanges the tokens×n train gram stream per run. Reading the
+    * grams from a gh-bucketed table deletes both: the scan already reports
+    * `HashPartitioning(gh, N)`, so the semi-join and the df aggregate plan
+    * with ZERO train-side Exchange (asserted in OpsSpec) — only the
+    * eval side moves. */
+  def contaminatedPairsFromGrams(trainGrams: DataFrame, eval: DataFrame,
+      minShared: Long, n: Int = 13, maxTrainDf: Long = 10000L,
       maxBroadcastGrams: Long = 10000000L): DataFrame = {
     val ev = gramFingerprints(eval, n).withColumnRenamed("doc_id", "eval_doc")
     val evG = ev.select("gh").distinct()
@@ -108,9 +125,7 @@ object Decontam {
     // pass over train keeping only grams the eval set contains — narrow
     // under the broadcast gate, shuffled semi-join above it.
     // def (not val): referenced twice below with no shared exchange anyway
-    def trHits = gramFingerprints(train, n)
-      .withColumnRenamed("doc_id", "train_doc")
-      .join(evGrams, Seq("gh"), "left_semi")
+    def trHits = trainGrams.join(evGrams, Seq("gh"), "left_semi")
     // train df per surviving gram == global train df for that gram (the
     // semi-join keeps every train occurrence of it); ≤ eval-gram-set rows
     val keptRaw = trHits.groupBy("gh").agg(count(lit(1)).as("tdf"))
@@ -122,4 +137,16 @@ object Decontam {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Materialize the train corpus's gram fingerprints ONCE as a
+    * `bucketBy(N, gh)` catalog table (the q49 layout). Write cost: one
+    * fingerprint pass + one gh exchange, paid once; every subsequent
+    * [[contaminatedPairsFromGrams]] run then joins with zero train-side
+    * exchange. Idempotent within a session (the standing-table contract
+    * of [[graft.sources.BucketedTables.ensure]]). */
+  def gramTable(spark: org.apache.spark.sql.SparkSession, train: DataFrame,
+      name: String, n: Int = 13, nBuckets: Int = 32): DataFrame =
+    graft.sources.BucketedTables.ensure(spark, name,
+      gramFingerprints(train, n).withColumnRenamed("doc_id", "train_doc"),
+      "gh", nBuckets)
 }

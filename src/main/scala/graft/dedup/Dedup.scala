@@ -236,6 +236,75 @@ object Dedup {
         round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  // --- line/span-level corpus dedup (C4/RefinedWeb hygiene) --------------
+  //
+  // Document-level dedup ([[exact]]/[[clusters]]) cannot remove the
+  // boilerplate that repeats ACROSS distinct documents — navigation chrome,
+  // cookie banners, licence footers. The standard web-corpus hygiene step
+  // (C4's three-sentence-span dedup, RefinedWeb's line dedup) explodes
+  // documents into lines, counts each line's corpus-wide document
+  // frequency, and strips lines above a df threshold. Two "line" units:
+  // real newline lines ([[linesOf]]) for corpora with line structure, and
+  // fixed W-token spans ([[spansOf]]) — the C4-style unit — for flowing
+  // text without it.
+
+  /** `(doc_id, line_idx, ln)` — trimmed, non-empty newline-separated lines
+    * of each document, with their 0-based position. Narrow (one explode,
+    * no shuffle). */
+  def linesOf(docs: DataFrame, sepRegex: String = "\n+"): DataFrame =
+    docs.select(col("doc_id").cast("long"),
+        posexplode(split(col("text"), sepRegex)).as(Seq("line_idx", "ln")))
+      .select(col("doc_id"), col("line_idx"), trim(col("ln")).as("ln"))
+      .filter(col("ln") =!= "")
+
+  /** `(doc_id, line_idx, ln)` — consecutive `w`-token spans (the last span
+    * may be shorter). The token array is PROJECTED before the transform so
+    * the tokenizer runs once per row, not once per span (the
+    * [[Decontam.gramFingerprints]] lambda-re-evaluation lesson). */
+  def spansOf(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"span width must be >= 1, got $w")
+    val toked = docs.select(col("doc_id").cast("long"),
+      split(trim(col("text")), "\\s+").as("t"))
+    val n = ceil(size(col("t")).cast("double") / w).cast("int")
+    val spans = transform(sequence(lit(0), n - 1),
+      j => array_join(slice(col("t"), j * w + 1, lit(w)), " "))
+    toked.select(col("doc_id"), posexplode(spans).as(Seq("line_idx", "ln")))
+      .filter(col("ln") =!= "")
+  }
+
+  /** Corpus-wide line-df keep flags: `(doc_id, line_idx, fp, line_df,
+    * keep)` where `fp = md5(line)`, `line_df` counts DISTINCT documents
+    * containing the line, and `keep = line_df <= maxDf` (a line repeated
+    * across more than `maxDf` documents is boilerplate). Scale shape: one
+    * fp-keyed shuffle for the df aggregate (two-phase, partial map-side
+    * distinct) and one fp-keyed join back; the line stream is scanned
+    * twice rather than persisted — at corpus scale the recompute (narrow
+    * explode) is cheaper than caching every line. */
+  def lineFlags(lines: DataFrame, maxDf: Long): DataFrame = {
+    val fp = lines.select(col("doc_id"), col("line_idx"),
+      md5(col("ln")).as("fp"))
+    val dfc = fp.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    fp.join(dfc, "fp")
+      .select(col("doc_id"), col("line_idx"), col("fp"), col("line_df"),
+        (col("line_df") <= maxDf).as("keep"))
+  }
+
+  /** Rebuild each document's text from the lines that survive the df
+    * threshold, in original order — the "strip" half of line dedup.
+    * One doc_id-keyed aggregation on top of [[lineFlags]]' shape. */
+  def cleanedText(lines: DataFrame, maxDf: Long, sep: String = "\n"): DataFrame = {
+    val dfc = lines.select(md5(col("ln")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(countDistinct(col("doc_id")).as("line_df"))
+    lines.withColumn("fp", md5(col("ln")))
+      .join(dfc, "fp")
+      .filter(col("line_df") <= maxDf)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("line_idx"), col("ln")))).as("ls"))
+      .select(col("doc_id"),
+        array_join(transform(col("ls"), s => s.getField("ln")), sep).as("text"))
+  }
+
   /** 64-bit SimHash fingerprint per document (sign of per-bit weighted sums
     * over token hashes). */
   def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -287,6 +356,64 @@ object Dedup {
         (id, sb.toString)
       }
       .toDF("doc_id", "simhash_bits")
+  }
+
+  /** Near-duplicate CLUSTER COLLAPSE — the composition that turns pair
+    * detection into deletion, and what production corpus dedup (the MinHash
+    * protocols above) actually ships: candidate pairs are edges of a
+    * similarity graph, its connected components are the duplicate clusters,
+    * and exactly one member per cluster survives. Winner rule: the MINIMUM
+    * doc_id of the cluster (deterministic, slice-stable — any rerun or
+    * backfill re-derives the same winner; see [[clustersByScore]] for a
+    * quality-ranked winner).
+    *
+    * Output: `(doc_id, cluster_id, is_winner)` for EVERY input doc —
+    * singletons (docs in no near-dup pair) are their own cluster and
+    * winner, so `filter(is_winner)` IS the deduplicated corpus.
+    *
+    * Scale shape: [[minhashPairs]]'s banding exchange + the O(log²)-round
+    * [[graft.kg.ConnectedComponents.runStar]] over the PAIR graph — which
+    * is pair-count-sized (near-dup pairs are a small fraction of the
+    * corpus), not corpus-sized; the corpus itself is touched by one narrow
+    * signature scan and one final left join keyed by doc_id.
+    *
+    * @param portableHash use the md5 primitive ([[minhashPairsMd5]]) so an
+    *        external SQL oracle can replay the whole composition; the
+    *        murmur fast path is ~3× cheaper per token and is what a 100 TB
+    *        run uses. */
+  def clusters(spark: SparkSession, docs: DataFrame, minJaccard: Double,
+      portableHash: Boolean = false): DataFrame = {
+    val pairs =
+      (if (portableHash) minhashPairsMd5(spark, docs, minJaccard)
+       else minhashPairs(spark, docs, minJaccard))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = graft.kg.ConnectedComponents.runStar(spark, pairs)
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id").cast("long"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_winner", col("doc_id") === col("cluster_id"))
+  }
+
+  /** [[clusters]] with a QUALITY-RANKED winner: per cluster, the doc with
+    * the maximum `score` column wins (ties broken by min doc_id) — the rule
+    * a production pipeline uses when duplicates differ in extraction
+    * quality (keep the longest / cleanest copy, per the
+    * [[graft.quality.TextQuality]] signals). One extra window shuffle
+    * keyed by cluster_id, which is pair-graph-sized per cluster. `docs`
+    * must carry `doc_id`, `text`, and the score column. */
+  def clustersByScore(spark: SparkSession, docs: DataFrame, minJaccard: Double,
+      scoreCol: String, portableHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = clusters(spark, docs, minJaccard, portableHash)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc(scoreCol), asc("doc_id"))
+    base
+      .join(docs.select(col("doc_id").cast("long"), col(scoreCol)), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("is_winner", col("rn") === 1)
+      .select("doc_id", "cluster_id", "is_winner")
   }
 
   /** Exact n-gram Jaccard similarity for a candidate pair list — the

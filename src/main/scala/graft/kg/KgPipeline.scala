@@ -68,6 +68,19 @@ object KgPipeline {
         * `alignedInput` narrowness; corpora pre-deduped upstream should
         * keep dedupExact=false and the narrow path). */
       dedupExact: Boolean = false,
+      /** drop NEAR-duplicate pages (MinHash-LSH clusters at
+        * `nearMinJaccard`, [[graft.dedup.Dedup.clusters]]) before spending
+        * annotation on them — the template-page/mirror case exact dedup
+        * misses. Like `dedupExact`, the winner set is chosen ONCE per
+        * outDir and persisted (`neardup_winners` manifest: one row per
+        * cluster, `(cluster_id, url, copies)` with url = min url of the
+        * cluster), so resume stays byte-identical. Cost: one MinHash
+        * signature scan over the corpus + the LSH banding exchange +
+        * pair-graph CC, then one url-keyed semi-join of the input.
+        * Composes with `dedupExact` (exact runs first — LSH buckets of
+        * mass-identical docs are its degenerate case). */
+      dedupNear: Boolean = false,
+      nearMinJaccard: Double = 0.9,
       /** lineage-preserving quality gate, applied AFTER the deterministic
         * HTML→text extraction and BEFORE annotation cost is spent: failing
         * docs are still written to docs/ (with `filtered = true`, empty
@@ -87,6 +100,9 @@ object KgPipeline {
       /** duplicate pages dropped by the dedup manifest (whole-corpus figure,
         * from the manifest's `copies` column; 0 when dedupExact is off). */
       docsDeduped: Long = 0L,
+      /** near-duplicate pages dropped by the neardup_winners manifest
+        * (cluster sizes minus winners; 0 when dedupNear is off). */
+      docsNearDeduped: Long = 0L,
       /** docs written with `filtered = true` by the quality gate. */
       docsFiltered: Long = 0L)
 
@@ -152,6 +168,26 @@ object KgPipeline {
       filtered: Boolean,
       bucket: Long)
 
+  /** Build-once `_SUCCESS`-gated manifest at `path`. A crash mid-write
+    * leaves a partial directory that bare exists() would trust, silently
+    * dropping pages on resume — only the committer's `_SUCCESS` marker
+    * makes a manifest authoritative; anything else is torn and rebuilt
+    * (idempotent: manifests are pure functions of the full input). */
+  private def manifestOnce(spark: SparkSession, path: String)(
+      build: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      fs.delete(p, true)
+    if (!fs.exists(p)) build.write.parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Pages a winners manifest drops: cluster sizes minus their winners. */
+  private def droppedCopies(manifest: DataFrame): Long =
+    Option(manifest.agg(sum(col("copies") - 1)).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
   def run(spark: SparkSession, pages: DataFrame, cfg: Config): RunStats = {
     // dynamic overwrite is a per-write requirement of THIS pipeline, not a
     // session-wide policy — save and restore the caller's setting
@@ -183,25 +219,10 @@ object KgPipeline {
     val (input, docsDeduped) =
       if (!cfg.dedupExact) (withBucket, 0L)
       else {
-        val manifestPath = new org.apache.hadoop.fs.Path(s"${cfg.outDir}/dedup_winners")
-        val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
-        // a crash mid-write leaves a partial directory that bare exists()
-        // would trust, silently dropping pages on resume — only the
-        // committer's _SUCCESS marker makes a manifest authoritative;
-        // anything else is torn and rebuilt (idempotent: winners are a pure
-        // function of the full input)
-        val success = new org.apache.hadoop.fs.Path(manifestPath, "_SUCCESS")
-        if (fs.exists(manifestPath) && !fs.exists(success))
-          fs.delete(manifestPath, true)
-        if (!fs.exists(manifestPath)) {
+        val manifest = manifestOnce(spark, s"${cfg.outDir}/dedup_winners")(
           withBucket.select(col("url"), xxhash64(col("html")).as("fp"))
-            .groupBy("fp").agg(min("url").as("url"), count(lit(1)).as("copies"))
-            .write.parquet(manifestPath.toString)
-        }
-        val manifest = spark.read.parquet(manifestPath.toString)
-        val dropped = Option(
-          manifest.agg(sum(col("copies") - 1)).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
+            .groupBy("fp").agg(min("url").as("url"), count(lit(1)).as("copies")))
+        val dropped = droppedCopies(manifest)
         // winners are per CONTENT hash: semi-join on (url, fp) — a url
         // recrawled with different bytes is two content groups, and a
         // url-only filter would resurrect the losing payload's row
@@ -212,18 +233,43 @@ object KgPipeline {
         (filtered, dropped)
       }
 
+    // near-dup cluster collapse (opt-in, composes after exact): MinHash
+    // pairs → connected components → min-url winner per cluster, persisted
+    // once per outDir with the same _SUCCESS gating so resume keeps the
+    // winner set. The doc key is xxhash64(url) (minhash wants a long id;
+    // a 64-bit collision merely merges two docs into one cluster — at
+    // ~2⁻⁶⁴ per pair, noise next to LSH's own false-positive rate). Text
+    // (not html) feeds the shingles: markup differences between mirrors
+    // are exactly what near-dup must see through.
+    val (input2, docsNearDeduped) =
+      if (!cfg.dedupNear) (input, 0L)
+      else {
+        val manifest = manifestOnce(spark, s"${cfg.outDir}/neardup_winners") {
+          val keyed = input.select(xxhash64(col("url")).as("doc_id"),
+            col("url"), col("text"))
+          graft.dedup.Dedup.clusters(spark,
+              keyed.select("doc_id", "text"), cfg.nearMinJaccard)
+            .join(keyed.select("doc_id", "url"), "doc_id")
+            .groupBy("cluster_id")
+            .agg(min("url").as("url"), count(lit(1)).as("copies"))
+        }
+        val filtered = input.join(manifest.select("url"), Seq("url"), "left_semi")
+        (filtered, droppedCopies(manifest))
+      }
+
     // the html-bearing (widest) relation is consumed exactly once below;
     // nothing in this pipeline is persisted — intermediates are materialized
     // to the docs/ table instead (at corpus scale nothing fits in cache, and
     // 32-way MemoryStore writes were measured to serialize the scan stage)
-    val todo = if (done.isEmpty) input
-               else input.filter(!col("bucket").isin(done.toSeq: _*))
+    val todo = if (done.isEmpty) input2
+               else input2.filter(!col("bucket").isin(done.toSeq: _*))
 
     // the emptiness probe costs a job — only pay it on resume, where all
     // buckets may already be complete (a fresh run just proceeds; writing an
     // empty slice is harmless)
     if (done.nonEmpty && todo.isEmpty) {
-      return RunStats(runId, 0, 0, 0, 0, 0, docsDeduped = docsDeduped)
+      return RunStats(runId, 0, 0, 0, 0, 0, docsDeduped = docsDeduped,
+        docsNearDeduped = docsNearDeduped)
     }
 
     // 1. ONE narrow pass: deterministic HTML→text (byte-verified against the
@@ -399,6 +445,7 @@ object KgPipeline {
       htmlMismatches = rows.map(_.getAs[Long]("html_mismatches")).sum,
       failedBatches = rows.map(_.getAs[Long]("failed_batches")).sum,
       docsDeduped = docsDeduped,
+      docsNearDeduped = docsNearDeduped,
       docsFiltered = rows.map(_.getAs[Long]("docs_filtered")).sum)
   }
 }

@@ -245,6 +245,37 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(dedupT == uniqueT)
   }
 
+  test("dedupNear collapses near-duplicate pages to one winner's triples") {
+    import spark.implicits._
+    val originals = (0L until 80L).map(WebTextGen.page(_))
+    // 25 NEAR-clones: same text plus two appended non-dictionary tokens
+    // (markup re-rendered so the html↔text invariant holds) under lexically
+    // larger urls — exact dedup cannot see these, near-dup must
+    val clones = originals.take(25).zipWithIndex.map { case (p, i) =>
+      val url = s"https://zz-mirror.example/near/$i"
+      val text = p.text + " zz yy"
+      p.copy(url = url, text = text,
+        html = graft.html.HtmlGen.render(url, s"near $i", text))
+    }
+    val full = spark.createDataset(scala.util.Random.shuffle(originals ++ clones)).toDF()
+
+    def triples(df: org.apache.spark.sql.DataFrame, near: Boolean) = {
+      val out = freshDir()
+      val st = KgPipeline.run(spark, df, KgPipeline.Config(out, numBuckets = 8,
+        dedupNear = near, nearMinJaccard = 0.8))
+      (spark.read.parquet(s"$out/triples").select("subj", "pred", "obj")
+        .as[(String, String, String)].collect().toSet, st)
+    }
+    val (nearT, nearStats) = triples(full, near = true)
+    val (uniqueT, _) = triples(spark.createDataset(originals).toDF(), near = false)
+    assert(nearStats.docsNearDeduped == 25, s"stats: $nearStats")
+    assert(nearStats.docs == 80)
+    // winners are the min-url originals, so the triple set equals the
+    // pre-deduped corpus's exactly (the clones' ' zz yy' suffix never
+    // reaches the annotator)
+    assert(nearT == uniqueT)
+  }
+
   test("dedup manifest keeps resume byte-identical across a crash") {
     import spark.implicits._
     val originals = (0L until 100L).map(WebTextGen.page(_))

@@ -570,4 +570,113 @@ class OpsSpec extends AnyFunSuite {
         r.getAs[Double]("tfidf"))).toSet
     assert(rows(under) == rows(over))
   }
+
+  test("bucketed gram table: repeated decontamination joins with zero train-side exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shared = (1 to 13).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (0L, s"$shared train tail tokens here"),
+      (1L, "another train document " + (1 to 13).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, s"$shared eval tail goes here")).toDF("doc_id", "text")
+    val grams = graft.dedup.Decontam.gramTable(spark, train,
+      "graft_grams_optest", nBuckets = 4)
+    // maxBroadcastGrams = 0 forces the shuffled semi-join regime — the
+    // corpus-sized-eval fallback, exactly where the layout pays
+    val fromTable = graft.dedup.Decontam.contaminatedPairsFromGrams(
+      grams, eval, 1L, maxBroadcastGrams = 0L)
+    val baseline = graft.dedup.Decontam.contaminatedPairs(
+      train, eval, 1L, maxBroadcastGrams = 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(fromTable) == Set((100L, 0L, 1L)))
+    assert(rows(fromTable) == rows(baseline))
+    // plan: the gram scan must reach its first join with NO Exchange in
+    // between — an exchange whose subtree holds the bucketed scan but no
+    // join node would be a train-leg shuffle (post-join exchanges contain
+    // the join and are the eval-keyed aggregate, not a train re-shuffle)
+    val plan = fromTable.queryExecution.sparkPlan
+    assert(plan.toString.contains("Bucketed: true"),
+      s"gram table scan must report its bucketing:\n$plan")
+    val trainLegShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.treeString.contains("graft_grams_optest") &&
+            !e.treeString.contains("Join") => e
+    }
+    assert(trainLegShuffles.isEmpty,
+      s"train grams re-exchanged despite bucketing:\n$plan")
+  }
+
+  test("near-dup cluster collapse: chained pairs one cluster, min-id wins; variants agree") {
+    import spark.implicits._
+    val base = Seq.fill(5)("alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu").mkString(" ")
+    val docs = Seq(
+      (10L, s"$base one"),   // 10~11~12 chain: pairwise near-dups
+      (11L, s"$base two"),
+      (12L, s"$base three"),
+      (30L, "totally different content about nothing similar at all here"),
+      (31L, "yet another unrelated document body with fresh words only"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val expected = Set(
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (30L, 30L, true), (31L, 31L, true))
+    val fast = rows(graft.dedup.Dedup.clusters(spark, docs, 0.5))
+    val portable = rows(graft.dedup.Dedup.clusters(spark, docs, 0.5,
+      portableHash = true))
+    assert(fast == expected)
+    assert(portable == expected, "md5-portable path must find the same clusters")
+    // filter(is_winner) IS the deduplicated corpus
+    assert(graft.dedup.Dedup.clusters(spark, docs, 0.5)
+      .filter(col("is_winner")).count() == 3)
+
+    // quality-ranked winner: max score wins the cluster (tie → min doc_id)
+    val scored = docs.withColumn("score", col("doc_id").cast("double"))
+    val byScore = rows(graft.dedup.Dedup.clustersByScore(
+      spark, scored, 0.5, "score"))
+    assert(byScore == Set(
+      (10L, 10L, false), (11L, 10L, false), (12L, 10L, true),
+      (30L, 30L, true), (31L, 31L, true)))
+  }
+
+  test("line/span dedup: corpus-df flags planted boilerplate; cleanedText strips in order") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val docs = Seq(
+      (0L, s"unique zero content\n$boiler\nmore zero text"),
+      (1L, s"$boiler\nunique one content"),
+      (2L, "unique two content here"),
+      (3L, s"another three unique\n$boiler"))
+      .toDF("doc_id", "text")
+    val flags = graft.dedup.Dedup.lineFlags(graft.dedup.Dedup.linesOf(docs), 2L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getBoolean(4)))
+    // the boilerplate line occurs in 3 distinct docs → df=3, keep=false;
+    // every other line is unique → df=1, keep=true
+    val boilerRows = flags.filter(_._3 == 3L)
+    assert(boilerRows.map(t => (t._1, t._2)).toSet ==
+      Set((0L, 1), (1L, 0), (3L, 1)))
+    assert(boilerRows.forall(!_._4))
+    assert(flags.filter(_._3 == 1L).forall(_._4))
+
+    val cleaned = graft.dedup.Dedup.cleanedText(
+        graft.dedup.Dedup.linesOf(docs), 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cleaned(0L) == "unique zero content\nmore zero text") // order kept
+    assert(cleaned(1L) == "unique one content")
+    assert(cleaned(2L) == "unique two content here")
+    assert(cleaned(3L) == "another three unique")
+
+    // span unit: 7 tokens at w=3 → spans of 3/3/1, 0-indexed positions
+    val spans = graft.dedup.Dedup.spansOf(
+        Seq((9L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text"), 3)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(spans == Set((0, "t1 t2 t3"), (1, "t4 t5 t6"), (2, "t7")))
+    // degenerate: empty / whitespace-only docs emit no lines or spans
+    val empties = Seq((5L, ""), (6L, "   ")).toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.linesOf(empties).count() == 0)
+    assert(graft.dedup.Dedup.spansOf(empties, 3).count() == 0)
+  }
 }
