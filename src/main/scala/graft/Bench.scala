@@ -67,6 +67,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
     val scalingOnly = args.contains("scaling-only")
+    // quiet-host settle sweeps: run ONLY the named queries (comma list),
+    // and `queries-only` skips parts 2-3 — per-query numbers in minutes
+    // instead of a full artifact run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queriesOnly = args.contains("queries-only")
+    val querySet = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
 
     // Part 1: query timings at the configured parallelism. One untimed
     // warm-up action first — otherwise the alphabetically-first query
@@ -85,7 +95,7 @@ object Bench {
       if (scalingOnly) Seq.empty[(String, Double)]
       else {
         val sweeps = (1 to queryN).map { _ =>
-          SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          querySet.toSeq.sortBy(_._1).map { case (name, fn) =>
             val t0 = System.nanoTime()
             try fn(spark, sfDir).count()
             catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
@@ -95,6 +105,13 @@ object Bench {
         sweeps.flatten.groupBy(_._1).toSeq.sortBy(_._1)
           .map { case (name, ts) => name -> ts.map(_._2).min }
       }
+    if (queriesOnly) {
+      val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_only","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
 
     // Part 2: pipeline throughput at the configured parallelism — min-of-N
     // (default 2): the host's noisy-neighbor blackouts only ever ADD time,
