@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   * honored, and per-page `failed_batches` lineage is carried on
   * [[annotatedPages]] — sink those columns beside the triples to get the
   * batch path's metrics table, incrementally.
+  *
+  * NEAR-duplicate suppression is deliberately BATCH-ONLY
+  * ([[graft.dedup.Dedup.clusters]] / `KgPipeline.Config.dedupNear`), by
+  * design rather than omission. The watermark state model fits EXACT
+  * streaming dedup because equality state for a key can be dropped once
+  * the watermark passes it; LSH near-dup state is the (band, bucket) →
+  * members map of the WHOLE corpus — a mirror page arriving a month after
+  * its original must still collide, so no event-time bound can expire the
+  * state without changing the semantics. A watermark-bounded variant
+  * (flatMap pages to their 16 band keys, suppress a page whose ANY band
+  * bucket was seen inside the horizon) is expressible with
+  * `dropDuplicatesWithinWatermark`, but it computes "first-wins within a
+  * time horizon", not cluster collapse with a deterministic winner — and
+  * the winner rule is the part resume/byte-stability depend on. The
+  * production composition is the one the batch side ships: stream with
+  * exact watermarked dedup, then run the cluster collapse as a periodic
+  * maintenance job over the landed corpus (the [[graft.sinks.Compact]]
+  * cadence), where the pair graph and components are computed over all
+  * data at rest.
   */
 object StreamingKg {
 
