@@ -693,6 +693,67 @@ object SparkEntry {
     // half (cleanedText) are OpsSpec-pinned with planted boilerplate.
     "q62_line_dedup" -> ((s, dir) =>
       Dedup.lineFlags(Dedup.spansOf(t(s, dir, "documents"), 3), 2L)),
+    // the strip half of span dedup: per-doc text rebuilt from surviving
+    // spans in original order — the output a hygiene pass actually ships
+    "q63_line_dedup_strip" -> ((s, dir) =>
+      Dedup.cleanedText(Dedup.spansOf(t(s, dir, "documents"), 3), 2L, " ")
+        .withColumnRenamed("text", "clean_text")),
+    // incremental delta-dedup against a landed corpus (the continuous-crawl
+    // shape): corpus = md5-bucket < 90 of the documents table, batch = the
+    // rest (the SAME shared bucket primitive as q47/q56/q57, so the "landed
+    // corpus" here is exactly q47's train+val side); each batch doc is
+    // classified exact_dup / near_dup / new with min-corpus-doc attribution
+    "q64_delta_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val h = graft.core.Buckets.md5Bucket(col("doc_id"), 100)
+      Dedup.deltaMd5(s, d.filter(h < 90), d.filter(h >= 90), 0.5)
+    }),
+    // PII scrubbing (RefinedWeb/FineWeb hygiene): deterministic planted PII
+    // derived from doc_id (the synthetic corpus contains none), then count +
+    // redact — all codegen'd regexp, narrow, fully replayed by the oracle
+    "q65_pii_scrub" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0, concat(lit(" from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      graft.quality.Pii.scrub(
+        t(s, dir, "documents").select(col("doc_id"), planted.as("text")))
+    }),
+    // unigram-LM quality score (the CCNet perplexity filter's shape): per-doc
+    // mean token log-prob under the corpus's own unigram model
+    "q66_unigram_logprob" -> ((s, dir) =>
+      graft.quality.LmScore.unigramLogProb(t(s, dir, "documents"))),
+    // sequence packing: global token start-offsets + context-window ids in
+    // doc_id order via the distributed prefix-sum (per-bucket totals →
+    // driver prefix scan → broadcast offsets → per-bucket window) — never a
+    // single-task global Window.orderBy
+    "q67_sequence_pack" -> ((s, dir) =>
+      graft.core.SequencePack.pack(s, t(s, dir, "documents"), 4096)),
+    // per-domain corpus rollup (the FineWeb domain-filter shape): host from
+    // a deterministic synthesized URL (the sf tables carry no url column),
+    // registered domain = last two host labels, then count/chars/share per
+    // domain; total doc count is a measured scalar, not a global window
+    "q68_domain_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // host (www.)?pages.<source>.org → registered domain <source>.org:
+      // ~20 domains, each folding its www/bare host variants together
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 4 === 0, lit("www.")).otherwise(lit("")),
+        lit("pages."), col("source"),
+        lit(".org/page/"), col("doc_id").cast("string"))
+      val total = d.count()
+      d.select(col("doc_id"), url.as("url"), col("n_chars"))
+        .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)/", 1))
+        .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .withColumn("doc_share", round(col("n_docs") / lit(total), 4))
+    }),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -804,9 +865,10 @@ object SparkEntry {
     * token IS its shingle (UNION ALL arm), and an empty/whitespace-only doc
     * (DuckDB splits '' to ['']) contributes no shingles — matching the
     * engine-side skip of empty shingle sets. */
-  /** The MinHash-LSH CTE chain up to `est(doc_a, doc_b, e)` — shared by
-    * the pair oracle (q15) and the cluster-collapse oracle (q61). */
-  private def minhashEstCtes(tokBound: Long): String =
+  /** The MinHash signature chain up to `sig(doc_id, i, h)` / `band(doc_id,
+    * band, key)` — shared by the self-join pair oracles (q15/q61) and the
+    * cross-sided delta oracle (q64). */
+  private def minhashSigCtes(tokBound: Long): String =
     s"""coeffs(i, a, b) AS ${graft.dedup.Dedup.coeffsValues},
        | toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
        |          FROM documents),
@@ -821,7 +883,12 @@ object SparkEntry {
        |         FROM x CROSS JOIN coeffs c GROUP BY doc_id, c.i),
        | band AS (SELECT doc_id, i // 4 AS band,
        |           string_agg(h, ',' ORDER BY i) AS key
-       |          FROM sig GROUP BY doc_id, i // 4),
+       |          FROM sig GROUP BY doc_id, i // 4)""".stripMargin
+
+  /** The MinHash-LSH CTE chain up to `est(doc_a, doc_b, e)` — shared by
+    * the pair oracle (q15) and the cluster-collapse oracle (q61). */
+  private def minhashEstCtes(tokBound: Long): String =
+    s"""${minhashSigCtes(tokBound)},
        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM band a JOIN band b
        |            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -855,21 +922,91 @@ object SparkEntry {
        | FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
       .stripMargin.replaceAll("\n", " ")
 
-  /** q62: span-level corpus dedup replay — fixed 3-token spans, md5
-    * fingerprints, corpus-wide distinct-doc df, keep = df ≤ 2. */
-  private def lineDedupSql(spanBound: Long): String =
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  /** Shared q62/q63 CTE chain: fixed 3-token spans, md5 fingerprints,
+    * corpus-wide distinct-doc df. */
+  private def lineDedupCtes(spanBound: Long): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
        |  FROM documents),
        | sp AS (SELECT doc_id, g.j - 1 AS line_idx,
        |   list_aggregate(t[(g.j-1)*3+1 : g.j*3], 'string_agg', ' ') AS ln
        |  FROM toks JOIN generate_series(1, $spanBound) g(j) ON (g.j-1)*3 < len(t)),
        | nz AS (SELECT doc_id, line_idx, ln FROM sp WHERE ln <> ''),
        | dfc AS (SELECT md5(ln) AS fp, count(DISTINCT doc_id) AS line_df
-       |         FROM nz GROUP BY 1)
+       |         FROM nz GROUP BY 1)""".stripMargin
+
+  /** q62: span-level corpus dedup replay — keep = df ≤ 2. */
+  private def lineDedupSql(spanBound: Long): String =
+    s"""WITH ${lineDedupCtes(spanBound)}
        | SELECT nz.doc_id, nz.line_idx::int AS line_idx, md5(nz.ln) AS fp,
        |  dfc.line_df, (dfc.line_df <= 2) AS keep
        | FROM nz JOIN dfc ON md5(nz.ln) = dfc.fp"""
       .stripMargin.replaceAll("\n", " ")
+
+  /** q64: incremental delta-dedup replay — corpus/batch by the shared md5
+    * bucket (90/10), exact via fingerprint left join, near via the
+    * cross-sided LSH chain (batch bands × corpus bands), exact beating
+    * near, min-corpus-doc attribution. */
+  private def deltaSql(tokBound: Long): String =
+    s"""WITH ${minhashSigCtes(tokBound)},
+       | hsplit AS (SELECT doc_id,
+       |   ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 100 AS hb
+       |  FROM documents),
+       | corpus AS (SELECT d.doc_id, d.text FROM documents d
+       |   JOIN hsplit s ON s.doc_id = d.doc_id AND s.hb < 90),
+       | batch AS (SELECT d.doc_id, d.text FROM documents d
+       |   JOIN hsplit s ON s.doc_id = d.doc_id AND s.hb >= 90),
+       | cfp AS (SELECT md5(text) AS fp, min(doc_id) AS exact_of
+       |         FROM corpus GROUP BY 1),
+       | bx AS (SELECT b.doc_id, c.exact_of
+       |   FROM (SELECT doc_id, md5(text) AS fp FROM batch) b
+       |   LEFT JOIN cfp c ON b.fp = c.fp),
+       | cand AS (SELECT DISTINCT bb.doc_id AS batch_doc, cb.doc_id AS corpus_doc
+       |   FROM band bb JOIN band cb ON bb.band = cb.band AND bb.key = cb.key
+       |   JOIN batch ON batch.doc_id = bb.doc_id
+       |   JOIN corpus ON corpus.doc_id = cb.doc_id),
+       | est AS (SELECT c.batch_doc, c.corpus_doc,
+       |    sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 64.0 AS e
+       |   FROM cand c JOIN sig sa ON sa.doc_id = c.batch_doc
+       |    JOIN sig sb ON sb.doc_id = c.corpus_doc AND sb.i = sa.i
+       |   GROUP BY 1, 2),
+       | near AS (SELECT batch_doc AS doc_id, min(corpus_doc) AS near_of
+       |   FROM est WHERE e >= 0.5 GROUP BY 1)
+       | SELECT bx.doc_id,
+       |  CASE WHEN bx.exact_of IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.near_of IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+       |  coalesce(bx.exact_of, n.near_of) AS dup_of
+       | FROM bx LEFT JOIN near n ON n.doc_id = bx.doc_id"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** q65: PII scrub replay — the planted-PII synthesis and the three
+    * patterns are interpolated from the ENGINE's own constants
+    * ([[graft.quality.Pii]]), so oracle and engine cannot drift. */
+  private def piiSql: String = {
+    val e = graft.quality.Pii.EmailRe
+    val i = graft.quality.Pii.Ipv4Re
+    val p = graft.quality.Pii.PhoneRe
+    s"""WITH planted AS (SELECT doc_id,
+       |  text || ' contact user' || doc_id || '@example.com' ||
+       |  CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad((doc_id % 1000)::varchar, 3, '0') || '-' || lpad((doc_id % 10000)::varchar, 4, '0') ELSE '' END AS text
+       |  FROM documents)
+       | SELECT doc_id,
+       |  len(regexp_extract_all(text, '$e'))::int AS n_emails,
+       |  len(regexp_extract_all(text, '$i'))::int AS n_ips,
+       |  len(regexp_extract_all(text, '$p'))::int AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS redacted
+       | FROM planted""".stripMargin.replaceAll("\n", " ")
+  }
+
+  /** q63: the STRIP half — rebuild each doc's text from surviving spans in
+    * original order (docs whose every span is boilerplate drop out). */
+  private def lineStripSql(spanBound: Long): String =
+    s"""WITH ${lineDedupCtes(spanBound)},
+       | kept AS (SELECT nz.doc_id, nz.line_idx, nz.ln
+       |  FROM nz JOIN dfc ON md5(nz.ln) = dfc.fp WHERE dfc.line_df <= 2)
+       | SELECT doc_id, string_agg(ln, ' ' ORDER BY line_idx) AS clean_text
+       | FROM kept GROUP BY doc_id""".stripMargin.replaceAll("\n", " ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -1275,6 +1412,42 @@ object SparkEntry {
     "q15_minhash_pairs" -> minhashSql(4096),
     "q61_neardup_clusters" -> clustersSql(4096),
     "q62_line_dedup" -> lineDedupSql(4096),
+    "q63_line_dedup_strip" -> lineStripSql(4096),
+    "q64_delta_dedup" -> deltaSql(4096),
+    "q65_pii_scrub" -> piiSql,
+    "q66_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        | nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        | c AS (SELECT tok, count(*) AS c FROM nz GROUP BY 1),
+        | n AS (SELECT sum(c) AS n FROM c)
+        | SELECT nz.doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(c.c / n.n)), 4) AS avg_logprob
+        | FROM nz JOIN c ON nz.tok = c.tok CROSS JOIN n
+        | GROUP BY nz.doc_id""".stripMargin.replaceAll("\n", " "),
+    "q67_sequence_pack" ->
+      """WITH n AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        | o AS (SELECT doc_id, n_tokens,
+        |   (sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - n_tokens) AS start_offset FROM n)
+        | SELECT doc_id, n_tokens::bigint AS n_tokens,
+        |  start_offset::bigint AS start_offset,
+        |  (start_offset // 4096)::bigint AS pack_id
+        | FROM o""".stripMargin.replaceAll("\n", " "),
+    "q68_domain_stats" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+        |   || 'pages.' || source || '.org/page/' || doc_id AS url, n_chars
+        |  FROM documents),
+        | h AS (SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+        |   n_chars FROM u),
+        | d AS (SELECT doc_id, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |   n_chars FROM h)
+        | SELECT domain, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        |  round(count(*) / (SELECT count(*) FROM documents), 4) AS doc_share
+        | FROM d GROUP BY domain""".stripMargin.replaceAll("\n", " "),
     // SimHash replay: md5_number_lower == the engine's md5Hash64 (lower 8
     // MD5 bytes, little-endian); fingerprint compared as a 64-char bit
     // string, MSB first
@@ -1389,7 +1562,9 @@ object SparkEntry {
       "q25_frame_sample" -> frameSampleSql(maxBytes / 64 + 2),
       "q15_minhash_pairs" -> minhashSql(maxToks + 1),
       "q61_neardup_clusters" -> clustersSql(maxToks + 1),
-      "q62_line_dedup" -> lineDedupSql(maxToks / 3 + 2))
+      "q62_line_dedup" -> lineDedupSql(maxToks / 3 + 2),
+      "q63_line_dedup_strip" -> lineStripSql(maxToks / 3 + 2),
+      "q64_delta_dedup" -> deltaSql(maxToks + 1))
     val cent = graft.sim.Ivf.centroidsFor(
       spark, t(spark, sfDir, "embeddings"), 16, 5, 100000)
     oracleSql ++ derived + ("q42_ann_ivf" -> (
