@@ -93,6 +93,75 @@ object SparkEntry {
     }.mkString("(", " UNION ALL ", ")")
   }
 
+  /** q73's peel threshold — chosen so the sf0.01 parts co-occurrence graph
+    * shows a real multi-round cascade (6 rounds) AND a non-empty core
+    * (k=90 empties it; k=70 barely peels). */
+  private val KCoreK = 80
+
+  /** q75's wedge-center degree cap and support threshold. The sf0.01 parts
+    * graph (2000 nodes, degrees 42–206) is dense; cap 150 keeps every
+    * wedge buffer bounded while admitting ~80% of centers, and support 16
+    * keeps the proposal list at ~4.5k pairs (max observed overlap is 27). */
+  private val LinkPredHubCap = 150L
+  private val LinkPredMinCommon = 16L
+
+  /** q76's inactivity gap (8h): the sf event stream's median inter-event
+    * gap is ~7.3h, so this splits users into a real mix of session sizes
+    * instead of all-singletons or one-session-per-user. */
+  private val SessionGapS = 28800L
+
+  /** q78's single-valued predicate declarations (the OWL
+    * FunctionalProperty set the audit enforces). */
+  private val FunctionalPreds = Seq("uses_tool", "consumes")
+
+  /** q79's sorted-neighborhood width and edit-distance ceiling: the dirty
+    * variants sort within 1–2 ranks of their clean record, and both dirt
+    * modes are ≤ 1 edit away. */
+  private val ErWindow = 4
+  private val ErMaxDist = 2
+
+  /** q80's declared class hierarchy (direct subClassOf edges): a diamond-
+    * free depth-2 tree over the four extraction categories, so the
+    * closure genuinely ADDS edges (TOOL ⊑ Thing etc.) beyond the
+    * declarations. */
+  private val ClassHierarchy = Seq(
+    "TOOL" -> "Artifact", "DATA" -> "Artifact",
+    "OPERATION" -> "Event", "ACTOR" -> "Agent",
+    "Artifact" -> "Thing", "Event" -> "Thing", "Agent" -> "Thing")
+
+  private val ClassHierarchyValues = ClassHierarchy
+    .map { case (c, p) => s"('$c','$p')" }
+    .mkString("(VALUES ", ", ", ")")
+
+  /** q73/q75's canonical-edge derivation (the q53/q60 parts co-occurrence
+    * graph) as SQL — shared by the static and round-adaptive oracles. */
+  private val KCoreEdgesSql =
+    """SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      | FROM lineitem a JOIN lineitem b
+      | ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** q43/q72 shared hashed-TF replay: the full featurization pipeline
+    * (tokenize → term counts → md5 scatter with ±1 sign → dense 64-dim →
+    * L2 norm) as CTEs; q43 emits the cells, q72 dots them with the
+    * classifier weights. One definition so feature and gate cannot drift. */
+  private val HashedTfCtes =
+    """toks AS (SELECT doc_id,
+      |   unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      | tc AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+      | h AS (SELECT doc_id,
+      |   (('0x' || substr(md5(tok),1,8))::BIGINT % 64) AS idx,
+      |   CASE WHEN (md5_number_lower(tok) & 1) = 1 THEN 1 ELSE -1 END AS sgn,
+      |   n FROM tc),
+      | cell AS (SELECT doc_id, idx, sum(sgn * n)::double AS raw
+      |          FROM h GROUP BY doc_id, idx),
+      | dense AS (SELECT d.doc_id, g.j, coalesce(c.raw, 0.0) AS raw
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  CROSS JOIN generate_series(0, 63) g(j)
+      |  LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.idx = g.j),
+      | nrm AS (SELECT doc_id, sqrt(sum(raw * raw)) AS n2
+      |         FROM dense GROUP BY doc_id)""".stripMargin.replaceAll("\n", " ")
+
   private val PredCase =
     """CASE category WHEN 'TOOL' THEN 'uses_tool' WHEN 'OPERATION' THEN 'performs'
       | WHEN 'ACTOR' THEN 'involves' WHEN 'DATA' THEN 'consumes' END"""
@@ -754,6 +823,156 @@ object SparkEntry {
           round(avg(col("n_chars")), 4).as("avg_chars"))
         .withColumn("doc_share", round(col("n_docs") / lit(total), 4))
     }),
+    // entity co-occurrence PMI (the statistical relation-proposal step of
+    // KG construction): linked entities per doc (same linking as q12/q13),
+    // per-doc pairs generated from ONE aggregated sorted array — never a
+    // corpus self-join (see Cooccur for the scale argument)
+    "q69_entity_pmi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val linked = Kg.disambiguate(
+        Kg.candidates(NerSpark.mentions(s, docs), Kg.aliasDf(s)))
+      graft.kg.Cooccur.entityPmi(linked, docs.count())
+    }),
+    // URL canonicalization + crawl dedup (RFC 3986 §6 ladder + utm strip):
+    // four deterministic crawl variants per canonical target — tracking
+    // param, uppercase scheme+host, www+:443+fragment, trailing slash —
+    // must collapse to one group of 4 (see text.UrlCanon)
+    "q70_url_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val g = floor(col("doc_id") / 4).cast("long")
+      val host = concat(lit("pages.s"), (g % 5).cast("string"), lit(".org"))
+      val path = concat(lit("/p/"), g.cast("string"))
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("https://"), host, path, lit("?utm_source=feed")))
+        .when(col("doc_id") % 4 === 1, concat(lit("HTTPS://"), upper(host), path))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://www."), host, lit(":443"), path, lit("#sec")))
+        .otherwise(concat(lit("https://"), host, path, lit("/")))
+      graft.text.UrlCanon.dedupByCanonical(d.select(col("doc_id"), url.as("url")))
+    }),
+    // rare-token inverted index (posting-list construction): df first (a
+    // pure count, safe for stopwords), collect_list ONLY after the df
+    // filter bounds every posting at maxDf entries (see text.InvertedIndex);
+    // the ceiling is data-relative (8th-smallest distinct df) because the
+    // synthetic vocabulary is tiny and flat — an absolute cutoff is either
+    // empty or everything
+    "q71_inverted_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.InvertedIndex.rareTokenPostings(
+        d, graft.text.InvertedIndex.rareDfCeiling(d, 8))
+    }),
+    // model-based quality gate (fastText/CCNet shape): hashed-TF features
+    // (q43 machinery) · broadcast weight vector → sigmoid → keep flag
+    "q72_quality_classifier" -> ((s, dir) =>
+      graft.quality.Classifier.score(s, t(s, dir, "documents"), 64)),
+    // k-core backbone of the parts co-occurrence graph (same edges as
+    // q53/q60): peel degree<80 nodes to fixpoint — 6 cascade rounds and a
+    // non-empty core at sf0.01; oracle unrolls the engine-measured rounds
+    "q73_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      graft.kg.KCore.core(s,
+        graft.kg.Triangles.canonicalEdges(pairs, "u", "v"), KCoreK)
+    }),
+    // deterministic corrupted-subject negatives for KG-embedding training
+    // (TransE-style): md5 offset in [1, V-1] guarantees neg != subj with
+    // no retry loop; vocabulary index is entity-sized, never corpus-sized
+    "q74_kg_negatives" -> ((s, dir) =>
+      graft.kg.Negatives.corruptSubject(s, kgTriples(s, dir))),
+    // link prediction over the parts co-occurrence graph (same edges as
+    // q53/q60/q73): wedge-enumerated common-neighbor / Jaccard /
+    // Adamic-Adar scores for ABSENT pairs — the relation-inference step
+    // that proposes new KG edges (see kg.LinkPredict for the hub-cap
+    // scale argument)
+    "q75_link_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      graft.kg.LinkPredict.candidates(
+        graft.kg.Triangles.canonicalEdges(pairs, "u", "v"),
+        LinkPredHubCap, LinkPredMinCommon)
+    }),
+    // gap-based sessionization of the event log (the batch analog of
+    // session_window): one user-keyed shuffle, both window passes share
+    // the exchange; 8h gap splits the sf event stream into a real mix of
+    // session sizes (median inter-event gap is ~7h)
+    "q76_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        floor(unix_timestamp(col("ts").cast("timestamp"))).cast("long").as("sec"))
+      graft.streaming.Sessionize.sessions(e, SessionGapS)
+    }),
+    // N-Triples interchange roundtrip: serialize the KG triples to spec
+    // lines (escaped literals, IRI-validated subj/pred), parse them back
+    // in the same plan, and emit rt_ok per row — a parse bug flips the
+    // flag and breaks the oracle hash
+    "q77_ntriples_roundtrip" -> ((s, dir) => {
+      import graft.sinks.NTriples
+      // serialize and parse are projections, so source + line + re-parse
+      // zip in ONE plan — rt_ok is computed, not asserted
+      kgTriples(s, dir)
+        .withColumn("line",
+          NTriples.lineOf(col("subj"), col("pred"), col("obj")))
+        .withColumn("back", NTriples.parsed(col("line")))
+        .select(col("subj"), col("pred"), col("obj"), col("line"),
+          (col("back.subj") === col("subj") &&
+            col("back.pred") === col("pred") &&
+            col("back.obj") === col("obj")).as("rt_ok"))
+    }),
+    // ontology hygiene: subjects carrying >1 distinct object on a
+    // predicate declared functional (OWL FunctionalProperty / SHACL
+    // maxCount 1) — the post-merge audit step of KG construction
+    "q78_functional_violations" -> ((s, dir) =>
+      graft.kg.Ontology.functionalViolations(kgTriples(s, dir),
+        FunctionalPreds)),
+    // sorted-neighborhood entity resolution: clean customer names + a
+    // deterministic dirty variant per record (trailing space for even
+    // keys, doubled last character for odd — both 1-edit, SUFFIX dirt so
+    // each dirty record sorts within a rank or two of its clean twin)
+    // must re-pair through rank-banded neighbor comparison + edit
+    // distance; a skew-proof alternative to blocking (every name shares
+    // one prefix, so prefix blocking would be one quadratic block)
+    "q79_er_match" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val clean = c.select((col("c_custkey") * 2).as("rec_id"),
+        col("c_name").as("key"))
+      val dirty = c.select((col("c_custkey") * 2 + 1).as("rec_id"),
+        when(col("c_custkey") % 2 === 0, concat(col("c_name"), lit(" ")))
+          .otherwise(concat(col("c_name"), substring(col("c_name"), -1, 1)))
+          .as("key"))
+      graft.text.ErMatch.sortedNeighborhood(clean.union(dirty),
+        ErWindow, ErMaxDist)
+    }),
+    // RDFS materialized type inference: linked entities carry their
+    // direct category plus every superclass from the declared hierarchy's
+    // transitive closure (closure is driver-computed METADATA — see
+    // kg.Ontology.subclassClosure for why that's the right tier)
+    "q80_type_closure" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      graft.kg.Ontology.inferTypes(s,
+        linked.select(col("entity_id"), col("category")).distinct(),
+        ClassHierarchy)
+    }),
+    // SPARQL star BGP on a shared object: TOOL and DATA entities grounded
+    // in the SAME page (`?a uses_tool ?o . ?b consumes ?o`) — predicate
+    // filters push to the scan, then one hash join on obj
+    "q81_star_bgp" -> ((s, dir) =>
+      graft.kg.TriplePatterns.starOnObject(kgTriples(s, dir),
+        "uses_tool", "consumes")),
+    // crawl-over-crawl KG snapshot diff: two deterministic doc-subset
+    // snapshots (docs with id%3≠0 vs id%3≠1) → kept/added/removed per
+    // triple via one co-partitioned full-outer join
+    "q82_snapshot_diff" -> ((s, dir) => {
+      val tr = kgTriples(s, dir)
+      val docId = regexp_extract(col("obj"), "^doc://(\\d+)$", 1).cast("long")
+      graft.kg.TriplePatterns.snapshotDiff(
+        tr.filter(docId % 3 =!= 0), tr.filter(docId % 3 =!= 1))
+    }),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -1074,21 +1293,7 @@ object SparkEntry {
         .stripMargin.replaceAll("\n", " "),
     "q44_find_all_native" -> findAllSql(8192),
     "q43_hashed_tf" ->
-      """WITH toks AS (SELECT doc_id,
-        |   unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
-        | tc AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
-        | h AS (SELECT doc_id,
-        |   (('0x' || substr(md5(tok),1,8))::BIGINT % 64) AS idx,
-        |   CASE WHEN (md5_number_lower(tok) & 1) = 1 THEN 1 ELSE -1 END AS sgn,
-        |   n FROM tc),
-        | cell AS (SELECT doc_id, idx, sum(sgn * n)::double AS raw
-        |          FROM h GROUP BY doc_id, idx),
-        | dense AS (SELECT d.doc_id, g.j, coalesce(c.raw, 0.0) AS raw
-        |  FROM (SELECT DISTINCT doc_id FROM documents) d
-        |  CROSS JOIN generate_series(0, 63) g(j)
-        |  LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.idx = g.j),
-        | nrm AS (SELECT doc_id, sqrt(sum(raw * raw)) AS n2
-        |         FROM dense GROUP BY doc_id)
+      s"""WITH $HashedTfCtes
         | SELECT dense.doc_id, j::int AS j,
         |  coalesce(round(raw / nullif(n2, 0), 6), 0.0) AS v
         | FROM dense JOIN nrm ON dense.doc_id = nrm.doc_id"""
@@ -1448,6 +1653,217 @@ object SparkEntry {
         | SELECT domain, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
         |  round(count(*) / (SELECT count(*) FROM documents), 4) AS doc_share
         | FROM d GROUP BY domain""".stripMargin.replaceAll("\n", " "),
+    "q69_entity_pmi" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | ent AS (SELECT DISTINCT d.doc_id, entity_id FROM documents d CROSS JOIN dict
+         |   WHERE position(surface in d.text) > 0),
+         | c AS (SELECT entity_id, count(*)::double AS cnt FROM ent GROUP BY 1),
+         | p AS (SELECT a.entity_id AS e1, b.entity_id AS e2, count(*) AS n_pair
+         |   FROM ent a JOIN ent b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+         |   GROUP BY 1, 2)
+         | SELECT p.e1, p.e2, p.n_pair,
+         |  round(ln(p.n_pair * (SELECT count(*)::double FROM documents)
+         |    / (c1.cnt * c2.cnt)), 4) AS pmi
+         | FROM p JOIN c c1 ON p.e1 = c1.entity_id
+         | JOIN c c2 ON p.e2 = c2.entity_id""".stripMargin.replaceAll("\n", " "),
+    // replays the synthesis AND the full canonicalization ladder (fragment,
+    // case, default port, www, utm params, trailing slash)
+    "q70_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |   'pages.s' || ((doc_id // 4) % 5) || '.org' AS h0,
+        |   '/p/' || (doc_id // 4) AS pth FROM documents),
+        | raw AS (SELECT doc_id, CASE doc_id % 4
+        |   WHEN 0 THEN 'https://' || h0 || pth || '?utm_source=feed'
+        |   WHEN 1 THEN 'HTTPS://' || upper(h0) || pth
+        |   WHEN 2 THEN 'https://www.' || h0 || ':443' || pth || '#sec'
+        |   ELSE 'https://' || h0 || pth || '/' END AS url FROM u),
+        | s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM raw),
+        | s2 AS (SELECT doc_id,
+        |   lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |   lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hp,
+        |   regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)', 1) AS r0
+        |  FROM s1),
+        | s3 AS (SELECT doc_id, scheme,
+        |   regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+        |     WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '') ELSE hp END,
+        |     '^www\.', '') AS host,
+        |   rtrim(regexp_replace(regexp_replace(
+        |     regexp_replace(r0, 'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*', '', 'g'),
+        |     '\?$', ''), '/') AS rest
+        |  FROM s2)
+        | SELECT scheme || '://' || host || rest AS canon_url,
+        |  count(*) AS n_docs, min(doc_id) AS min_doc_id
+        | FROM s3 GROUP BY 1""".stripMargin.replaceAll("\n", " "),
+    "q71_inverted_index" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+        |   (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents)),
+        | d AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+        | SELECT t.tok, d.df,
+        |  array_to_string(list_transform(list_sort(list(t.doc_id)), x -> x::VARCHAR),
+        |    ',') AS postings
+        | FROM toks t JOIN d USING (tok)
+        | WHERE d.df <= (SELECT max(df) FROM
+        |   (SELECT DISTINCT df FROM d ORDER BY df LIMIT 8))
+        | GROUP BY t.tok, d.df""".stripMargin.replaceAll("\n", " "),
+    "q72_quality_classifier" ->
+      s"""WITH $HashedTfCtes,
+         | cells AS (SELECT dense.doc_id, j::int AS j,
+         |   coalesce(round(raw / nullif(n2, 0), 6), 0.0) AS v
+         |  FROM dense JOIN nrm ON dense.doc_id = nrm.doc_id)
+         | SELECT doc_id, round(1 / (1 + exp(-raw)), 4) AS quality,
+         |  raw >= 0 AS keep
+         | FROM (SELECT doc_id, sum(v * (((j % 7) - 3) / 3.0)) AS raw
+         |       FROM cells GROUP BY doc_id)""".stripMargin.replaceAll("\n", " "),
+    // static fallback: 12 unrolled peel rounds (sf0.01 fixpoints in 6);
+    // oracleSqlFor replaces this with the engine-measured round count
+    "q73_kcore" -> graft.kg.KCore.oracleSql(KCoreEdgesSql, KCoreK, 12),
+    "q74_kg_negatives" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | vocab AS (SELECT subj AS ent,
+         |   (row_number() OVER (ORDER BY subj)) - 1 AS idx
+         |  FROM (SELECT DISTINCT subj FROM tr)),
+         | v AS (SELECT count(*) AS n FROM vocab)
+         | SELECT t.subj, t.pred, t.obj, v2.ent AS neg_subj
+         | FROM tr t JOIN vocab v1 ON t.subj = v1.ent CROSS JOIN v
+         | JOIN vocab v2 ON v2.idx = (v1.idx
+         |   + (('0x' || substr(md5(t.subj || '|' || t.pred || '|' || t.obj), 1, 8))::BIGINT
+         |      % (v.n - 1)) + 1) % v.n""".stripMargin.replaceAll("\n", " "),
+    // wedge-enumeration replay of q75: centers capped at the same hub
+    // degree, Adamic-Adar weight 1/ln(center degree), degrees for Jaccard
+    // from the FULL graph; CTEs MATERIALIZED so DuckDB 1.0 doesn't
+    // exponentially inline the multiply-referenced edge/degree relations
+    "q75_link_predict" ->
+      s"""WITH edges AS MATERIALIZED ($KCoreEdgesSql),
+         | und AS MATERIALIZED (SELECT u AS w, v AS n FROM edges
+         |   UNION ALL SELECT v AS w, u AS n FROM edges),
+         | deg AS MATERIALIZED (SELECT w, count(*) AS d FROM und GROUP BY w),
+         | ctr AS (SELECT und.w, und.n, deg.d FROM und JOIN deg USING (w)
+         |         WHERE deg.d <= $LinkPredHubCap),
+         | wedge AS (SELECT a.n AS e1, b.n AS e2, 1.0 / ln(a.d) AS aw
+         |           FROM ctr a JOIN ctr b ON a.w = b.w AND a.n < b.n),
+         | sc AS MATERIALIZED (SELECT e1, e2, count(*) AS n_common,
+         |         sum(aw) AS aa_raw
+         |       FROM wedge GROUP BY e1, e2
+         |       HAVING count(*) >= $LinkPredMinCommon),
+         | noedge AS (SELECT sc.* FROM sc LEFT JOIN edges
+         |            ON sc.e1 = edges.u AND sc.e2 = edges.v
+         |            WHERE edges.u IS NULL)
+         | SELECT e1, e2, n_common,
+         |  round(n_common / (d1.d + d2.d - n_common), 4) AS jaccard,
+         |  round(aa_raw, 4) AS score_aa
+         | FROM noedge JOIN deg d1 ON d1.w = noedge.e1
+         | JOIN deg d2 ON d2.w = noedge.e2""".stripMargin.replaceAll("\n", " "),
+    // gap-sessionization replay: same (sec, event_id) tie order as q45;
+    // session_idx cast to BIGINT (DuckDB sums to HUGEINT)
+    "q76_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+         |   floor(epoch(ts::timestamp))::bigint AS sec FROM events),
+         | m AS (SELECT user_id, event_id, sec,
+         |   CASE WHEN lag(sec) OVER
+         |       (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+         |     OR sec - lag(sec) OVER
+         |       (PARTITION BY user_id ORDER BY sec, event_id) > $SessionGapS
+         |   THEN 1 ELSE 0 END AS is_start FROM e),
+         | s AS (SELECT user_id, sec, (sum(is_start) OVER
+         |     (PARTITION BY user_id ORDER BY sec, event_id))::bigint
+         |     AS session_idx FROM m)
+         | SELECT user_id, session_idx, count(*) AS n_events,
+         |  min(sec) AS start_sec, max(sec) AS end_sec,
+         |  max(sec) - min(sec) AS duration_s
+         | FROM s GROUP BY user_id, session_idx"""
+        .stripMargin.replaceAll("\n", " "),
+    // N-Triples replay: escape chain with backslash FIRST (injective);
+    // rt_ok asserted true — a parse defect on the engine side flips the
+    // computed flag and breaks the hash
+    "q77_ntriples_roundtrip" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0)
+         | SELECT subj, pred, obj,
+         |  '<kg:' || subj || '> <kg:' || pred || '> "' ||
+         |   replace(replace(replace(replace(replace(obj,
+         |     '\\', '\\\\'), '"', '\\"'),
+         |     chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')
+         |   || '" .' AS line,
+         |  true AS rt_ok
+         | FROM tr""".stripMargin.replaceAll("\n", " "),
+    // functional-property audit replay over the same triple derivation
+    "q78_functional_violations" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0)
+         | SELECT subj, pred, count(DISTINCT obj) AS n_obj,
+         |  min(obj) AS obj_min, max(obj) AS obj_max
+         | FROM tr WHERE pred IN ('uses_tool', 'consumes')
+         | GROUP BY subj, pred HAVING count(DISTINCT obj) >= 2"""
+        .stripMargin.replaceAll("\n", " "),
+    // sorted-neighborhood replay: one global row_number (fine at oracle
+    // scale), rank-banded pairs via the fixed-bound generate_series
+    // pattern, same least/greatest canonicalization
+    "q79_er_match" ->
+      s"""WITH recs AS (
+         |  SELECT c_custkey * 2 AS rec_id, c_name AS key FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey * 2 + 1 AS rec_id,
+         |   CASE WHEN c_custkey % 2 = 0 THEN c_name || ' '
+         |        ELSE c_name || right(c_name, 1) END AS key FROM customer),
+         | rnk AS (SELECT rec_id, key,
+         |   row_number() OVER (ORDER BY key, rec_id) AS rnk FROM recs),
+         | pairs AS (SELECT a.rec_id AS id_a, a.key AS key_a,
+         |   b.rec_id AS id_b, b.key AS key_b
+         |  FROM rnk a CROSS JOIN generate_series(1, $ErWindow) g(j)
+         |  JOIN rnk b ON b.rnk = a.rnk + g.j)
+         | SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+         |  CASE WHEN id_a < id_b THEN key_a ELSE key_b END AS key_a,
+         |  CASE WHEN id_a < id_b THEN key_b ELSE key_a END AS key_b,
+         |  levenshtein(key_a, key_b) AS dist
+         | FROM pairs WHERE levenshtein(key_a, key_b) <= $ErMaxDist"""
+        .stripMargin.replaceAll("\n", " "),
+    // closure replayed as a recursive CTE over the same declared edges;
+    // instance set = the q69/q74 dict-position entity derivation
+    "q80_type_closure" ->
+      s"""WITH RECURSIVE dict(category, surface, entity_id) AS $AliasValues,
+         | sub(c, p) AS $ClassHierarchyValues,
+         | cl(c, p) AS (SELECT c, p FROM sub
+         |   UNION SELECT cl.c, sub.p FROM cl JOIN sub ON cl.p = sub.c),
+         | ent AS (SELECT DISTINCT entity_id, category FROM documents d
+         |   CROSS JOIN dict WHERE position(surface in d.text) > 0)
+         | SELECT DISTINCT entity_id, type FROM (
+         |  SELECT entity_id, category AS type FROM ent
+         |  UNION ALL
+         |  SELECT ent.entity_id, cl.p AS type FROM ent
+         |  JOIN cl ON ent.category = cl.c)""".stripMargin.replaceAll("\n", " "),
+    "q81_star_bgp" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0)
+         | SELECT a.obj, a.subj AS subj_a, b.subj AS subj_b
+         | FROM tr a JOIN tr b ON a.obj = b.obj
+         | WHERE a.pred = 'uses_tool' AND b.pred = 'consumes'"""
+        .stripMargin.replaceAll("\n", " "),
+    // the doc_id%3 snapshot split replayed exactly; FULL JOIN on the
+    // triple key → kept/added/removed
+    "q82_snapshot_diff" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj, d.doc_id AS did
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | a AS (SELECT subj, pred, obj FROM tr WHERE did % 3 != 0),
+         | b AS (SELECT subj, pred, obj FROM tr WHERE did % 3 != 1)
+         | SELECT coalesce(a.subj, b.subj) AS subj,
+         |  coalesce(a.pred, b.pred) AS pred, coalesce(a.obj, b.obj) AS obj,
+         |  CASE WHEN a.subj IS NOT NULL AND b.subj IS NOT NULL THEN 'kept'
+         |   WHEN b.subj IS NOT NULL THEN 'added' ELSE 'removed' END AS status
+         | FROM a FULL JOIN b
+         | ON a.subj = b.subj AND a.pred = b.pred AND a.obj = b.obj"""
+        .stripMargin.replaceAll("\n", " "),
     // SimHash replay: md5_number_lower == the engine's md5Hash64 (lower 8
     // MD5 bytes, little-endian); fingerprint compared as a 64-char bit
     // string, MSB first
@@ -1564,7 +1980,19 @@ object SparkEntry {
       "q61_neardup_clusters" -> clustersSql(maxToks + 1),
       "q62_line_dedup" -> lineDedupSql(maxToks / 3 + 2),
       "q63_line_dedup_strip" -> lineStripSql(maxToks / 3 + 2),
-      "q64_delta_dedup" -> deltaSql(maxToks + 1))
+      "q64_delta_dedup" -> deltaSql(maxToks + 1),
+      // k-core's peel depth is data-dependent: unroll the engine-measured
+      // round count (+1 slack; extra rounds are idempotent, fewer are not)
+      "q73_kcore" -> {
+        val li = t(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
+        val pairs = li.as("a")
+          .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        val (_, rounds) = graft.kg.KCore.coreWithRounds(spark,
+          graft.kg.Triangles.canonicalEdges(pairs, "u", "v"), KCoreK)
+        graft.kg.KCore.oracleSql(KCoreEdgesSql, KCoreK, rounds + 1)
+      })
     val cent = graft.sim.Ivf.centroidsFor(
       spark, t(spark, sfDir, "embeddings"), 16, 5, 100000)
     oracleSql ++ derived + ("q42_ann_ivf" -> (

@@ -1,0 +1,63 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SPARQL-style triple-pattern compositions over a materialized KG — the
+  * read side of KG construction. Once the pipeline lands `(subj, pred,
+  * obj)` snapshots, consumers ask basic-graph-pattern (BGP) questions and
+  * operators compare snapshots across crawls; both are plain relational
+  * plans here, so Catalyst gets to pick join strategies and AQE gets to
+  * re-plan on measured sizes — exactly what a native triple store's
+  * hand-written join orderer has to do itself.
+  */
+object TriplePatterns {
+
+  /** Star BGP on a shared object: `?a predA ?o . ?b predB ?o` →
+    * `(obj, subj_a, subj_b)`. With the pipeline's doc-grounded triples
+    * this reads "entities of two categories grounded in the SAME page" —
+    * the join that feeds co-mention relation proposal and page-level
+    * fact tables.
+    *
+    * Scale shape: both sides are predicate-filtered BEFORE the join (the
+    * filter reaches the parquet scan as a pushed predicate on `pred`, so
+    * a snapshot partitioned or sorted by predicate prunes files), then
+    * hash-join on `obj`. Per-object fan-out is |predA subjects| ×
+    * |predB subjects| on that object — bounded by per-page mention
+    * counts, never corpus-sized. A pathological hot object is exactly
+    * the q08/q52 salting case and AQE's skew-join handles the moderate
+    * version for free.
+    *
+    * @param triples distinct `(subj, pred, obj)` rows
+    */
+  def starOnObject(triples: DataFrame, predA: String,
+      predB: String): DataFrame =
+    triples.filter(col("pred") === predA)
+      .select(col("obj"), col("subj").as("subj_a"))
+      .join(triples.filter(col("pred") === predB)
+        .select(col("obj"), col("subj").as("subj_b")), "obj")
+
+  /** Diff two KG snapshots keyed by the full triple:
+    * `(subj, pred, obj, status)` with status ∈ kept | added | removed
+    * (kept = in both, added = only in `b`, removed = only in `a`) — the
+    * crawl-over-crawl audit that MERGE (q51) applies and this REPORTS.
+    *
+    * Both sides must be distinct on `(subj, pred, obj)` (the pipeline's
+    * triples are; same documented precondition as
+    * [[SnapshotMerge]]'s base) — duplicate keys would multiply
+    * full-outer matches. Scale shape: one co-partitioned full-outer
+    * sort-merge join on the triple key; landing both snapshots as
+    * `bucketBy`(triple-key) tables (the q49 layout) deletes even that
+    * exchange for repeated diffs.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val key = Seq("subj", "pred", "obj")
+    a.select(key.map(col): _*).withColumn("in_a", lit(true))
+      .join(b.select(key.map(col): _*).withColumn("in_b", lit(true)),
+        key, "full_outer")
+      .select(col("subj"), col("pred"), col("obj"),
+        when(col("in_a").isNotNull && col("in_b").isNotNull, "kept")
+          .when(col("in_b").isNotNull, "added")
+          .otherwise("removed").as("status"))
+  }
+}

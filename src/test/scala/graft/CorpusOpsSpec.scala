@@ -1,0 +1,356 @@
+package graft
+
+import graft.kg.{Cooccur, KCore, LinkPredict, Negatives}
+import graft.quality.Classifier
+import graft.sim.TextVec
+import graft.text.{InvertedIndex, UrlCanon}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture and fuzz coverage for the round-5 corpus/KG operators:
+  * entity PMI, URL canonicalization, inverted index, quality classifier,
+  * k-core, link prediction, and KG negative sampling. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-corpusops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("entityPmi matches brute-force PMI on a planted co-mention corpus") {
+    import spark.implicits._
+    // doc -> entities; (A,B) co-occur twice, (A,C) twice, (B,C) once
+    val linked = Seq(
+      (1L, "A"), (1L, "B"), (1L, "A"), // dup mention must not double-count
+      (2L, "A"), (2L, "B"), (2L, "C"),
+      (3L, "C"), (3L, "A"),
+      (4L, "B")).toDF("doc_id", "entity_id")
+    val n = 4L
+    val got = Cooccur.entityPmi(linked, n).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // marginals: A=3 docs, B=3, C=2
+    def pmi(np: Long, c1: Long, c2: Long) =
+      BigDecimal(math.log(np.toDouble * n / (c1.toDouble * c2)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("A", "B")) == ((2L, pmi(2, 3, 3))))
+    assert(got(("A", "C")) == ((2L, pmi(2, 3, 2))))
+    assert(got(("B", "C")) == ((1L, pmi(1, 3, 2))))
+    assert(got.size == 3)
+  }
+
+  test("URL canonicalization ladder handles each normalization case") {
+    import spark.implicits._
+    val cases = Seq(
+      // raw -> expected canonical
+      ("https://Pages.Example.ORG/a/b", "https://pages.example.org/a/b"),
+      ("HTTPS://EXAMPLE.ORG/X", "https://example.org/X"), // path case kept
+      ("https://example.org/a#frag", "https://example.org/a"),
+      ("https://www.example.org:443/a", "https://example.org/a"),
+      ("http://www.example.org:80/a", "http://example.org/a"),
+      ("http://example.org:8080/a", "http://example.org:8080/a"), // non-default kept
+      ("https://example.org/a/", "https://example.org/a"),
+      ("https://example.org/", "https://example.org"),
+      ("https://example.org/a?utm_source=x", "https://example.org/a"),
+      ("https://example.org/a?utm_a=1&b=2", "https://example.org/a?b=2"),
+      ("https://example.org/a?b=2&utm_a=1", "https://example.org/a?b=2"),
+      ("https://example.org/a?utm_a=1&utm_b=2", "https://example.org/a"),
+      ("https://example.org/a?b=2&utm_a=1&c=3", "https://example.org/a?b=2&c=3"))
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlCanon.canonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((raw, want), have) =>
+      assert(have == want, s"canonicalize($raw)")
+    }
+  }
+
+  test("rare-token postings exclude heavy tokens and sort doc_ids") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "common rare1 x"),
+      (7L, "common rare1 y"),
+      (3L, "common z"),
+      (5L, "common w")).toDF("doc_id", "text")
+    val got = InvertedIndex.rareTokenPostings(docs, 2L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(!got.contains("common")) // df=4 > 2
+    assert(got("rare1") == ((2L, "7,10"))) // ascending doc_id, not insertion
+    assert(got("x") == ((1L, "10")))
+    assert(got("z") == ((1L, "3")))
+    // distinct dfs here are {1, 2, 4}: 1st smallest = 1, 2nd = 2, and the
+    // rank is clamped to the max when fewer distinct values exist
+    assert(InvertedIndex.rareDfCeiling(docs, 1) == 1L)
+    assert(InvertedIndex.rareDfCeiling(docs, 2) == 2L)
+    assert(InvertedIndex.rareDfCeiling(docs, 99) == 4L)
+  }
+
+  test("classifier score equals driver-side dot product + sigmoid") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta beta gamma"), (2L, ""), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Classifier.score(spark, docs, 64).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val raw = TextVec.vectorOf(text, 64).zipWithIndex
+        .map { case (v, j) => v * ((j % 7 - 3).toDouble / 3.0) }.sum
+      val quality = math.floor(1.0 / (1.0 + math.exp(-raw)) * 1e4 + 0.5) / 1e4
+      assert(got(id) == ((quality, raw >= 0)), s"doc $id")
+    }
+  }
+
+  test("k-core matches a reference peel on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    (1 to 3).foreach { _ =>
+      val n = 20 + rnd.nextInt(20)
+      val edges = Seq.fill(n * 3)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val k = 3
+      // reference peel
+      var cur = edges
+      var changed = true
+      while (changed) {
+        val deg = cur.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (x, xs) => x -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = cur.filter { case (a, b) => keep(a) && keep(b) }
+        changed = next.size != cur.size
+        cur = next
+      }
+      val wantDeg = cur.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (x, xs) => x -> xs.size.toLong }
+      val (coreDf, rounds) = KCore.coreWithRounds(spark,
+        edges.toDF("u", "v"), k)
+      val got = coreDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == wantDeg)
+      assert(rounds >= 1)
+    }
+  }
+
+  test("k-core peels a pendant chain into the clique (planted)") {
+    import spark.implicits._
+    // K5 on 0-4 plus a chain 4-10-11-12: k=4 keeps exactly the clique
+    val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val (core, _) = KCore.coreWithRounds(spark,
+      (clique ++ chain).toDF("u", "v"), 4)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 4L).map(_ -> 4L).toMap)
+  }
+
+  test("link prediction scores a 4-cycle's diagonals exactly") {
+    import spark.implicits._
+    // cycle 1-2-3-4-1: the two absent diagonals (1,3) and (2,4) each share
+    // BOTH their neighbors; every degree is 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val got = LinkPredict.candidates(edges, maxHubDegree = 10L, minCommon = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val aa = BigDecimal(2.0 / math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.size == 2)
+    // jaccard = 2 / (2 + 2 - 2) = 1.0
+    assert(got((1L, 3L)) == ((2L, 1.0, aa)))
+    assert(got((2L, 4L)) == ((2L, 1.0, aa)))
+  }
+
+  test("link prediction: hub cap excludes wedge centers, not score degrees") {
+    import spark.implicits._
+    // star center 0 joined to 1..5, plus edge 1-2: with maxHubDegree=4 the
+    // star center (deg 5) is not a wedge center, so the only surviving
+    // wedges come from centers 1 and 2 (deg 2 each) — and every pair they
+    // generate includes hub 0 or is the existing 1-2 edge, so nothing
+    // reaches minCommon=2 except via the hub. Raising the cap to 5 admits
+    // the hub and proposes all C(5,2)-1 absent leaf pairs.
+    val star = (1L to 5L).map(0L -> _)
+    val edges = (star :+ (1L, 2L)).toDF("u", "v")
+    // without the hub, the only wedge centers are 1 and 2, and the pairs
+    // they emit ((0,2) and (0,1)) are existing edges → empty proposal list
+    val capped = LinkPredict.candidates(edges, maxHubDegree = 4L, minCommon = 1L)
+      .collect()
+    assert(capped.isEmpty)
+    val open = LinkPredict.candidates(edges, maxHubDegree = 5L, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all absent leaf pairs (1-2 exists, so 9 of the 10 leaf pairs)
+    val want = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSet - ((1L, 2L))
+    assert(open == want)
+    // Jaccard degrees come from the FULL graph even under the cap: leaves
+    // 3 and 4 each have degree 1, share neighbor 0 → jaccard = 1/(1+1-1)
+    val j34 = LinkPredict.candidates(edges, maxHubDegree = 5L, minCommon = 1L)
+      .filter(col("e1") === 3L && col("e2") === 4L)
+      .collect().head.getDouble(3)
+    assert(j34 == 1.0)
+  }
+
+  test("sessionize splits on gap, numbers sessions in time order") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: gaps 10, 40 with gap limit 15 → sessions {0,10}, {50}
+      (1L, 101L, 0L), (1L, 102L, 10L), (1L, 103L, 50L),
+      // user 2: singleton
+      (2L, 201L, 100L),
+      // user 3: tie on sec — one session, still deterministic
+      (3L, 302L, 7L), (3L, 301L, 7L))
+      .toDF("user_id", "event_id", "sec")
+    val got = graft.streaming.Sessionize.sessions(events, 15L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == Map(
+      (1L, 1L) -> ((2L, 0L, 10L, 10L)),
+      (1L, 2L) -> ((1L, 50L, 50L, 0L)),
+      (2L, 1L) -> ((1L, 100L, 100L, 0L)),
+      (3L, 1L) -> ((2L, 7L, 7L, 0L))))
+  }
+
+  test("N-Triples roundtrip distinguishes every escape collision") {
+    import spark.implicits._
+    import graft.sinks.NTriples
+    val objs = Seq(
+      "plain", "a\nb", "a\\nb", "a\\\nb", "say \"hi\"", "tab\there",
+      "cr\rhere", "back\\slash", "\\\\", "", "mixed \\\" \n\t\r end")
+    val tr = objs.zipWithIndex
+      .map { case (o, i) => (s"e$i", "uses_tool", o) }
+      .toDF("subj", "pred", "obj")
+    val back = NTriples.parse(NTriples.serialize(tr))
+      .orderBy("subj").collect().map(_.getString(2)).toSeq
+    val want = objs.zipWithIndex.sortBy { case (_, i) => s"e$i" }.map(_._1)
+    assert(back == want)
+    // a serialized line never contains a raw newline (splittability)
+    NTriples.serialize(tr).collect().foreach { r =>
+      assert(!r.getString(0).contains("\n") && !r.getString(0).contains("\r"))
+    }
+  }
+
+  test("N-Triples serialize rejects IRI-unsafe subjects distributed") {
+    import spark.implicits._
+    import graft.sinks.NTriples
+    val bad = Seq(("has space", "uses_tool", "x")).toDF("subj", "pred", "obj")
+    val e = intercept[Exception] {
+      NTriples.serialize(bad).collect()
+    }
+    assert(e.getMessage != null)
+    // a non-matching line parses to surfaced empty fields, not a crash
+    val parsed = NTriples.parse(Seq("not a triple").toDF("line")).collect()(0)
+    assert(parsed.getString(0) == "" && parsed.getString(2) == "")
+  }
+
+  test("functional-property audit flags only declared predicates with >1 object") {
+    import spark.implicits._
+    import graft.kg.Ontology
+    val triples = Seq(
+      ("e1", "uses_tool", "doc://1"), ("e1", "uses_tool", "doc://2"),
+      ("e1", "uses_tool", "doc://2"), // dup object must not count twice
+      ("e2", "uses_tool", "doc://3"), // single-valued: clean
+      ("e3", "involves", "doc://4"), ("e3", "involves", "doc://5") // undeclared
+    ).toDF("subj", "pred", "obj")
+    val got = Ontology.functionalViolations(triples, Seq("uses_tool"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getString(3), r.getString(4)))
+    assert(got.toSeq == Seq(("e1", "uses_tool", 2L, "doc://1", "doc://2")))
+  }
+
+  test("sorted-neighborhood ER: distributed rank is gap-free and ordered") {
+    import spark.implicits._
+    val recs = (1L to 97L).map(i => (i, f"k$i%03d")).toDF("rec_id", "key")
+      .repartition(7) // force multi-partition ranking
+    val got = graft.text.ErMatch.globalRank(recs)
+      .orderBy("rnk").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.map(_._2).toSeq == (1L to 97L).toSeq) // gap-free 1..n
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq) // key order
+  }
+
+  test("sorted-neighborhood ER matches suffix-dirty twins, bounds window") {
+    import spark.implicits._
+    val recs = Seq(
+      (10L, "alpha"), (11L, "alpha "), // twin within window
+      (20L, "gamma"), (21L, "gammaa"), // doubled-char twin
+      (30L, "zeta")) // no partner
+      .toDF("rec_id", "key")
+    val got = graft.text.ErMatch.sortedNeighborhood(recs, 2, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got.contains((10L, 11L, 1)))
+    assert(got.contains((20L, 21L, 1)))
+    assert(!got.exists { case (a, b, _) => Set(a, b).contains(30L) })
+    // id canonicalization: id_a < id_b always
+    graft.text.ErMatch.sortedNeighborhood(recs, 4, 3).collect()
+      .foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
+  test("negative sampling: deterministic, in-vocabulary, never the true subject") {
+    import spark.implicits._
+    val triples = Seq(
+      ("e1", "uses", "doc://1"), ("e2", "uses", "doc://1"),
+      ("e3", "likes", "doc://2"), ("e1", "likes", "doc://3"),
+      ("e4", "uses", "doc://4")).toDF("subj", "pred", "obj")
+    val a = Negatives.corruptSubject(spark, triples).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3))
+      .toMap
+    val b = Negatives.corruptSubject(spark, triples).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3))
+      .toMap
+    assert(a == b) // deterministic
+    assert(a.size == 5) // one negative per triple
+    val vocab = Set("e1", "e2", "e3", "e4")
+    a.foreach { case ((s, _, _), neg) =>
+      assert(vocab(neg) && neg != s, s"neg $neg for subj $s")
+    }
+  }
+
+  test("subclassClosure: chain + diamond close exactly; cycles rejected") {
+    import graft.kg.Ontology
+    // diamond: D ⊑ B, D ⊑ C, B ⊑ A, C ⊑ A; chain below: E ⊑ D
+    val sub = Seq("D" -> "B", "D" -> "C", "B" -> "A", "C" -> "A", "E" -> "D")
+    val cl = Ontology.subclassClosure(sub).toSet
+    val want = sub.toSet ++ Set("D" -> "A", "E" -> "B", "E" -> "C", "E" -> "A")
+    assert(cl == want)
+    intercept[IllegalArgumentException] {
+      Ontology.subclassClosure(Seq("A" -> "B", "B" -> "A"))
+    }
+  }
+
+  test("inferTypes: instances carry direct class plus all supertypes only") {
+    import spark.implicits._
+    import graft.kg.Ontology
+    val inst = Seq(("e1", "TOOL"), ("e2", "ACTOR")).toDF("entity_id", "category")
+    val sub = Seq("TOOL" -> "Artifact", "ACTOR" -> "Agent",
+      "Artifact" -> "Thing", "Agent" -> "Thing")
+    val got = Ontology.inferTypes(spark, inst, sub).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("e1", "TOOL"), ("e1", "Artifact"), ("e1", "Thing"),
+      ("e2", "ACTOR"), ("e2", "Agent"), ("e2", "Thing")))
+  }
+
+  test("starOnObject pairs only the two requested predicates per object") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("t1", "uses_tool", "doc://1"), ("t2", "uses_tool", "doc://1"),
+      ("d1", "consumes", "doc://1"), ("d2", "consumes", "doc://2"),
+      ("t3", "uses_tool", "doc://2"), ("x1", "performs", "doc://1"))
+      .toDF("subj", "pred", "obj")
+    val got = TriplePatterns.starOnObject(tr, "uses_tool", "consumes")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("doc://1", "t1", "d1"), ("doc://1", "t2", "d1"),
+      ("doc://2", "t3", "d2")))
+  }
+
+  test("snapshotDiff labels kept/added/removed exactly") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val a = Seq(("s1", "p", "o1"), ("s2", "p", "o2")).toDF("subj", "pred", "obj")
+    val b = Seq(("s1", "p", "o1"), ("s3", "p", "o3")).toDF("subj", "pred", "obj")
+    val got = TriplePatterns.snapshotDiff(a, b).collect()
+      .map(r => (r.getString(0), r.getString(3))).toSet
+    assert(got == Set(("s1", "kept"), ("s2", "removed"), ("s3", "added")))
+  }
+}
