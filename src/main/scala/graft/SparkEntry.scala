@@ -133,6 +133,15 @@ object SparkEntry {
     .map { case (c, p) => s"('$c','$p')" }
     .mkString("(VALUES ", ", ", ")")
 
+  /** q83's inter-mention character gap: 40 chars keeps contexts at
+    * phrase length (the distant-supervision window) while the synthetic
+    * docs still produce a real pattern vocabulary. */
+  private val RelCtxMaxGap = 40
+
+  /** q85's synthesized crawl-timestamp base (2023-11-14T22:13:20Z) —
+    * deterministic, like q68's synthesized URLs. */
+  private val CrawlEpochBase = 1700000000L
+
   /** q73/q75's canonical-edge derivation (the q53/q60 parts co-occurrence
     * graph) as SQL — shared by the static and round-adaptive oracles. */
   private val KCoreEdgesSql =
@@ -972,6 +981,31 @@ object SparkEntry {
       val docId = regexp_extract(col("obj"), "^doc://(\\d+)$", 1).cast("long")
       graft.kg.TriplePatterns.snapshotDiff(
         tr.filter(docId % 3 =!= 0), tr.filter(docId % 3 =!= 1))
+    }),
+    // distant-supervision relation patterns: trimmed text between FIRST
+    // mentions of ordered entity pairs within 40 chars, counted
+    // corpus-wide (first mentions bound the per-doc self-join at
+    // dictionary², never mention-count²)
+    "q83_relation_contexts" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      graft.kg.RelationMining.firstMentionContexts(
+        linked, t(s, dir, "documents"), RelCtxMaxGap)
+    }),
+    // per-document entity salience: mention density + early-position
+    // bonus — the aboutness score KG builders rank page entities by
+    "q84_entity_salience" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      graft.kg.RelationMining.salience(linked, t(s, dir, "documents"))
+    }),
+    // temporal scoping of facts: deterministic synthesized crawl ts per
+    // grounding page (epoch base + doc_id·3600, the q68 synthesis
+    // pattern) → first/last-seen window per (subj, pred)
+    "q85_triple_temporal" -> ((s, dir) => {
+      val did = regexp_extract(col("obj"), "^doc://(\\d+)$", 1).cast("long")
+      graft.kg.TriplePatterns.temporalScope(
+        kgTriples(s, dir).withColumn("ts_s", lit(CrawlEpochBase) + did * 3600L))
     }),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
@@ -1864,6 +1898,49 @@ object SparkEntry {
          | FROM a FULL JOIN b
          | ON a.subj = b.subj AND a.pred = b.pred AND a.obj = b.obj"""
         .stripMargin.replaceAll("\n", " "),
+    // first mention = first occurrence (position) — the engine's
+    // min-span over grounded mentions; contexts sliced with the same
+    // 1-based substr arithmetic
+    "q83_relation_contexts" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | m AS (SELECT d.doc_id, entity_id,
+         |   (position(surface IN d.text) - 1)::int AS b,
+         |   (position(surface IN d.text) - 1 + length(surface))::int AS e
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | p AS (SELECT a.doc_id, a.entity_id AS e1, b.entity_id AS e2,
+         |   a.e AS end1, b.b AS b2
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id
+         |   AND a.entity_id != b.entity_id
+         |   AND b.b >= a.e AND b.b - a.e <= $RelCtxMaxGap)
+         | SELECT e1, e2, trim(substr(d.text, end1 + 1, b2 - end1)) AS context,
+         |  count(*) AS n_pairs
+         | FROM p JOIN documents d ON p.doc_id = d.doc_id
+         | GROUP BY 1, 2, 3""".stripMargin.replaceAll("\n", " "),
+    // mention count replayed with the replace trick (replace is
+    // non-overlapping left-to-right — identical to the grounding
+    // pass's find-resume semantics)
+    "q84_entity_salience" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues
+         | SELECT d.doc_id, entity_id,
+         |  ((length(text) - length(replace(text, surface, '')))
+         |    / length(surface))::bigint AS n_mentions,
+         |  (position(surface IN text) - 1)::int AS first_pos,
+         |  round(((length(text) - length(replace(text, surface, '')))
+         |     / length(surface)) / length(string_split_regex(trim(text), '\\s+'))
+         |   + (1 - (position(surface IN text) - 1) / length(text)::double), 4)
+         |   AS salience
+         | FROM documents d CROSS JOIN dict
+         | WHERE position(surface in d.text) > 0"""
+        .stripMargin.replaceAll("\n", " "),
+    "q85_triple_temporal" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj, d.doc_id AS did
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | w AS (SELECT subj, pred, 1700000000 + did * 3600 AS ts_s FROM tr)
+         | SELECT subj, pred, count(*) AS n_obs, min(ts_s) AS first_seen_s,
+         |  max(ts_s) AS last_seen_s, max(ts_s) - min(ts_s) AS span_s
+         | FROM w GROUP BY 1, 2""".stripMargin.replaceAll("\n", " "),
     // SimHash replay: md5_number_lower == the engine's md5Hash64 (lower 8
     // MD5 bytes, little-endian); fingerprint compared as a 64-char bit
     // string, MSB first

@@ -60,4 +60,22 @@ object TriplePatterns {
           .when(col("in_b").isNotNull, "added")
           .otherwise("removed").as("status"))
   }
+
+  /** Temporal scoping of facts — the provenance window a temporal KG
+    * attaches to each `(subj, pred)`: over triples carrying a crawl
+    * timestamp column `ts_s` (epoch seconds), the first/last time the
+    * fact was observed, how many distinct pages ground it, and the
+    * validity span: `(subj, pred, n_obs, first_seen_s, last_seen_s,
+    * span_s)`.
+    *
+    * One map-side-combined aggregate keyed by (subj, pred); min/max/count
+    * only, so a head entity grounded by millions of pages costs
+    * comparisons, never a buffer.
+    */
+  def temporalScope(triples: DataFrame): DataFrame =
+    triples.groupBy(col("subj"), col("pred"))
+      .agg(count(lit(1)).as("n_obs"),
+        min(col("ts_s")).as("first_seen_s"),
+        max(col("ts_s")).as("last_seen_s"))
+      .withColumn("span_s", col("last_seen_s") - col("first_seen_s"))
 }

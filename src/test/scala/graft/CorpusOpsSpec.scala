@@ -344,6 +344,52 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("doc://2", "t3", "d2")))
   }
 
+  test("firstMentionContexts slices the text between first mentions only") {
+    import spark.implicits._
+    import graft.kg.RelationMining
+    // "alpha loads beta" — alpha also reappears later; only FIRST spans pair
+    val docs = Seq((1L, "alpha loads beta then alpha again")).toDF("doc_id", "text")
+    val linked = Seq(
+      (1L, "eA", 0, 5), (1L, "eA", 22, 27), // two alpha mentions
+      (1L, "eB", 12, 16))                   // beta
+      .toDF("doc_id", "entity_id", "begin_c", "end_c")
+    val got = RelationMining.firstMentionContexts(linked, docs, 40).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // eA(0,5) -> eB(12,16): between = " loads " -> "loads"
+    // eB(12,16) -> second alpha is NOT eA's first mention, so no eB->eA pair
+    assert(got == Set(("eA", "eB", "loads", 1L)))
+  }
+
+  test("salience: density plus early-position bonus, exact arithmetic") {
+    import spark.implicits._
+    import graft.kg.RelationMining
+    val docs = Seq((1L, "x y x z")).toDF("doc_id", "text") // 4 tokens, 7 chars
+    val linked = Seq((1L, "eX", 0, 1), (1L, "eX", 4, 5), (1L, "eZ", 6, 7))
+      .toDF("doc_id", "entity_id", "begin_c", "end_c")
+    val got = RelationMining.salience(linked, docs).collect()
+      .map(r => (r.getString(1), (r.getLong(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    assert(got("eX") == ((2L, 0, BigDecimal(2.0 / 4 + 1.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("eZ") == ((1L, 6, BigDecimal(1.0 / 4 + (1 - 6.0 / 7))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("temporalScope windows first/last observation per (subj, pred)") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("s1", "p", "o1", 100L), ("s1", "p", "o2", 400L), ("s1", "p", "o3", 250L),
+      ("s2", "q", "o4", 50L))
+      .toDF("subj", "pred", "obj", "ts_s")
+    val got = TriplePatterns.temporalScope(tr).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("s1", "p")) == ((3L, 100L, 400L, 300L)))
+    assert(got(("s2", "q")) == ((1L, 50L, 50L, 0L)))
+  }
+
   test("snapshotDiff labels kept/added/removed exactly") {
     import spark.implicits._
     import graft.kg.TriplePatterns
