@@ -114,6 +114,9 @@ object SparkEntry {
     * FunctionalProperty set the audit enforces). */
   private val FunctionalPreds = Seq("uses_tool", "consumes")
 
+  /** The same set as a SQL IN-list body, so engine and oracle share it. */
+  private val FunctionalPredsSql = FunctionalPreds.map(p => s"'$p'").mkString(", ")
+
   /** q79's sorted-neighborhood width and edit-distance ceiling: the dirty
     * variants sort within 1–2 ranks of their clean record, and both dirt
     * modes are ≤ 1 edit away. */
@@ -187,6 +190,24 @@ object SparkEntry {
     val linked = Kg.disambiguate(Kg.candidates(kgMentions(spark, dir), Kg.aliasDf(spark)))
     Kg.triples(linked, NerSpark.Predicates)
   }
+
+  /** The q53/q60/q73/q75 parts co-occurrence graph: canonical (u<v,
+    * distinct) edges between parts sharing an order — ONE definition so
+    * the graph queries and the round-measuring oracle path cannot
+    * diverge (its SQL twin is [[KCoreEdgesSql]]). */
+  private def partsCooccurEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    graft.kg.Triangles.canonicalEdges(pairs, "u", "v")
+  }
+
+  /** q73's engine-measured peel depth per sf dir, recorded when the query
+    * runs so [[oracleSqlFor]] need not re-run the whole peel. */
+  private val KCoreRoundsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY.md §2 ops 2/4/17/18/21 + joins note) ----
@@ -865,11 +886,8 @@ object SparkEntry {
     // the ceiling is data-relative (8th-smallest distinct df) because the
     // synthetic vocabulary is tiny and flat — an absolute cutoff is either
     // empty or everything
-    "q71_inverted_index" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      graft.text.InvertedIndex.rareTokenPostings(
-        d, graft.text.InvertedIndex.rareDfCeiling(d, 8))
-    }),
+    "q71_inverted_index" -> ((s, dir) =>
+      graft.text.InvertedIndex.rarePostingsByRank(t(s, dir, "documents"), 8)),
     // model-based quality gate (fastText/CCNet shape): hashed-TF features
     // (q43 machinery) · broadcast weight vector → sigmoid → keep flag
     "q72_quality_classifier" -> ((s, dir) =>
@@ -878,13 +896,10 @@ object SparkEntry {
     // q53/q60): peel degree<80 nodes to fixpoint — 6 cascade rounds and a
     // non-empty core at sf0.01; oracle unrolls the engine-measured rounds
     "q73_kcore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val pairs = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      graft.kg.KCore.core(s,
-        graft.kg.Triangles.canonicalEdges(pairs, "u", "v"), KCoreK)
+      val (deg, rounds) =
+        graft.kg.KCore.coreWithRounds(s, partsCooccurEdges(s, dir), KCoreK)
+      KCoreRoundsMemo.put(dir, rounds)
+      deg
     }),
     // deterministic corrupted-subject negatives for KG-embedding training
     // (TransE-style): md5 offset in [1, V-1] guarantees neg != subj with
@@ -896,16 +911,9 @@ object SparkEntry {
     // Adamic-Adar scores for ABSENT pairs — the relation-inference step
     // that proposes new KG edges (see kg.LinkPredict for the hub-cap
     // scale argument)
-    "q75_link_predict" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val pairs = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      graft.kg.LinkPredict.candidates(
-        graft.kg.Triangles.canonicalEdges(pairs, "u", "v"),
-        LinkPredHubCap, LinkPredMinCommon)
-    }),
+    "q75_link_predict" -> ((s, dir) =>
+      graft.kg.LinkPredict.candidates(partsCooccurEdges(s, dir),
+        LinkPredHubCap, LinkPredMinCommon)),
     // gap-based sessionization of the event log (the batch analog of
     // session_window): one user-keyed shuffle, both window passes share
     // the exchange; 8h gap splits the sf event stream into a real mix of
@@ -1720,14 +1728,20 @@ object SparkEntry {
         | s3 AS (SELECT doc_id, scheme,
         |   regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
         |     WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '') ELSE hp END,
-        |     '^www\.', '') AS host,
-        |   rtrim(regexp_replace(regexp_replace(
-        |     regexp_replace(r0, 'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*', '', 'g'),
-        |     '\?$', ''), '/') AS rest
-        |  FROM s2)
-        | SELECT scheme || '://' || host || rest AS canon_url,
+        |     '^www\.', '') AS host, r0
+        |  FROM s2),
+        | s4 AS (SELECT doc_id, scheme, host,
+        |   CASE WHEN position('?' IN r0) > 0
+        |     THEN substr(r0, 1, position('?' IN r0) - 1) ELSE r0 END AS pth,
+        |   CASE WHEN position('?' IN r0) > 0 THEN array_to_string(
+        |     list_filter(string_split(substr(r0, position('?' IN r0) + 1), '&'),
+        |       p -> NOT starts_with(p, 'utm_')), '&') ELSE '' END AS q
+        |  FROM s3)
+        | SELECT scheme || '://' || host ||
+        |   rtrim(CASE WHEN q != '' THEN pth || '?' || q ELSE pth END, '/')
+        |   AS canon_url,
         |  count(*) AS n_docs, min(doc_id) AS min_doc_id
-        | FROM s3 GROUP BY 1""".stripMargin.replaceAll("\n", " "),
+        | FROM s4 GROUP BY 1""".stripMargin.replaceAll("\n", " "),
     "q71_inverted_index" ->
       """WITH toks AS (SELECT DISTINCT doc_id, tok FROM
         |   (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -1834,7 +1848,7 @@ object SparkEntry {
          |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0)
          | SELECT subj, pred, count(DISTINCT obj) AS n_obj,
          |  min(obj) AS obj_min, max(obj) AS obj_max
-         | FROM tr WHERE pred IN ('uses_tool', 'consumes')
+         | FROM tr WHERE pred IN ($FunctionalPredsSql)
          | GROUP BY subj, pred HAVING count(DISTINCT obj) >= 2"""
         .stripMargin.replaceAll("\n", " "),
     // sorted-neighborhood replay: one global row_number (fine at oracle
@@ -1937,7 +1951,7 @@ object SparkEntry {
          | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
          |   'doc://' || d.doc_id AS obj, d.doc_id AS did
          |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0),
-         | w AS (SELECT subj, pred, 1700000000 + did * 3600 AS ts_s FROM tr)
+         | w AS (SELECT subj, pred, $CrawlEpochBase + did * 3600 AS ts_s FROM tr)
          | SELECT subj, pred, count(*) AS n_obs, min(ts_s) AS first_seen_s,
          |  max(ts_s) AS last_seen_s, max(ts_s) - min(ts_s) AS span_s
          | FROM w GROUP BY 1, 2""".stripMargin.replaceAll("\n", " "),
@@ -2059,15 +2073,13 @@ object SparkEntry {
       "q63_line_dedup_strip" -> lineStripSql(maxToks / 3 + 2),
       "q64_delta_dedup" -> deltaSql(maxToks + 1),
       // k-core's peel depth is data-dependent: unroll the engine-measured
-      // round count (+1 slack; extra rounds are idempotent, fewer are not)
+      // round count (+1 slack; extra rounds are idempotent, fewer are not).
+      // The query run records its depth in KCoreRoundsMemo; re-peel only
+      // if the oracle is generated before the query ever ran.
       "q73_kcore" -> {
-        val li = t(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
-        val pairs = li.as("a")
-          .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        val (_, rounds) = graft.kg.KCore.coreWithRounds(spark,
-          graft.kg.Triangles.canonicalEdges(pairs, "u", "v"), KCoreK)
+        val rounds = KCoreRoundsMemo.getOrElseUpdate(sfDir,
+          graft.kg.KCore.coreWithRounds(spark,
+            partsCooccurEdges(spark, sfDir), KCoreK)._2)
         graft.kg.KCore.oracleSql(KCoreEdgesSql, KCoreK, rounds + 1)
       })
     val cent = graft.sim.Ivf.centroidsFor(

@@ -58,6 +58,10 @@ object KCore {
       deg = degrees(edges)
       if (nEdges == 0L) converged = true
     }
+    // a silent non-fixpoint would make the unrolled oracle peel one round
+    // further than the engine did — fail loudly instead
+    require(converged,
+      s"k-core did not reach a fixpoint in $maxIter rounds ($nEdges edges live)")
     (deg, rounds)
   }
 

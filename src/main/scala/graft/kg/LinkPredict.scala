@@ -48,10 +48,10 @@ object LinkPredict {
     val deg = und.groupBy("w").agg(count(lit(1)).as("d"))
 
     // per-center sorted neighbor array, hub centers excluded up front so
-    // the collect_set buffer is bounded at maxHubDegree entries
+    // the collect_set buffer is bounded at maxHubDegree entries (the
+    // inner join both filters and attaches d — one join, not semi+join)
     val lists = und
-      .join(deg.filter(col("d") <= maxHubDegree), Seq("w"), "left_semi")
-      .join(deg, "w")
+      .join(deg.filter(col("d") <= maxHubDegree), "w")
       .groupBy(col("w"), col("d"))
       .agg(sort_array(collect_set(col("n"))).as("ns"))
     val wedges = lists

@@ -32,14 +32,35 @@ object InvertedIndex {
       explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
 
   /** Data-relative "rare" ceiling: the `nDistinct`-th smallest DISTINCT
-    * document frequency (the max df if fewer exist). An absolute threshold
-    * can't be right across corpora whose vocabularies differ by orders of
-    * magnitude; ranking the distinct df values is scale-free, and the df
-    * relation it ranks is vocabulary-sized — the sort is tiny. */
+    * document frequency (the max df if fewer exist; 0 on an empty
+    * corpus). An absolute threshold can't be right across corpora whose
+    * vocabularies differ by orders of magnitude; ranking the distinct df
+    * values is scale-free, and the df relation it ranks is
+    * vocabulary-sized — the sort is tiny. */
   def rareDfCeiling(docs: DataFrame, nDistinct: Int = 8): Long =
-    docTokens(docs).groupBy("tok").agg(count(lit(1)).as("df"))
-      .select("df").distinct().orderBy("df").limit(nDistinct)
-      .agg(max(col("df"))).first().getLong(0)
+    ceilingOf(docTokens(docs).groupBy("tok").agg(count(lit(1)).as("df")),
+      nDistinct)
+
+  private def ceilingOf(df: DataFrame, nDistinct: Int): Long = {
+    val head = df.select("df").distinct().orderBy("df").limit(nDistinct)
+      .agg(max(col("df"))).first()
+    if (head.isNullAt(0)) 0L else head.getLong(0)
+  }
+
+  /** One-pass composition of [[rareDfCeiling]] + [[rareTokenPostings]]:
+    * the (vocabulary-sized) df aggregate is computed ONCE and persisted,
+    * the ceiling ranks it, and the posting pass reuses it — two corpus
+    * scans total instead of the three (and two identical wide
+    * aggregations) the separate calls would cost. */
+  def rarePostingsByRank(docs: DataFrame, nDistinct: Int = 8): DataFrame = {
+    val toks = docTokens(docs)
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df")).persist()
+    val ceiling = ceilingOf(df, nDistinct)
+    toks.join(df.filter(col("df") <= ceiling), "tok")
+      .groupBy("tok", "df")
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        x => x.cast("string")), ",").as("postings"))
+  }
 
   /** `(tok, df, postings)` for whitespace tokens with document frequency
     * `≤ maxDf`; postings = ascending doc_ids, comma-joined. */

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * Every regexp avoids capture-group replacements, so the identical
   * pattern strings run on Java regex and RE2-style engines alike — the
   * property that lets an external SQL oracle replay the whole ladder.
+  * The tracking-param strip is NOT a regexp: it splits the query on `&`
+  * and drops params by `utm_` PREFIX (a higher-order filter — DuckDB's
+  * `list_filter` + `starts_with` replays it), because a regexp over the
+  * joined string either misses consecutive utm params or mangles params
+  * that merely CONTAIN the substring `utm_`.
   */
 object UrlCanon {
 
@@ -37,12 +42,18 @@ object UrlCanon {
       .otherwise(host0)
     val host = regexp_replace(host1, "^www\\.", "")
     val rest0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)", 1)
-    // drop utm_* params in two capture-free passes so the separators stay
-    // consistent: first a utm followed by another param (keeps that param's
-    // '?'/'&' intact), then a trailing/only utm with its own separator
-    val rest1 = regexp_replace(rest0, "utm_[^&#]*&", "")
-    val rest2 = regexp_replace(rest1, "[?&]utm_[^&#]*", "")
-    val rest = rtrim(regexp_replace(rest2, "\\?$", ""), "/")
+    // drop utm_* params by PREFIX over the split param list (a Catalyst
+    // higher-order filter, not regex surgery on the joined string) — so
+    // 'utm_' INSIDE another param's name or value is never touched, and
+    // any run of consecutive utm params collapses in one pass
+    val qAt = instr(rest0, "?")
+    val path = when(qAt > 0, rest0.substr(lit(1), qAt - 1)).otherwise(rest0)
+    val rawq = rest0.substr(qAt + 1, length(rest0))
+    val kept = array_join(
+      filter(split(rawq, "&"), p => not(p.startsWith("utm_"))), "&")
+    val rest = rtrim(
+      when(qAt > 0 && kept =!= "", concat(path, lit("?"), kept))
+        .otherwise(path), "/")
     concat(scheme, lit("://"), host, rest)
   }
 

@@ -59,7 +59,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("https://example.org/a?utm_a=1&b=2", "https://example.org/a?b=2"),
       ("https://example.org/a?b=2&utm_a=1", "https://example.org/a?b=2"),
       ("https://example.org/a?utm_a=1&utm_b=2", "https://example.org/a"),
-      ("https://example.org/a?b=2&utm_a=1&c=3", "https://example.org/a?b=2&c=3"))
+      ("https://example.org/a?b=2&utm_a=1&c=3", "https://example.org/a?b=2&c=3"),
+      // 'utm_' as a VALUE or non-prefix substring must survive untouched
+      ("https://example.org/a?b=utm_x&c=2", "https://example.org/a?b=utm_x&c=2"),
+      ("https://example.org/a?xutm_a=1&b=2", "https://example.org/a?xutm_a=1&b=2"),
+      // consecutive utm params followed by a kept one
+      ("https://example.org/a?utm_a=1&utm_b=2&c=3", "https://example.org/a?c=3"))
     val got = cases.map(_._1).toDF("url")
       .select(UrlCanon.canonicalize(col("url")).as("c"))
       .collect().map(_.getString(0))
