@@ -145,6 +145,12 @@ object SparkEntry {
     * deterministic, like q68's synthesized URLs. */
   private val CrawlEpochBase = 1700000000L
 
+  /** q86's walk shape: 2 walks per node × 4 hops — enough that every
+    * node contributes multiple contexts while the oracle unroll stays
+    * 4 CTE rounds. */
+  private val WalksPerNode = 2
+  private val WalkSteps = 4
+
   /** q73/q75's canonical-edge derivation (the q53/q60 parts co-occurrence
     * graph) as SQL — shared by the static and round-adaptive oracles. */
   private val KCoreEdgesSql =
@@ -1014,6 +1020,21 @@ object SparkEntry {
       val did = regexp_extract(col("obj"), "^doc://(\\d+)$", 1).cast("long")
       graft.kg.TriplePatterns.temporalScope(
         kgTriples(s, dir).withColumn("ts_s", lit(CrawlEpochBase) + did * 3600L))
+    }),
+    // DeepWalk/node2vec walk-corpus prep over the parts co-occurrence
+    // graph: every step's "random" neighbor choice is md5(walk_id|step)
+    // mod degree over the sorted neighbor list — deterministic and
+    // oracle-replayable (see kg.RandomWalks)
+    "q86_random_walks" -> ((s, dir) =>
+      graft.kg.RandomWalks.walks(s, partsCooccurEdges(s, dir),
+        WalksPerNode, WalkSteps)),
+    // entity vectors by context pooling: mean document embedding over
+    // the pages an entity is grounded in, cell-shaped (entity, j, v)
+    "q87_entity_embeddings" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      graft.kg.RelationMining.contextEmbeddings(
+        linked, t(s, dir, "embeddings"))
     }),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
@@ -1955,6 +1976,17 @@ object SparkEntry {
          | SELECT subj, pred, count(*) AS n_obs, min(ts_s) AS first_seen_s,
          |  max(ts_s) AS last_seen_s, max(ts_s) - min(ts_s) AS span_s
          | FROM w GROUP BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "q86_random_walks" ->
+      graft.kg.RandomWalks.oracleSql(KCoreEdgesSql, WalksPerNode, WalkSteps),
+    "q87_entity_embeddings" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | ent AS (SELECT DISTINCT d.doc_id, entity_id FROM documents d
+         |   CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | x AS (SELECT entity_id, g.j - 1 AS j, e.embedding[g.j]::double AS v
+         |  FROM ent JOIN embeddings e ON e.vec_id = ent.doc_id
+         |  CROSS JOIN generate_series(1, 64) g(j))
+         | SELECT entity_id, j::int AS j, round(avg(v), 4) AS v
+         | FROM x GROUP BY 1, 2""".stripMargin.replaceAll("\n", " "),
     // SimHash replay: md5_number_lower == the engine's md5Hash64 (lower 8
     // MD5 bytes, little-endian); fingerprint compared as a 64-char bit
     // string, MSB first

@@ -23,4 +23,11 @@ object Buckets {
   def md5Bucket(key: Column, mod: Int): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") % mod
+
+  /** Column-modulus variant for row-dependent fan choices (e.g. picking
+    * a neighbor index mod the node's degree). Same formula, same oracle
+    * replay; the mod column must be positive. */
+  def md5Bucket(key: Column, mod: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % mod
 }

@@ -1,0 +1,91 @@
+package graft.kg
+
+import graft.core.Buckets
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic random-walk corpus generation — the DeepWalk/node2vec
+  * preprocessing step (Perozzi et al. '14): emit fixed-length walks from
+  * every node; the walk corpus then trains skip-gram entity embeddings
+  * exactly like a text corpus trains word vectors.
+  *
+  * Production walk generation must be DETERMINISTIC (re-running the prep
+  * job must regenerate the identical corpus or embedding training is
+  * unreproducible — the same requirement as [[Negatives]]): the "random"
+  * neighbor choice at step s of walk w is
+  * `md5(walk_id|s) mod deg(cur)` over the node's ascending-sorted
+  * neighbor list — the shared [[Buckets]] primitive, so an external SQL
+  * oracle replays every choice. (The mod is pseudo-uniform with the
+  * usual ≤1-part-in-2³² modulo bias — irrelevant for corpus generation.)
+  *
+  * Scale shape: the neighbor INDEX relation is built once — a
+  * `row_number` window partitioned by node (one graph-sized shuffle) —
+  * and each of the fixed `steps` rounds is two joins of the walk
+  * frontier (|V|·walksPerNode rows, tiny next to the edge list) against
+  * the persisted degree/index relations; AQE broadcast-plans the
+  * frontier side when it measures small. Plan depth is 2·steps joins —
+  * bounded by construction, no checkpoint needed (same argument as the
+  * fixed-k [[Bfs]] loop).
+  */
+object RandomWalks {
+
+  /** `(walk_id, path)` — `walksPerNode` walks of `steps` hops from every
+    * node; `path` is the `->`-joined node sequence (steps+1 nodes),
+    * `walk_id = node · walksPerNode + replica`.
+    *
+    * @param canonical [[Triangles.canonicalEdges]] shape (u<v, distinct)
+    */
+  def walks(spark: SparkSession, canonical: DataFrame, walksPerNode: Int,
+      steps: Int): DataFrame = {
+    require(walksPerNode >= 1 && steps >= 1,
+      s"need walksPerNode/steps >= 1, got $walksPerNode/$steps")
+    val und = canonical.select(col("u").as("w"), col("v").as("n"))
+      .union(canonical.select(col("v").as("w"), col("u").as("n")))
+    val deg = und.groupBy("w").agg(count(lit(1)).as("d")).persist()
+    val nbr = und.withColumn("idx",
+        row_number().over(Window.partitionBy("w").orderBy("n")) - 1)
+      .select(col("w").as("nw"), col("idx").as("nidx"), col("n").as("nxt"))
+      .persist()
+
+    var frontier = deg
+      .select(col("w").as("cur"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("r"))
+      .select((col("cur") * walksPerNode + col("r")).as("walk_id"),
+        col("cur"), col("cur").cast("string").as("path"))
+    for (step <- 1 to steps) {
+      val choice = frontier.join(deg, frontier("cur") === deg("w"))
+        .withColumn("idx",
+          Buckets.md5Bucket(concat_ws("|", col("walk_id"), lit(step)), col("d")))
+      frontier = choice
+        .join(nbr, choice("cur") === nbr("nw") && choice("idx") === nbr("nidx"))
+        .select(col("walk_id"), col("nxt").as("cur"),
+          concat(col("path"), lit("->"), col("nxt").cast("string")).as("path"))
+    }
+    frontier.select(col("walk_id"), col("path"))
+  }
+
+  /** DuckDB oracle: the identical walk unrolled `steps` times over the
+    * caller-supplied canonical-edge CTE body (columns u, v). */
+  def oracleSql(edgesSql: String, walksPerNode: Int, steps: Int): String = {
+    val rounds = (1 to steps).map { s =>
+      val prev = s"w${s - 1}"
+      s"""w$s AS (SELECT walk_id, nbr.n AS cur, path || '->' || nbr.n AS path
+         | FROM $prev JOIN deg ON deg.w = $prev.cur
+         | JOIN nbr ON nbr.w = $prev.cur AND nbr.idx =
+         |   (('0x' || substr(md5(walk_id || '|' || $s), 1, 8))::BIGINT % deg.d))"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(", ")
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       | und AS MATERIALIZED (SELECT u AS w, v AS n FROM edges
+       |   UNION ALL SELECT v AS w, u AS n FROM edges),
+       | deg AS MATERIALIZED (SELECT w, count(*) AS d FROM und GROUP BY w),
+       | nbr AS MATERIALIZED (SELECT w, n,
+       |   row_number() OVER (PARTITION BY w ORDER BY n) - 1 AS idx FROM und),
+       | w0 AS (SELECT dw.w * $walksPerNode + g.j AS walk_id, dw.w AS cur,
+       |   dw.w::varchar AS path
+       |  FROM deg dw CROSS JOIN generate_series(0, ${walksPerNode - 1}) g(j)),
+       | $rounds
+       | SELECT walk_id, path FROM w$steps""".stripMargin.replaceAll("\n", " ")
+  }
+}

@@ -82,4 +82,32 @@ object RelationMining {
         round(col("n_mentions") / col("n_tokens") +
           (lit(1.0) - col("first_pos") / col("n_chars")), 4).as("salience"))
   }
+
+  /** Entity representations by context pooling: the mean of the
+    * document embeddings an entity is grounded in — the zero-training
+    * entity vector KG builders bootstrap ANN search and blocking with
+    * (the bag-of-contexts baseline every embedding paper compares to).
+    * Output is cell-shaped `(entity_id, j, v)` so an external oracle
+    * compares scalars, not list cells.
+    *
+    * Scale shape: one doc-keyed join (mention side distinct-ed first, so
+    * the embedding row fans out once per entity, not per mention), a
+    * ×dim posexplode, and a (entity, j) aggregate — partial aggregation
+    * spreads a head entity across its dim cells, and the result relation
+    * is vocabulary×dim, never corpus-sized.
+    *
+    * @param linked     `(doc_id, entity_id, …)` mention-link rows
+    * @param embeddings `(vec_id, embedding ARRAY<FLOAT>)` rows, vec_id
+    *                   keyed like doc_id
+    */
+  def contextEmbeddings(linked: DataFrame, embeddings: DataFrame): DataFrame = {
+    val ent = linked.select(col("doc_id"), col("entity_id")).distinct()
+    ent
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .select(col("entity_id"),
+        posexplode(col("embedding")).as(Seq("j", "v")))
+      .groupBy("entity_id", "j")
+      .agg(round(avg(col("v")), 4).as("v"))
+  }
 }

@@ -395,6 +395,51 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(("s2", "q")) == ((1L, 50L, 50L, 0L)))
   }
 
+  test("random walks: md5 choices replayed by a driver-side simulation") {
+    import spark.implicits._
+    import graft.kg.RandomWalks
+    // triangle 1-2-3 plus a pendant 4 hanging off 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = RandomWalks.walks(spark, edges, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // brute-force the same deterministic process
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(3L))
+    def h(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = (for (node <- adj.keys; r <- 0 to 1) yield {
+      val id = node * 2 + r
+      var cur = node
+      val path = new StringBuilder(cur.toString)
+      for (s <- 1 to 3) {
+        cur = adj(cur)((h(s"$id|$s") % adj(cur).size).toInt)
+        path.append("->").append(cur)
+      }
+      id -> path.toString
+    }).toMap
+    assert(got == want)
+    // determinism: a second run is byte-identical
+    val again = RandomWalks.walks(spark, edges, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(again == got)
+  }
+
+  test("contextEmbeddings pools the mean vector per entity, cell-shaped") {
+    import spark.implicits._
+    import graft.kg.RelationMining
+    val linked = Seq((0L, "eA"), (1L, "eA"), (0L, "eA"), (1L, "eB"))
+      .toDF("doc_id", "entity_id") // dup mention must not re-weight doc 0
+    val emb = Seq((0L, Array(1.0f, 3.0f)), (1L, Array(2.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = RelationMining.contextEmbeddings(linked, emb).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got == Map(("eA", 0) -> 1.5, ("eA", 1) -> 4.0,
+      ("eB", 0) -> 2.0, ("eB", 1) -> 5.0))
+  }
+
   test("snapshotDiff labels kept/added/removed exactly") {
     import spark.implicits._
     import graft.kg.TriplePatterns
