@@ -98,12 +98,33 @@ object SparkEntry {
     * (k=90 empties it; k=70 barely peels). */
   private val KCoreK = 80
 
-  /** q75's wedge-center degree cap and support threshold. The sf0.01 parts
-    * graph (2000 nodes, degrees 42–206) is dense; cap 150 keeps every
-    * wedge buffer bounded while admitting ~80% of centers, and support 16
-    * keeps the proposal list at ~4.5k pairs (max observed overlap is 27). */
-  private val LinkPredHubCap = 150L
+  /** q75's wedge-center cap percentile and support threshold. The cap is
+    * DATA-RELATIVE (the p75 exact degree percentile, measured per sf dir
+    * and memoized like q73's peel depth): a fixed constant is tuned to one
+    * graph density and at another scale factor either admits every hub or
+    * excludes everything — "skip the densest quartile of centers" holds at
+    * any density. The static-oracle fallback keeps the former constant
+    * 150 (≈ the sf0.01 p75); [[oracleSqlFor]] inlines the measured cap.
+    * Support 16 keeps the sf0.01 proposal list at ~4.5k pairs. */
+  private val LinkPredHubPct = 0.75
+  private val LinkPredHubCapStatic = 150L
   private val LinkPredMinCommon = 16L
+
+  /** q75's engine-measured degree-percentile cap per sf dir ([[KCoreRoundsMemo]]'s
+    * pattern): recorded when the query runs so the oracle replays the same
+    * bound without re-measuring. */
+  private val LinkPredCapMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** q89's fixed synchronous label-propagation round count: 3 rounds on
+    * the dense sf parts graph reaches label agreement on the giant
+    * community while the oracle unroll stays 3 CTE rounds. */
+  private val LabelPropRounds = 3
+
+  /** q92's personalized-PageRank iteration count — 5 rounds spreads seed
+    * mass past the 3-hop BFS horizon (q60) while the oracle unroll stays
+    * linear-size. */
+  private val PprIters = 5
 
   /** q76's inactivity gap (8h): the sf event stream's median inter-event
     * gap is ~7.3h, so this splits users into a real mix of session sizes
@@ -916,10 +937,16 @@ object SparkEntry {
     // q53/q60/q73): wedge-enumerated common-neighbor / Jaccard /
     // Adamic-Adar scores for ABSENT pairs — the relation-inference step
     // that proposes new KG edges (see kg.LinkPredict for the hub-cap
-    // scale argument)
-    "q75_link_predict" -> ((s, dir) =>
-      graft.kg.LinkPredict.candidates(partsCooccurEdges(s, dir),
-        LinkPredHubCap, LinkPredMinCommon)),
+    // scale argument). The cap is the MEASURED p75 degree percentile
+    // (memoized; the oracle inlines the same value) — data-relative, so
+    // the wedge bound tracks the graph's density instead of a constant
+    // tuned to one scale factor.
+    "q75_link_predict" -> ((s, dir) => {
+      val canon = partsCooccurEdges(s, dir)
+      val cap = LinkPredCapMemo.getOrElseUpdate(dir,
+        graft.kg.LinkPredict.measuredHubCap(canon, LinkPredHubPct))
+      graft.kg.LinkPredict.candidates(canon, cap, LinkPredMinCommon)
+    }),
     // gap-based sessionization of the event log (the batch analog of
     // session_window): one user-keyed shuffle, both window passes share
     // the exchange; 8h gap splits the sf event stream into a real mix of
@@ -1036,6 +1063,89 @@ object SparkEntry {
       graft.kg.RelationMining.contextEmbeddings(
         linked, t(s, dir, "embeddings"))
     }),
+    // local clustering coefficient per vertex (q53's degree-oriented
+    // triangle machinery + one narrow corner-charge explode): the
+    // per-entity "how clique-like is this neighborhood" signal — hubs
+    // score low, single-topic entities high (see kg.ClusteringCoeff)
+    "q88_clustering_coeff" -> ((s, dir) =>
+      graft.kg.ClusteringCoeff.run(s, partsCooccurEdges(s, dir))),
+    // deterministic synchronous label propagation (3 rounds, min-label
+    // tie-break): community detection between CC (too coarse) and
+    // modularity methods (too expensive) — see kg.LabelProp for why the
+    // async textbook variant is unreplayable and wrong for this engine
+    "q89_label_prop" -> ((s, dir) =>
+      graft.kg.LabelProp.run(s, partsCooccurEdges(s, dir), LabelPropRounds)),
+    // bigram-LM quality score with add-1 smoothing (the order-2 CCNet
+    // filter): catches shuffled/stitched text that unigram frequencies
+    // (q66) score as fluent; bigrams built narrow via arrays_zip of
+    // shifted slices — no self-join, no per-token window
+    "q90_bigram_logprob" -> ((s, dir) =>
+      graft.quality.LmScore.bigramLogProb(t(s, dir, "documents"))),
+    // Heaps'-law vocabulary-growth curve + fitted exponent: cumulative
+    // tokens/types per doc via the distributed prefix sum (q67's layout —
+    // never a single-task global window); each token type charges its
+    // FIRST doc so "cumulative distinct" is one aggregate, not a
+    // quadratic per-prefix distinct (see quality.VocabGrowth)
+    "q91_heaps_law" -> ((s, dir) =>
+      graft.quality.VocabGrowth.heapsCurve(s, t(s, dir, "documents"))),
+    // personalized PageRank from the graph's min node over the parts
+    // co-occurrence graph (seed-teleport variant of q41): random-walk
+    // proximity to a seed entity — the related-entity panel / ER-block
+    // expansion score (see kg.PageRank.personalized)
+    "q92_personalized_pagerank" -> ((s, dir) => {
+      val canon = partsCooccurEdges(s, dir)
+      val und = canon.select(col("u").as("src"), col("v").as("dst"))
+        .union(canon.select(col("v").as("src"), col("u").as("dst")))
+      graft.kg.PageRank.personalized(s, und,
+        canon.agg(min(col("u")).as("node")), PprIters)
+    }),
+    // VoID-style predicate cardinality profile of the extracted KG:
+    // triple count, distinct subjects/objects, mean out-fanout per
+    // predicate — the dataset-statistics block published KGs ship and
+    // the join-ordering input for BGP queries (see kg.Ontology)
+    "q93_pred_cardinality" -> ((s, dir) =>
+      graft.kg.Ontology.predicateProfile(kgTriples(s, dir))),
+    // degree assortativity of the parts co-occurrence graph: the one-
+    // number mixing diagnostic (hubs-link-hubs vs hubs-link-leaves) that
+    // tells a graph workload whether its hot keys collide (see
+    // kg.Assortativity for the skew-strategy link)
+    "q94_assortativity" -> ((s, dir) =>
+      graft.kg.Assortativity.run(partsCooccurEdges(s, dir))),
+    // CCNet-style perplexity bucketing: unigram scores (q66) cut at exact
+    // decile boundaries (ONE single-group percentile aggregate — never a
+    // global ntile window), bucket rollup with score ranges
+    "q95_perplexity_buckets" -> ((s, dir) =>
+      graft.quality.LmScore.perplexityBuckets(t(s, dir, "documents"))),
+    // community quality rollup composing q89: per-label member count,
+    // internal edge count, and density — the assignment+quality pair
+    // that makes label propagation a deliverable, not a column
+    "q96_community_rollup" -> ((s, dir) => {
+      val canon = partsCooccurEdges(s, dir)
+      graft.kg.LabelProp.communityRollup(
+        graft.kg.LabelProp.run(s, canon, LabelPropRounds), canon)
+    }),
+    // incremental connected components (the continuous-crawl delta shape):
+    // land 80% of the edges, label them, then fold the remaining 20% in
+    // as a delta against the stored labeling — the result must equal a
+    // full recompute (the oracle replays the FULL graph), which is the
+    // invariant that makes the incremental path trustworthy (see
+    // kg.ConnectedComponents.incremental for the star-compression
+    // convergence argument)
+    "q97_incremental_cc" -> ((s, dir) => {
+      val canon = partsCooccurEdges(s, dir)
+      val old = canon.filter((col("u") + col("v")) % 10 < 8)
+        .select(col("u").as("src"), col("v").as("dst"))
+      val delta = canon.filter((col("u") + col("v")) % 10 >= 8)
+        .select(col("u").as("src"), col("v").as("dst"))
+      graft.kg.ConnectedComponents.incremental(s,
+        graft.kg.ConnectedComponents.runStar(s, old), delta)
+    }),
+    // log2-binned degree histogram: the power-law diagnostic that decides
+    // whether a graph workload needs the q52/q08 salting machinery —
+    // integer-exact bit-length buckets, never float log2 (boundary
+    // degrees would bucket differently across engines)
+    "q98_degree_histogram" -> ((s, dir) =>
+      graft.kg.Assortativity.degreeHistogram(partsCooccurEdges(s, dir))),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -1094,6 +1204,50 @@ object SparkEntry {
   // [[oracleSql]] uses conservative defaults while [[oracleSqlFor]] derives
   // each bound from the actual table maxima (the gate then cannot weaken as
   // data grows: a doc longer than the bound raises the bound with it).
+
+  /** q75: wedge-enumeration replay with the given center cap; CTEs
+    * MATERIALIZED so DuckDB 1.0 doesn't exponentially inline the
+    * multiply-referenced edge/degree relations. */
+  private def linkPredSql(cap: Long): String =
+    s"""WITH edges AS MATERIALIZED ($KCoreEdgesSql),
+       | und AS MATERIALIZED (SELECT u AS w, v AS n FROM edges
+       |   UNION ALL SELECT v AS w, u AS n FROM edges),
+       | deg AS MATERIALIZED (SELECT w, count(*) AS d FROM und GROUP BY w),
+       | ctr AS (SELECT und.w, und.n, deg.d FROM und JOIN deg USING (w)
+       |         WHERE deg.d <= $cap),
+       | wedge AS (SELECT a.n AS e1, b.n AS e2, 1.0 / ln(a.d) AS aw
+       |           FROM ctr a JOIN ctr b ON a.w = b.w AND a.n < b.n),
+       | sc AS MATERIALIZED (SELECT e1, e2, count(*) AS n_common,
+       |         sum(aw) AS aa_raw
+       |       FROM wedge GROUP BY e1, e2
+       |       HAVING count(*) >= $LinkPredMinCommon),
+       | noedge AS (SELECT sc.* FROM sc LEFT JOIN edges
+       |            ON sc.e1 = edges.u AND sc.e2 = edges.v
+       |            WHERE edges.u IS NULL)
+       | SELECT e1, e2, n_common,
+       |  round(n_common / (d1.d + d2.d - n_common), 4) AS jaccard,
+       |  round(aa_raw, 4) AS score_aa
+       | FROM noedge JOIN deg d1 ON d1.w = noedge.e1
+       | JOIN deg d2 ON d2.w = noedge.e2""".stripMargin.replaceAll("\n", " ")
+
+  /** q90: add-1-smoothed bigram LM replay — the bigram stream comes from a
+    * fixed-bound position series (no lateral series in DuckDB 1.0), then
+    * the same corpus counts and per-doc average as the engine. */
+  private def bigramSql(bound: Long): String =
+    s"""WITH tl AS (SELECT doc_id,
+       |   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS l
+       |  FROM documents),
+       | big AS (SELECT doc_id, l[g.i] AS w1, l[g.i + 1] AS w2
+       |   FROM tl JOIN generate_series(1, $bound) g(i) ON g.i <= len(l) - 1),
+       | cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+       | cu AS (SELECT w1, count(*) AS cu FROM big GROUP BY 1),
+       | v AS (SELECT count(DISTINCT x) AS v
+       |       FROM (SELECT unnest(l) AS x FROM tl))
+       | SELECT b.doc_id, count(*) AS n_bigrams,
+       |  round(avg(ln((cb.cb + 1.0) / (cu.cu + v.v))), 4) AS avg_logprob
+       | FROM big b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+       | JOIN cu ON b.w1 = cu.w1 CROSS JOIN v
+       | GROUP BY b.doc_id""".stripMargin.replaceAll("\n", " ")
 
   /** q10/q26: dictionary span grounding via a substring position scan. */
   private def nerMentionsSql(posBound: Long): String =
@@ -1802,30 +1956,59 @@ object SparkEntry {
          |   + (('0x' || substr(md5(t.subj || '|' || t.pred || '|' || t.obj), 1, 8))::BIGINT
          |      % (v.n - 1)) + 1) % v.n""".stripMargin.replaceAll("\n", " "),
     // wedge-enumeration replay of q75: centers capped at the same hub
-    // degree, Adamic-Adar weight 1/ln(center degree), degrees for Jaccard
-    // from the FULL graph; CTEs MATERIALIZED so DuckDB 1.0 doesn't
-    // exponentially inline the multiply-referenced edge/degree relations
-    "q75_link_predict" ->
-      s"""WITH edges AS MATERIALIZED ($KCoreEdgesSql),
-         | und AS MATERIALIZED (SELECT u AS w, v AS n FROM edges
-         |   UNION ALL SELECT v AS w, u AS n FROM edges),
-         | deg AS MATERIALIZED (SELECT w, count(*) AS d FROM und GROUP BY w),
-         | ctr AS (SELECT und.w, und.n, deg.d FROM und JOIN deg USING (w)
-         |         WHERE deg.d <= $LinkPredHubCap),
-         | wedge AS (SELECT a.n AS e1, b.n AS e2, 1.0 / ln(a.d) AS aw
-         |           FROM ctr a JOIN ctr b ON a.w = b.w AND a.n < b.n),
-         | sc AS MATERIALIZED (SELECT e1, e2, count(*) AS n_common,
-         |         sum(aw) AS aa_raw
-         |       FROM wedge GROUP BY e1, e2
-         |       HAVING count(*) >= $LinkPredMinCommon),
-         | noedge AS (SELECT sc.* FROM sc LEFT JOIN edges
-         |            ON sc.e1 = edges.u AND sc.e2 = edges.v
-         |            WHERE edges.u IS NULL)
-         | SELECT e1, e2, n_common,
-         |  round(n_common / (d1.d + d2.d - n_common), 4) AS jaccard,
-         |  round(aa_raw, 4) AS score_aa
-         | FROM noedge JOIN deg d1 ON d1.w = noedge.e1
-         | JOIN deg d2 ON d2.w = noedge.e2""".stripMargin.replaceAll("\n", " "),
+    // degree (static fallback cap; oracleSqlFor inlines the measured p75),
+    // Adamic-Adar weight 1/ln(center degree), degrees for Jaccard from
+    // the FULL graph
+    "q75_link_predict" -> linkPredSql(LinkPredHubCapStatic),
+    // ascending-id triangle join (fine at oracle scale) + corner charge
+    "q88_clustering_coeff" ->
+      graft.kg.ClusteringCoeff.oracleSql(KCoreEdgesSql),
+    // the engine's synchronous rounds unrolled (PageRank's oracle pattern)
+    "q89_label_prop" ->
+      graft.kg.LabelProp.oracleSql(KCoreEdgesSql, LabelPropRounds),
+    // static token bound; oracleSqlFor derives it from the table maxima
+    "q90_bigram_logprob" -> bigramSql(4096),
+    "q91_heaps_law" -> graft.quality.VocabGrowth.oracleSql,
+    // seed-teleport PageRank unroll: both edge directions of the canonical
+    // list, seed = the graph's min node
+    "q92_personalized_pagerank" -> graft.kg.PageRank.personalizedOracleSql(
+      s"""WITH ed AS ($KCoreEdgesSql)
+         | SELECT u AS src, v AS dst FROM ed
+         | UNION ALL SELECT v AS src, u AS dst FROM ed"""
+        .stripMargin.replaceAll("\n", " "),
+      "SELECT min(src) AS node FROM edges", PprIters),
+    // VoID-profile replay over the q12 triple synthesis
+    "q93_pred_cardinality" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj
+         |  FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0)
+         | SELECT pred, count(*) AS n_triples,
+         |  count(DISTINCT subj) AS n_subj, count(DISTINCT obj) AS n_obj,
+         |  round(count(*) / count(DISTINCT subj), 4) AS avg_fanout
+         | FROM tr GROUP BY pred""".stripMargin.replaceAll("\n", " "),
+    "q94_assortativity" -> graft.kg.Assortativity.oracleSql(KCoreEdgesSql),
+    // static fallback (DuckDB-side quantile_cont); oracleSqlFor inlines
+    // the ENGINE-measured cutpoints — cross-engine percentile parity is
+    // not bit-exact (see LmScore.scoreCutpoints)
+    "q95_perplexity_buckets" -> graft.quality.LmScore.bucketsOracleSqlStatic(10),
+    "q96_community_rollup" ->
+      graft.kg.LabelProp.rollupOracleSql(KCoreEdgesSql, LabelPropRounds),
+    // FULL-graph CC replay (q13's reachability recursion): the incremental
+    // result must be indistinguishable from a batch recompute
+    "q97_incremental_cc" ->
+      s"""WITH RECURSIVE edges AS ($KCoreEdgesSql),
+         | sym AS (SELECT u AS src, v AS dst FROM edges
+         |   UNION SELECT v AS src, u AS dst FROM edges),
+         | cc(node, label) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.node)
+         | SELECT node, min(label) AS component FROM cc GROUP BY node"""
+        .stripMargin.replaceAll("\n", " "),
+    "q98_degree_histogram" ->
+      graft.kg.Assortativity.histogramOracleSql(KCoreEdgesSql),
     // gap-sessionization replay: same (sec, event_id) tie order as q45;
     // session_idx cast to BIGINT (DuckDB sums to HUGEINT)
     "q76_sessionize" ->
@@ -2113,7 +2296,19 @@ object SparkEntry {
           graft.kg.KCore.coreWithRounds(spark,
             partsCooccurEdges(spark, sfDir), KCoreK)._2)
         graft.kg.KCore.oracleSql(KCoreEdgesSql, KCoreK, rounds + 1)
-      })
+      },
+      // q75's cap is the engine-measured p75 degree percentile — reuse the
+      // query run's memo, or measure here if the oracle is generated first
+      "q75_link_predict" -> linkPredSql(
+        LinkPredCapMemo.getOrElseUpdate(sfDir,
+          graft.kg.LinkPredict.measuredHubCap(
+            partsCooccurEdges(spark, sfDir), LinkPredHubPct))),
+      "q90_bigram_logprob" -> bigramSql(maxToks + 1),
+      // q95's bucket cutpoints are the engine's own percentile output,
+      // inlined as literals — the q42 trained-centroids pattern
+      "q95_perplexity_buckets" -> graft.quality.LmScore.bucketsOracleSql(
+        graft.quality.LmScore.scoreCutpoints(
+          t(spark, sfDir, "documents"), 10)))
     val cent = graft.sim.Ivf.centroidsFor(
       spark, t(spark, sfDir, "embeddings"), 16, 5, 100000)
     oracleSql ++ derived + ("q42_ann_ivf" -> (

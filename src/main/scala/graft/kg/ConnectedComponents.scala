@@ -58,6 +58,29 @@ object ConnectedComponents {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** Incremental connected components — the continuous-crawl shape: fold a
+    * DELTA edge batch into an existing labeling without re-traversing the
+    * landed graph. The old labeling is replayed as star edges
+    * `(node → component)` and unioned with the delta; because every stored
+    * component id IS the min node of its old component, min-label
+    * propagation over the union yields exactly the labeling a full
+    * recompute over (old ∪ delta) would — the invariant the q97 oracle
+    * (full-graph recursive-CTE replay) and the OpsSpec equality case pin.
+    *
+    * Why this scales: the label edges are STARS (diameter ≤ 2 per old
+    * component), so propagation converges in O(diameter of the DELTA
+    * graph) rounds — the old graph's diameter is already compressed into
+    * the stars. A crawl that lands 0.1% new edges per day re-labels in a
+    * couple of rounds over |labels| + |delta| rows instead of re-running
+    * CC over the full edge set. Singleton nodes ride along as self-stars
+    * (`node → node`) and survive to the output. */
+  def incremental(spark: SparkSession, oldLabels: DataFrame,
+      deltaEdges: DataFrame, maxIter: Int = 25): DataFrame =
+    run(spark,
+      deltaEdges.select(col("src"), col("dst"))
+        .union(oldLabels.select(col("node").as("src"), col("component").as("dst"))),
+      maxIter)
+
   /** Alternating large-star / small-star connected components (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14): each
     * round rewires every node toward its neighborhood minimum —

@@ -28,6 +28,25 @@ import org.apache.spark.sql.functions._
   */
 object LinkPredict {
 
+  /** Data-relative wedge-center cap: the `pct` exact degree percentile of
+    * the graph, floored to a long (≥ 2 so a center can still have a
+    * wedge). A fixed cap constant is tuned to ONE graph density — at a
+    * different scale factor it either admits every hub (cap above the
+    * degree ceiling: the quadratic blow-up returns) or excludes everything.
+    * The percentile form is the production knob: "skip the densest
+    * (1−pct) of centers" holds at any density, and it is exactly what the
+    * q52 heavy-hitter profiler reports. Cost: one degree aggregate + a
+    * single-group percentile — vocabulary-sized, run once and memoized by
+    * the caller (the oracle inlines the measured value, like q73's
+    * measured peel depth). */
+  def measuredHubCap(canonical: DataFrame, pct: Double = 0.75): Long = {
+    val und = canonical.select(col("u").as("w"))
+      .union(canonical.select(col("v").as("w")))
+    val d = und.groupBy("w").agg(count(lit(1)).as("d"))
+      .agg(coalesce(expr(s"percentile(d, $pct)"), lit(2.0))).head().getDouble(0)
+    math.max(2L, d.toLong)
+  }
+
   /** Scored non-adjacent candidate pairs
     * `(e1, e2, n_common, jaccard, score_aa)` with `e1 < e2`, keeping pairs
     * with ≥ `minCommon` shared neighbors. (The Adamic-Adar column is named

@@ -38,6 +38,30 @@ object Ontology {
         max(col("obj")).as("obj_max"))
       .filter(col("n_obj") >= 2)
 
+  /** VoID-style predicate cardinality profile — the dataset-statistics
+    * block (`void:properties`, `void:distinctSubjects`/`Objects`,
+    * W3C VoID vocabulary) every published KG ships, and the planner input
+    * for the BGP join-ordering the engine's q81-style pattern queries
+    * rely on: per predicate, the triple count, distinct subject/object
+    * counts, and the mean out-multiplicity `n_triples / n_subj` (a
+    * functionality score: 1.0 means the predicate behaves functionally
+    * in the data regardless of declaration — the discovery complement of
+    * [[functionalViolations]]'s declared audit).
+    *
+    * Scale shape: one aggregation keyed by pred with two distinct
+    * measures — Catalyst plans the multi-distinct as an Expand (3 rows
+    * per input) + two-phase aggregate, all map-side-combinable; output is
+    * predicate-vocabulary-sized. */
+  def predicateProfile(triples: DataFrame): DataFrame =
+    triples
+      .groupBy(col("pred"))
+      .agg(
+        count(lit(1)).as("n_triples"),
+        count_distinct(col("subj")).as("n_subj"),
+        count_distinct(col("obj")).as("n_obj"))
+      .withColumn("avg_fanout",
+        round(col("n_triples") / col("n_subj"), 4))
+
   /** Strict transitive closure of a declared `subClassOf` edge set,
     * computed on the DRIVER. This is deliberate, not a shortcut: an
     * ontology is pipeline METADATA like the prompt templates and the

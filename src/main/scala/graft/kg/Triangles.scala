@@ -56,20 +56,18 @@ object Triangles {
     * callers counting many distinct graphs in one long session should
     * `spark.catalog.clearCache()` between corpora. */
   def count(spark: SparkSession, canonical: DataFrame,
-      maxBroadcastEdges: Long = 5000000L): DataFrame = {
-    val deg = canonical.select(col("u").as("n"))
-      .union(canonical.select(col("v").as("n")))
-      .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+      maxBroadcastEdges: Long = 5000000L): DataFrame =
+    closedTriangles(canonical, maxBroadcastEdges)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
 
+  /** Degree-oriented edge list `(a, b)` shared by [[count]] and
+    * [[ClusteringCoeff]]. Persisted — see the multiply-referenced-subplan
+    * note in [[closedTriangles]]; CacheManager keys by canonicalized plan,
+    * so q53's and q88's invocations over the same graph share ONE copy. */
+  private[kg] def orientedOf(canonical: DataFrame): DataFrame = {
+    val deg = degreesOf(canonical)
     // orient from lower (degree, id) to higher — total order, ties by id.
-    // The oriented list is referenced THREE times below (e1/e2/e3) under
-    // three different join keys, so no exchange can be reused across the
-    // references — persist it once or the whole edge-derivation subtree
-    // (dedup + degree joins) recomputes per reference (the same
-    // multiply-referenced-subplan rule PageRank's loop invariants follow).
-    // CacheManager keys by canonicalized plan, so repeated invocations of
-    // the same query share one copy rather than accumulating.
-    val oriented = canonical
+    canonical
       .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
       .select(
@@ -78,7 +76,27 @@ object Triangles {
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
+  /** Undirected degrees `(n, d)` of a canonical (u<v, distinct) list. */
+  private[kg] def degreesOf(canonical: DataFrame): DataFrame =
+    canonical.select(col("u").as("n"))
+      .union(canonical.select(col("v").as("n")))
+      .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+
+  /** The closed-triangle stream `(a, b, c)` — one row per triangle, each
+    * triangle exactly once (a precedes b precedes c in (degree, id)
+    * order).
+    *
+    * The oriented list is referenced THREE times (e1/e2/e3) under three
+    * different join keys, so no exchange can be reused across the
+    * references — [[orientedOf]] persists it once or the whole
+    * edge-derivation subtree (dedup + degree joins) recomputes per
+    * reference (the same multiply-referenced-subplan rule PageRank's loop
+    * invariants follow). */
+  private[kg] def closedTriangles(canonical: DataFrame,
+      maxBroadcastEdges: Long): DataFrame = {
+    val oriented = orientedOf(canonical)
     val nEdges = oriented.count() // materializes the cache; decides the plan
     val e1 = oriented
     val e2 = oriented.select(col("a").as("b"), col("b").as("c"))
@@ -86,6 +104,6 @@ object Triangles {
     val e3 = if (nEdges <= maxBroadcastEdges) broadcast(e3raw) else e3raw
     e1.join(e2, "b")
       .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
+      .select(col("a"), col("b"), col("c"))
   }
 }

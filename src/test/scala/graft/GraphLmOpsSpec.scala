@@ -1,0 +1,176 @@
+package graft
+
+import graft.kg.{ClusteringCoeff, LabelProp, LinkPredict, PageRank}
+import graft.quality.{LmScore, VocabGrowth}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture coverage for the round-5 graph/LM additions: local
+  * clustering coefficient, synchronous label propagation, bigram-LM
+  * scoring, the Heaps-law vocabulary curve, personalized PageRank, and
+  * the data-relative link-prediction hub cap. */
+class GraphLmOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-graphlm-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("u", "v")
+  }
+
+  test("clustering coefficient: triangle with a pendant") {
+    // K3 {1,2,3} plus pendant 4 hanging off 3
+    val got = ClusteringCoeff.run(spark, edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.3333))) // 2·1/(3·2)
+    assert(got(4L) == ((1L, 0L, 0.0))) // degree-1: no wedge possible
+  }
+
+  test("label propagation: cliques converge to their min label") {
+    // two disjoint K3s — each converges to its own min label in 2 rounds
+    val two = LabelProp.run(spark,
+      edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 7L -> 8L, 7L -> 9L, 8L -> 9L), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // round 1 of K3 is the documented tie case: node 1 sees {2,3} (one
+    // vote each) and takes the SMALLER label 2 — synchronous semantics
+    val r1 = LabelProp.run(spark, edges(1L -> 2L, 1L -> 3L, 2L -> 3L), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bigram log-prob matches the hand-computed add-1 model") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = LmScore.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: cb(a,b)=1 cb(b,a)=2; cu(a)=1 cu(b)=2; V=3
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((2L,
+      r4((math.log(2.0 / 4) + math.log(3.0 / 5)) / 2))))
+    assert(got(2L) == ((1L, r4(math.log(3.0 / 5)))))
+    assert(!got.contains(3L)) // single-token doc has no bigram
+    assert(got.size == 2)
+  }
+
+  test("heaps curve: cumulative counts and the fitted slope") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "b c b"), (2L, "a"), (3L, " "))
+      .toDF("doc_id", "text")
+    val rows = VocabGrowth.heapsCurve(spark, docs, nBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 2L, 2L), (1L, 5L, 3L), (2L, 6L, 3L), (3L, 6L, 3L)))
+    // expected beta: closed-form least squares over the ln-ln points of
+    // the token-bearing prefix rows (cum_tokens > 0 keeps all four here)
+    val pts = rows.map(t => (math.log(t._2.toDouble), math.log(t._3.toDouble)))
+    val n = pts.length
+    val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+    val beta = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+      pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val want = BigDecimal(beta).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.forall(_._4 == want))
+  }
+
+  test("personalized PageRank concentrates teleport mass on the seed") {
+    import spark.implicits._
+    val e = Seq(("1", "2"), ("2", "1")).toDF("src", "dst")
+    val got = PageRank.personalized(spark, e, Seq("1").toDF("node"), 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // r0 = (1, 0); one round: r(1) = 0.15·1 + 0.85·0, r(2) = 0 + 0.85·1
+    assert(got == Map("1" -> 0.15, "2" -> 0.85))
+    // two seeds split the teleport mass
+    val both = PageRank.personalized(spark, e, Seq("1", "2").toDF("node"), 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(both == Map("1" -> 0.5, "2" -> 0.5)) // symmetric fixpoint
+  }
+
+  test("predicate profile counts triples, distincts, and fanout") {
+    import spark.implicits._
+    val tr = Seq(("s1", "p", "o1"), ("s1", "p", "o2"), ("s2", "p", "o1"),
+      ("s1", "q", "o3")).toDF("subj", "pred", "obj")
+    val got = kg.Ontology.predicateProfile(tr).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("p") == ((3L, 2L, 2L, 1.5)))
+    assert(got("q") == ((1L, 1L, 1L, 1.0)))
+  }
+
+  test("assortativity: a star is perfectly disassortative") {
+    // K1,3: every edge joins the degree-3 hub to a degree-1 leaf → r = −1
+    val row = kg.Assortativity.run(edges(1L -> 2L, 1L -> 3L, 1L -> 4L)).head()
+    assert(row.getLong(0) == 3L)
+    assert(row.getDouble(1) == -1.0)
+  }
+
+  test("perplexity buckets partition the corpus with ordered ranges") {
+    import spark.implicits._
+    // four distinct score levels: rarer tokens ⇒ lower mean logprob
+    val docs = Seq((1L, "a a a a"), (2L, "a a b b"), (3L, "b c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val rows = LmScore.perplexityBuckets(docs, 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).sum == 4L) // every doc lands in exactly one bucket
+    assert(rows.map(_._1).toSeq == Seq(0, 1))
+    // ranges are disjoint and ordered: everything in bucket 0 scores below
+    // everything in bucket 1
+    assert(rows(0)._4 < rows(1)._3)
+  }
+
+  test("community rollup reports size, internal edges, and density") {
+    val canon = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 7L -> 8L, 7L -> 9L, 8L -> 9L)
+    val got = LabelProp.communityRollup(LabelProp.run(spark, canon, 2), canon)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(1L -> ((3L, 3L, 1.0)), 7L -> ((3L, 3L, 1.0))))
+  }
+
+  test("incremental CC equals a full recompute after a merging delta") {
+    import spark.implicits._
+    val old = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val oldLabels = kg.ConnectedComponents.runStar(spark, old)
+    assert(oldLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // delta bridges the two components AND lands a brand-new pair
+    val delta = Seq((2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val inc = kg.ConnectedComponents.incremental(spark, oldLabels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+    // the invariant: indistinguishable from batch CC over old ∪ delta
+    val full = kg.ConnectedComponents.run(spark, old.union(delta))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+  }
+
+  test("degree histogram buckets by exact bit length") {
+    // K1,3: hub degree 3 → bucket 1; three leaves degree 1 → bucket 0
+    val got = kg.Assortativity.degreeHistogram(edges(1L -> 2L, 1L -> 3L, 1L -> 4L))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(0 -> ((3L, 1L, 1L)), 1 -> ((1L, 3L, 3L))))
+  }
+
+  test("measured hub cap is the p75 degree percentile, floored at 2") {
+    // path 1-2-3-4: degrees {1,2,2,1}; exact p75 over [1,1,2,2] = 2
+    assert(LinkPredict.measuredHubCap(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 4L)) == 2L)
+    // single edge: degrees {1,1} → percentile 1 → floored to 2
+    assert(LinkPredict.measuredHubCap(edges(1L -> 2L)) == 2L)
+  }
+}
