@@ -116,6 +116,13 @@ object SparkEntry {
   private val LinkPredCapMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** q95's engine-measured decile cutpoints per sf dir — shared by the
+    * query lambda and [[oracleSqlFor]] so both sides bin with the SAME
+    * measured values (two independent measurements could differ in the
+    * last bit and flip a boundary doc). */
+  private val PerplexityCutsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+
   /** q89's fixed synchronous label-propagation round count: 3 rounds on
     * the dense sf parts graph reaches label agreement on the giant
     * community while the oracle unroll stays 3 CTE rounds. */
@@ -1113,9 +1120,13 @@ object SparkEntry {
       graft.kg.Assortativity.run(partsCooccurEdges(s, dir))),
     // CCNet-style perplexity bucketing: unigram scores (q66) cut at exact
     // decile boundaries (ONE single-group percentile aggregate — never a
-    // global ntile window), bucket rollup with score ranges
+    // global ntile window), bucket rollup with score ranges. Cutpoints
+    // are measured once and MEMOIZED so the oracle bins with the same
+    // values the query did (the q73/q75 memo pattern)
     "q95_perplexity_buckets" -> ((s, dir) =>
-      graft.quality.LmScore.perplexityBuckets(t(s, dir, "documents"))),
+      graft.quality.LmScore.bucketsAt(t(s, dir, "documents"),
+        PerplexityCutsMemo.getOrElseUpdate(dir,
+          graft.quality.LmScore.scoreCutpoints(t(s, dir, "documents"), 10)))),
     // community quality rollup composing q89: per-label member count,
     // internal edge count, and density — the assignment+quality pair
     // that makes label propagation a deliverable, not a column
@@ -1837,16 +1848,12 @@ object SparkEntry {
     "q63_line_dedup_strip" -> lineStripSql(4096),
     "q64_delta_dedup" -> deltaSql(4096),
     "q65_pii_scrub" -> piiSql,
+    // shares the sc scoring CTEs with the q95 oracle (one definition —
+    // see LmScore.ScoreCtes)
     "q66_unigram_logprob" ->
-      """WITH toks AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
-        | nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-        | c AS (SELECT tok, count(*) AS c FROM nz GROUP BY 1),
-        | n AS (SELECT sum(c) AS n FROM c)
-        | SELECT nz.doc_id, count(*) AS n_tokens,
-        |  round(avg(ln(c.c / n.n)), 4) AS avg_logprob
-        | FROM nz JOIN c ON nz.tok = c.tok CROSS JOIN n
-        | GROUP BY nz.doc_id""".stripMargin.replaceAll("\n", " "),
+      s"""WITH ${graft.quality.LmScore.ScoreCtes}
+         | SELECT doc_id, n_tokens, lp AS avg_logprob FROM sc"""
+        .stripMargin.replaceAll("\n", " "),
     "q67_sequence_pack" ->
       """WITH n AS (SELECT doc_id,
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens
@@ -2305,10 +2312,12 @@ object SparkEntry {
             partsCooccurEdges(spark, sfDir), LinkPredHubPct))),
       "q90_bigram_logprob" -> bigramSql(maxToks + 1),
       // q95's bucket cutpoints are the engine's own percentile output,
-      // inlined as literals — the q42 trained-centroids pattern
+      // inlined as literals — the q42 trained-centroids pattern; the memo
+      // guarantees these are the exact values the query run binned with
       "q95_perplexity_buckets" -> graft.quality.LmScore.bucketsOracleSql(
-        graft.quality.LmScore.scoreCutpoints(
-          t(spark, sfDir, "documents"), 10)))
+        PerplexityCutsMemo.getOrElseUpdate(sfDir,
+          graft.quality.LmScore.scoreCutpoints(
+            t(spark, sfDir, "documents"), 10))))
     val cent = graft.sim.Ivf.centroidsFor(
       spark, t(spark, sfDir, "embeddings"), 16, 5, 100000)
     oracleSql ++ derived + ("q42_ann_ivf" -> (

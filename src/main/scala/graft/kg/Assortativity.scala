@@ -56,7 +56,7 @@ object Assortativity {
   /** [[degreeHistogram]] as SQL; same canonical-edge contract (and the
     * same integer-exact bit-length bucket, not float log2). */
   def histogramOracleSql(edgesSql: String): String =
-    s"""WITH edges AS ($edgesSql),
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
        | und AS (SELECT u AS w FROM edges UNION ALL SELECT v AS w FROM edges),
        | deg AS (SELECT w, count(*) AS d FROM und GROUP BY w)
        | SELECT (length(bin(d)) - 1)::int AS bucket, count(*) AS n_nodes,

@@ -83,27 +83,10 @@ object LabelProp {
           .otherwise(lit(0.0)), 4).as("density"))
   }
 
-  /** [[communityRollup]] over [[oracleSql]]'s final labels as SQL. */
-  def rollupOracleSql(edgesSql: String, rounds: Int): String = {
-    val labelsSql = oracleSql(edgesSql, rounds)
-    s"""WITH lab AS MATERIALIZED ($labelsSql),
-       | e2 AS (SELECT l1.label FROM ($edgesSql) e
-       |   JOIN lab l1 ON l1.node = e.u JOIN lab l2 ON l2.node = e.v
-       |   WHERE l1.label = l2.label),
-       | m AS (SELECT label, count(*) AS n_members FROM lab GROUP BY label),
-       | i AS (SELECT label, count(*) AS n_internal FROM e2 GROUP BY label)
-       | SELECT m.label, m.n_members, coalesce(i.n_internal, 0) AS n_internal,
-       |  round(CASE WHEN m.n_members >= 2
-       |    THEN 2.0 * coalesce(i.n_internal, 0) / (m.n_members * (m.n_members - 1.0))
-       |    ELSE 0.0 END, 4) AS density
-       | FROM m LEFT JOIN i ON i.label = m.label"""
-      .stripMargin.replaceAll("\n", " ")
-  }
-
-  /** The identical rounds as chained SQL CTEs (`l0 … lN`) — aggregates are
-    * forbidden in recursive terms, so the oracle unrolls ([[PageRank]]'s
-    * pattern). `edgesSql` must yield distinct (u, v) with u < v. */
-  def oracleSql(edgesSql: String, rounds: Int): String = {
+  /** Shared CTE prefix `edges, und, l0 … lN` for both oracle builders —
+    * the edge derivation is materialized ONCE and every consumer below
+    * (labels, rollup joins) reads the same relations. */
+  private def ctePrefix(edgesSql: String, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""l$i AS (SELECT node, label FROM (
          |  SELECT und.w AS node, l.label, count(*) AS votes,
@@ -114,11 +97,37 @@ object LabelProp {
         .stripMargin.replaceAll("\n", " ")
     }.mkString(", ")
     val tail = if (rounds == 0) "" else s", $steps"
-    s"""WITH edges AS MATERIALIZED ($edgesSql),
+    s"""edges AS MATERIALIZED ($edgesSql),
        | und AS MATERIALIZED (SELECT u AS w, v AS n FROM edges
        |   UNION ALL SELECT v AS w, u AS n FROM edges),
-       | l0 AS (SELECT DISTINCT w AS node, w AS label FROM und)$tail
-       | SELECT node, label FROM l$rounds"""
+       | l0 AS (SELECT DISTINCT w AS node, w AS label FROM und)$tail"""
       .stripMargin.replaceAll("\n", " ")
   }
+
+  /** [[communityRollup]] over [[oracleSql]]'s final labels as SQL — the
+    * final label round is re-materialized (`lab`, read three times) and
+    * the internal-edge join reads the SAME materialized `edges` relation
+    * the rounds used, so the edge derivation runs once per oracle. */
+  def rollupOracleSql(edgesSql: String, rounds: Int): String =
+    s"""WITH ${ctePrefix(edgesSql, rounds)},
+       | lab AS MATERIALIZED (SELECT node, label FROM l$rounds),
+       | e2 AS (SELECT l1.label FROM edges e
+       |   JOIN lab l1 ON l1.node = e.u JOIN lab l2 ON l2.node = e.v
+       |   WHERE l1.label = l2.label),
+       | m AS (SELECT label, count(*) AS n_members FROM lab GROUP BY label),
+       | i AS (SELECT label, count(*) AS n_internal FROM e2 GROUP BY label)
+       | SELECT m.label, m.n_members, coalesce(i.n_internal, 0) AS n_internal,
+       |  round(CASE WHEN m.n_members >= 2
+       |    THEN 2.0 * coalesce(i.n_internal, 0) / (m.n_members * (m.n_members - 1.0))
+       |    ELSE 0.0 END, 4) AS density
+       | FROM m LEFT JOIN i ON i.label = m.label"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** The identical rounds as chained SQL CTEs (`l0 … lN`) — aggregates are
+    * forbidden in recursive terms, so the oracle unrolls ([[PageRank]]'s
+    * pattern). `edgesSql` must yield distinct (u, v) with u < v. */
+  def oracleSql(edgesSql: String, rounds: Int): String =
+    s"""WITH ${ctePrefix(edgesSql, rounds)}
+       | SELECT node, label FROM l$rounds"""
+      .stripMargin.replaceAll("\n", " ")
 }

@@ -101,16 +101,18 @@ object LmScore {
     *
     * @return `(bucket, n_docs, lp_min, lp_max)`, one row per non-empty
     *         bucket, buckets numbered 0 (lowest scores) upward. */
-  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
-    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 10): DataFrame =
+    bucketsAt(docs, scoreCutpoints(docs, nBuckets))
+
+  /** [[perplexityBuckets]] with a caller-supplied cutpoint list — the
+    * memo path: the query run and the oracle generation must bin with
+    * the SAME measured cutpoints, not two independently re-measured
+    * lists, so callers measure once ([[scoreCutpoints]]), memoize, and
+    * pass the values to both sides. */
+  def bucketsAt(docs: DataFrame, cuts: Seq[Double]): DataFrame = {
     val scored = unigramLogProb(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    val cuts = scored
-      .agg(expr(s"percentile(avg_logprob, array(${ps.mkString(", ")}))"))
-      .head().getSeq[Double](0)
     val bucket = cuts.map(c => when(col("avg_logprob") > c, 1).otherwise(0))
-      .reduce(_ + _).cast("int")
+      .reduceOption(_ + _).getOrElse(lit(0)).cast("int")
     scored.groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min("avg_logprob").as("lp_min"), max("avg_logprob").as("lp_max"))
@@ -123,34 +125,49 @@ object LmScore {
     * DuckDB `(1−frac)·lower + frac·higher` — last-bit-different floats,
     * and a score exactly at a cutpoint then flips buckets (observed at
     * sf0.001). Inlining the engine's cutpoints removes the parity
-    * requirement entirely. */
+    * requirement entirely. Empty (or all-blank-text) corpora yield NO
+    * scores and a NULL percentile — returned as an empty cutpoint list
+    * (one bucket), never an NPE (the same empty-table hardening as
+    * `oracleSqlFor`'s bound derivation). */
   def scoreCutpoints(docs: DataFrame, nBuckets: Int = 10): Seq[Double] = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    unigramLogProb(docs)
+    val row = unigramLogProb(docs)
       .agg(expr(s"percentile(avg_logprob, array(${ps.mkString(", ")}))"))
-      .head().getSeq[Double](0)
+      .head()
+    if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
   }
+
+  /** The q66 per-doc unigram-score replay as shared CTEs ending in
+    * `sc(doc_id, n_tokens, lp)` — ONE definition consumed by the q66
+    * oracle and both q95 oracle variants (the `HashedTfCtes` precedent:
+    * gate-critical scoring SQL must not exist in divergence-prone
+    * copies). */
+  val ScoreCtes: String =
+    """toks AS (SELECT doc_id,
+      |   unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      | nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      | c AS (SELECT tok, count(*) AS c FROM nz GROUP BY 1),
+      | n AS (SELECT sum(c) AS n FROM c),
+      | sc AS (SELECT nz.doc_id, count(*) AS n_tokens,
+      |   round(avg(ln(c.c / n.n)), 4) AS lp
+      |  FROM nz JOIN c ON nz.tok = c.tok CROSS JOIN n
+      |  GROUP BY nz.doc_id)""".stripMargin.replaceAll("\n", " ")
+
+  private val BucketSelect =
+    """SELECT len(list_filter(q.cuts, c -> sc.lp > c))::int AS bucket,
+      |  count(*) AS n_docs, min(sc.lp) AS lp_min, max(sc.lp) AS lp_max
+      | FROM sc CROSS JOIN q GROUP BY 1""".stripMargin.replaceAll("\n", " ")
 
   /** [[perplexityBuckets]] as SQL over the q66 oracle scores, bucketed at
     * the given ENGINE-MEASURED cutpoints (see [[scoreCutpoints]] for why
     * the oracle must not re-derive them with its own percentile). */
-  def bucketsOracleSql(cuts: Seq[Double]): String = {
+  def bucketsOracleSql(cuts: Seq[Double]): String =
     // Double.toString is the shortest round-trip form — DuckDB parses it
     // back to the identical bit pattern, so `>` compares match exactly
-    val lits = cuts.mkString(", ")
-    s"""WITH toks AS (SELECT doc_id,
-       |   unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
-       | nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-       | c AS (SELECT tok, count(*) AS c FROM nz GROUP BY 1),
-       | n AS (SELECT sum(c) AS n FROM c),
-       | sc AS (SELECT nz.doc_id,
-       |   round(avg(ln(c.c / n.n)), 4) AS lp
-       |  FROM nz JOIN c ON nz.tok = c.tok CROSS JOIN n GROUP BY nz.doc_id),
-       | q AS (SELECT [$lits]::DOUBLE[] AS cuts)
-       | SELECT len(list_filter(q.cuts, c -> sc.lp > c))::int AS bucket,
-       |  count(*) AS n_docs, min(sc.lp) AS lp_min, max(sc.lp) AS lp_max
-       | FROM sc CROSS JOIN q GROUP BY 1""".stripMargin.replaceAll("\n", " ")
-  }
+    s"""WITH $ScoreCtes,
+       | q AS (SELECT [${cuts.mkString(", ")}]::DOUBLE[] AS cuts)
+       | $BucketSelect""".stripMargin.replaceAll("\n", " ")
 
   /** Static fallback when no SparkSession is available to measure the
     * cutpoints: DuckDB's own `quantile_cont`. Correct whenever no score
@@ -158,17 +175,8 @@ object LmScore {
     * (`oracleSqlFor`) replaces it in the driver gate. */
   def bucketsOracleSqlStatic(nBuckets: Int): String = {
     val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    s"""WITH toks AS (SELECT doc_id,
-       |   unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
-       | nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-       | c AS (SELECT tok, count(*) AS c FROM nz GROUP BY 1),
-       | n AS (SELECT sum(c) AS n FROM c),
-       | sc AS (SELECT nz.doc_id,
-       |   round(avg(ln(c.c / n.n)), 4) AS lp
-       |  FROM nz JOIN c ON nz.tok = c.tok CROSS JOIN n GROUP BY nz.doc_id),
+    s"""WITH $ScoreCtes,
        | q AS (SELECT quantile_cont(lp, [${ps.mkString(", ")}]) AS cuts FROM sc)
-       | SELECT len(list_filter(q.cuts, c -> sc.lp > c))::int AS bucket,
-       |  count(*) AS n_docs, min(sc.lp) AS lp_min, max(sc.lp) AS lp_max
-       | FROM sc CROSS JOIN q GROUP BY 1""".stripMargin.replaceAll("\n", " ")
+       | $BucketSelect""".stripMargin.replaceAll("\n", " ")
   }
 }

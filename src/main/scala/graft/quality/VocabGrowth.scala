@@ -69,10 +69,15 @@ object VocabGrowth {
         (col("off_typ") + sum("n_new").over(w)).as("cum_types"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val beta = curve.filter(col("cum_tokens") > 0)
+    // regr_slope is NULL on degenerate input (no token-bearing docs, or a
+    // constant ln(cum_tokens) margin) — surface it as a NULL beta column,
+    // exactly as the SQL replay does, never an NPE (the same empty-table
+    // hardening as oracleSqlFor's bound derivation)
+    val betaRow = curve.filter(col("cum_tokens") > 0)
       .agg(round(expr("regr_slope(ln(cum_types), ln(cum_tokens))"), 4))
-      .head().getDouble(0)
-    curve.withColumn("heaps_beta", lit(beta))
+      .head()
+    val beta: Any = if (betaRow.isNullAt(0)) null else betaRow.getDouble(0)
+    curve.withColumn("heaps_beta", lit(beta).cast("double"))
   }
 
   /** The identical curve + fit as SQL. The oracle's running sums may use a

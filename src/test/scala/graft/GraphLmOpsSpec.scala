@@ -140,6 +140,20 @@ class GraphLmOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((3L, 3L, 1.0)), 7L -> ((3L, 3L, 1.0))))
   }
 
+  test("degenerate corpora: empty cutpoints and a NULL Heaps beta, no NPE") {
+    import spark.implicits._
+    val blank = Seq((1L, " "), (2L, "")).toDF("doc_id", "text")
+    // no scored docs → percentile is NULL → empty cutpoint list
+    assert(LmScore.scoreCutpoints(blank, 4).isEmpty)
+    assert(LmScore.bucketsAt(blank, Seq.empty).count() == 0L)
+    // one token-bearing doc → constant ln(cum_tokens) margin → NULL beta,
+    // curve rows still emitted (matching the SQL replay's NULL column)
+    val one = Seq((1L, "a b"), (2L, " ")).toDF("doc_id", "text")
+    val rows = quality.VocabGrowth.heapsCurve(spark, one, nBuckets = 2).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.isNullAt(3)))
+  }
+
   test("incremental CC equals a full recompute after a merging delta") {
     import spark.implicits._
     val old = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
