@@ -123,6 +123,13 @@ object SparkEntry {
   private val PerplexityCutsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
 
+  /** q99's stop-shingle cap (15% of the corpus, integer math — exact in
+    * both engines) and overlap threshold: at sf0.01 the cap keeps the
+    * typical shingle (df ≈ 28 of 500 docs) while the threshold isolates
+    * the 25 planted near-dup pairs; both knobs are corpus-relative. */
+  private val ContainDfPct = 15L
+  private val ContainMinOverlap = 0.7
+
   /** q89's fixed synchronous label-propagation round count: 3 rounds on
     * the dense sf parts graph reaches label agreement on the giant
     * community while the oracle unroll stays 3 CTE rounds. */
@@ -1157,6 +1164,13 @@ object SparkEntry {
     // degrees would bucket differently across engines)
     "q98_degree_histogram" -> ((s, dir) =>
       graft.kg.Assortativity.degreeHistogram(partsCooccurEdges(s, dir))),
+    // asymmetric shingle containment (quote / paragraph-copy detection):
+    // the near-dup measure Jaccard-tuned LSH misses — candidates from a
+    // stop-shingle-capped posting self-join, cap data-relative at 15% of
+    // the corpus in integer math (see Dedup.containmentPairs)
+    "q99_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), ContainDfPct,
+        ContainMinOverlap)),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -2016,6 +2030,8 @@ object SparkEntry {
         .stripMargin.replaceAll("\n", " "),
     "q98_degree_histogram" ->
       graft.kg.Assortativity.histogramOracleSql(KCoreEdgesSql),
+    "q99_containment" ->
+      Dedup.containmentOracleSql(ContainDfPct, ContainMinOverlap),
     // gap-sessionization replay: same (sec, event_id) tie order as q45;
     // session_idx cast to BIGINT (DuckDB sums to HUGEINT)
     "q76_sessionize" ->

@@ -487,6 +487,87 @@ object Dedup {
         coalesce(col("exact_of"), col("near_of")).as("dup_of"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs — the near-dup measure Jaccard
+    * misses: a short document wholly quoted inside a long one has
+    * `|A∩B|/|A| ≈ 1` but tiny Jaccard, so MinHash-LSH candidate
+    * generation (tuned to Jaccard) never proposes the pair (Broder '97
+    * separates resemblance from containment for exactly this reason).
+    * Candidates therefore come from a direct shingle-posting self-join,
+    * NOT from q15's LSH: pairs sharing any surviving shingle are scored
+    * `ov_a = shared/|A|`, `ov_b = shared/|B|`, keep `max ≥ minOverlap`.
+    *
+    * Scale shape: the posting join's fan-out is Σ df² over shingles —
+    * the curse-of-the-last-reducer lives in STOP SHINGLES (boilerplate
+    * n-grams in a large fraction of the corpus), so shingles in more
+    * than `dfCapPercent`% of documents are dropped before the join (the
+    * classic stop-shingle rule; the same df-cap move as
+    * [[graft.dedup.Decontam]]'s boilerplate grams). The cap is
+    * DATA-RELATIVE — a corpus-size percentage in integer arithmetic
+    * (`n·pct div 100`, exact in both engines) — so the bound tracks the
+    * corpus at any scale factor. Shingles are the same word bigrams as
+    * q31's verify stage, built with codegen'd array expressions (no UDF).
+    *
+    * @return `(doc_a, doc_b, n_shared, n_a, n_b, ov_a, ov_b)`,
+    *         overlaps rounded to 4 decimals. */
+  def containmentPairs(docs: DataFrame, dfCapPercent: Long,
+      minOverlap: Double): DataFrame = {
+    val grams = when(size(col("tk")) < 2, col("tk")).otherwise(expr(
+      """transform(sequence(1, size(tk) - 1),
+        |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""
+        .stripMargin.replaceAll("\n", " ")))
+    val sh = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(trim(col("text")), "\\s+").as("tk"))
+      .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+      .filter(col("g") =!= "")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val nDocs = docs.count() // measured scalar, like q68's total
+    val cap = nDocs * dfCapPercent / 100
+    val rare = sh.join(
+      sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        .select("g"),
+      "g")
+    val pairs = rare.as("a")
+      .join(rare.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared") / col("n_a"), 4).as("ov_a"),
+        round(col("n_shared") / col("n_b"), 4).as("ov_b"))
+      .filter(greatest(col("ov_a"), col("ov_b")) >= minOverlap)
+  }
+
+  /** [[containmentPairs]] as SQL (the q31 shingle CTE + the same
+    * integer-exact df cap and rounded-overlap filter). */
+  def containmentOracleSql(dfCapPercent: Long, minOverlap: Double): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       | sh AS (SELECT doc_id, g FROM (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) < 2 THEN tk
+       |   ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END)) AS g
+       |  FROM toks) WHERE g <> ''),
+       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       | cap AS (SELECT (count(*) * $dfCapPercent) // 100 AS c FROM documents),
+       | rare AS (SELECT sh.doc_id, sh.g FROM sh
+       |   JOIN (SELECT g FROM sh GROUP BY g
+       |         HAVING count(*) <= (SELECT c FROM cap)) d ON d.g = sh.g),
+       | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS n_shared
+       |  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       | SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       |  round(n_shared::double / sa.n, 4) AS ov_a,
+       |  round(n_shared::double / sb.n, 4) AS ov_b
+       | FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       | JOIN sizes sb ON doc_b = sb.doc_id
+       | WHERE greatest(round(n_shared::double / sa.n, 4),
+       |   round(n_shared::double / sb.n, 4)) >= $minOverlap"""
+      .stripMargin.replaceAll("\n", " ")
+
   /** Exact n-gram Jaccard similarity for a candidate pair list — the
     * verification stage after LSH (join back to texts, compute exact overlap). */
   def exactJaccard(spark: SparkSession, docs: DataFrame, pairs: DataFrame): DataFrame = {

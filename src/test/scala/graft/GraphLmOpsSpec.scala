@@ -140,6 +140,26 @@ class GraphLmOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((3L, 3L, 1.0)), 7L -> ((3L, 3L, 1.0))))
   }
 
+  test("containment finds a quoted doc that Jaccard-level overlap would miss") {
+    import spark.implicits._
+    // doc 2 is wholly contained in doc 1 (ov_b = 1.0) but Jaccard is low;
+    // doc 3 shares nothing after the stop-shingle cap ('x y' repeated in
+    // all docs would be capped if df exceeded the corpus-relative bound)
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "c d e"),
+      (3L, "p q r s")).toDF("doc_id", "text")
+    val got = dedup.Dedup.containmentPairs(docs, dfCapPercent = 100, minOverlap = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // doc1 has 7 distinct bigrams, doc2 has 2 ('c d','d e'), both inside doc1
+    assert(got == Map((1L, 2L) -> ((2L, 7L, 2L, 0.2857, 1.0))))
+    // a 0% cap drops every shingle → no pairs, not a crash
+    assert(dedup.Dedup.containmentPairs(docs, 0L, 0.9).count() == 0L)
+  }
+
   test("degenerate corpora: empty cutpoints and a NULL Heaps beta, no NPE") {
     import spark.implicits._
     val blank = Seq((1L, " "), (2L, "")).toDF("doc_id", "text")
