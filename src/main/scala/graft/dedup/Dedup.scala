@@ -507,6 +507,16 @@ object Dedup {
     * corpus at any scale factor. Shingles are the same word bigrams as
     * q31's verify stage, built with codegen'd array expressions (no UDF).
     *
+    * If a corpus's shingle-TYPE cardinality is pathologically low (the
+    * synthetic bench vocabulary yields only ~900 bigram types, so mid-df
+    * shingles still fan out to tens of millions of pair rows), the next
+    * refinement is positional prefix filtering (Xiao et al., WWW'08
+    * ppjoin): join only each document's K rarest shingles, with K set by
+    * the overlap threshold — candidate-complete for the threshold while
+    * cutting the posting join to the prefix lists. Real crawl shingle
+    * frequencies are power-law (near-unique tail), where the stop-shingle
+    * cap alone is the production-sufficient bound.
+    *
     * @return `(doc_a, doc_b, n_shared, n_a, n_b, ov_a, ov_b)`,
     *         overlaps rounded to 4 decimals. */
   def containmentPairs(docs: DataFrame, dfCapPercent: Long,
