@@ -123,6 +123,19 @@ object SparkEntry {
   private val PerplexityCutsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
 
+  /** q100's declared `rdfs:domain` per predicate. `performs` is
+    * DELIBERATELY declared against the wrong hierarchy branch (its
+    * subjects are OPERATION ⊑ Event, not Agent), so the audit has a real
+    * planted modeling error to surface; the other three declarations are
+    * consistent and must yield zero rows. */
+  private val PredDomains = Seq(
+    "uses_tool" -> "Artifact", "performs" -> "Agent",
+    "involves" -> "Agent", "consumes" -> "Artifact")
+
+  private val PredDomainsValues = PredDomains
+    .map { case (p, c) => s"('$p','$c')" }
+    .mkString("(VALUES ", ", ", ")")
+
   /** q99's stop-shingle cap (15% of the corpus, integer math — exact in
     * both engines) and overlap threshold: at sf0.01 the cap keeps the
     * typical shingle (df ≈ 28 of 500 docs) while the threshold isolates
@@ -1155,8 +1168,20 @@ object SparkEntry {
         .select(col("u").as("src"), col("v").as("dst"))
       val delta = canon.filter((col("u") + col("v")) % 10 >= 8)
         .select(col("u").as("src"), col("v").as("dst"))
+      // the "landed" labeling is STORED, as in production (a crawl folds
+      // deltas into a labeling table it already has — re-deriving it per
+      // run would benchmark the wrong thing). Written once per sf dir,
+      // keyed by source mtime+size so regenerated data invalidates it;
+      // per-pid staging + atomic publish (the q59 reuse pattern).
+      val src = new java.io.File(s"$dir/lineitem.parquet")
+      val labelsPath = s"${graft.core.TmpFs.base}/graft-cc-labels-" +
+        s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}-${src.lastModified}-${src.length}"
+      graft.core.TmpFs.ensureShared(labelsPath) { staging =>
+        graft.kg.ConnectedComponents.runStar(s, old)
+          .repartition(4).write.mode("overwrite").parquet(staging)
+      }
       graft.kg.ConnectedComponents.incremental(s,
-        graft.kg.ConnectedComponents.runStar(s, old), delta)
+        s.read.parquet(labelsPath), delta)
     }),
     // log2-binned degree histogram: the power-law diagnostic that decides
     // whether a graph workload needs the q52/q08 salting machinery —
@@ -1171,6 +1196,20 @@ object SparkEntry {
     "q99_containment" -> ((s, dir) =>
       Dedup.containmentPairs(t(s, dir, "documents"), ContainDfPct,
         ContainMinOverlap)),
+    // rdfs:domain / SHACL sh:class audit over the extracted KG: subjects
+    // using a predicate whose declared domain is missing from their
+    // inferred type closure — `performs` is declared against the wrong
+    // branch on purpose, so the audit surfaces a real planted modeling
+    // error (see kg.Ontology.domainViolations)
+    "q100_domain_violations" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      val types = graft.kg.Ontology.inferTypes(s,
+        linked.select(col("entity_id"), col("category")).distinct(),
+        ClassHierarchy)
+      graft.kg.Ontology.domainViolations(s, kgTriples(s, dir), types,
+        PredDomains)
+    }),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -2032,6 +2071,31 @@ object SparkEntry {
       graft.kg.Assortativity.histogramOracleSql(KCoreEdgesSql),
     "q99_containment" ->
       Dedup.containmentOracleSql(ContainDfPct, ContainMinOverlap),
+    // q12's triple CTE + q80's closure CTE + the declared domains: keep
+    // (subj, pred) groups whose subject type set lacks the declaration
+    "q100_domain_violations" ->
+      s"""WITH RECURSIVE dict(category, surface, entity_id) AS $AliasValues,
+         | sub(c, p) AS $ClassHierarchyValues,
+         | cl(c, p) AS (SELECT c, p FROM sub
+         |   UNION SELECT cl.c, sub.p FROM cl JOIN sub ON cl.p = sub.c),
+         | ent AS (SELECT DISTINCT entity_id, category FROM documents d
+         |   CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | typ AS (SELECT DISTINCT entity_id, type FROM (
+         |  SELECT entity_id, category AS type FROM ent
+         |  UNION ALL
+         |  SELECT ent.entity_id, cl.p AS type FROM ent
+         |  JOIN cl ON ent.category = cl.c)),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | grp AS (SELECT subj, pred, count(*) AS n_triples
+         |   FROM tr GROUP BY 1, 2),
+         | dom(pred, required_type) AS $PredDomainsValues
+         | SELECT g.subj, g.pred, dom.required_type, g.n_triples
+         | FROM grp g JOIN dom ON dom.pred = g.pred
+         | LEFT JOIN typ ON typ.entity_id = g.subj
+         |   AND typ.type = dom.required_type
+         | WHERE typ.entity_id IS NULL""".stripMargin.replaceAll("\n", " "),
     // gap-sessionization replay: same (sec, event_id) tie order as q45;
     // session_idx cast to BIGINT (DuckDB sums to HUGEINT)
     "q76_sessionize" ->

@@ -38,6 +38,39 @@ object Ontology {
         max(col("obj")).as("obj_max"))
       .filter(col("n_obj") >= 2)
 
+  /** RDFS/SHACL domain audit: subjects using a predicate whose DECLARED
+    * domain class is absent from the subject's inferred type set
+    * (`rdfs:domain` checking, SHACL `sh:class` on the subject shape) —
+    * the modeling-error detector run after [[inferTypes]] materializes
+    * the closure. A clean extraction pipeline yields zero rows; a
+    * predicate declared against the wrong branch of the hierarchy
+    * surfaces ALL its subjects here, which is exactly how ontology
+    * drift between extraction prompts and the declared schema is caught.
+    *
+    * Scale shape: triples aggregate once by (subj, pred) — map-side
+    * combined, bounded by the distinct pair count — then a broadcast
+    * join attaches the declared domain (declaration-sized metadata) and
+    * a LEFT ANTI join against the type table (entity-vocabulary-sized)
+    * keeps only subjects missing the required type. Nothing corpus-sized
+    * is ever on the build side.
+    *
+    * @param triples `(subj, pred, obj)` extracted triples
+    * @param types   `(entity_id, type)` — [[inferTypes]]' output
+    * @param domains declared `pred → required class`
+    * @return `(subj, pred, required_type, n_triples)` violations */
+  def domainViolations(spark: SparkSession, triples: DataFrame,
+      types: DataFrame, domains: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val decl = domains.toDF("pred", "required_type")
+    triples.groupBy(col("subj"), col("pred"))
+      .agg(count(lit(1)).as("n_triples"))
+      .join(broadcast(decl), "pred")
+      .join(types.select(col("entity_id").as("subj"),
+          col("type").as("required_type")),
+        Seq("subj", "required_type"), "left_anti")
+      .select(col("subj"), col("pred"), col("required_type"), col("n_triples"))
+  }
+
   /** VoID-style predicate cardinality profile — the dataset-statistics
     * block (`void:properties`, `void:distinctSubjects`/`Objects`,
     * W3C VoID vocabulary) every published KG ships, and the planner input

@@ -140,6 +140,27 @@ class GraphLmOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((3L, 3L, 1.0)), 7L -> ((3L, 3L, 1.0))))
   }
 
+  test("domain audit flags only subjects missing the declared type") {
+    import spark.implicits._
+    val triples = Seq(
+      ("e1", "uses_tool", "o1"), ("e1", "uses_tool", "o2"), // e1 IS an Artifact
+      ("e2", "performs", "o1"), // e2 is an Event, declared domain says Agent
+      ("e3", "involves", "o3")) // e3 has NO type rows at all
+      .toDF("subj", "pred", "obj")
+    val types = Seq(("e1", "TOOL"), ("e1", "Artifact"), ("e1", "Thing"),
+      ("e2", "OPERATION"), ("e2", "Event"), ("e2", "Thing"))
+      .toDF("entity_id", "type")
+    val domains = Seq("uses_tool" -> "Artifact", "performs" -> "Agent",
+      "involves" -> "Agent")
+    val got = kg.Ontology.domainViolations(spark, triples, types, domains)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      ("e2", "performs") -> (("Agent", 1L)),
+      ("e3", "involves") -> (("Agent", 1L))))
+  }
+
   test("containment finds a quoted doc that Jaccard-level overlap would miss") {
     import spark.implicits._
     // doc 2 is wholly contained in doc 1 (ov_b = 1.0) but Jaccard is low;
