@@ -123,6 +123,12 @@ object SparkEntry {
   private val PerplexityCutsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
 
+  /** q97's stored-labeling cache version: bump whenever
+    * [[partsCooccurEdges]], the 80/20 split rule, or
+    * [[graft.kg.ConnectedComponents.runStar]]'s output could change —
+    * the cache key's mtime+size half only tracks the DATA. */
+  private val CcLabelsVer = 1
+
   /** q100's declared `rdfs:domain` per predicate. `performs` is
     * DELIBERATELY declared against the wrong hierarchy branch (its
     * subjects are OPERATION ⊑ Event, not Agent), so the audit has a real
@@ -1171,10 +1177,14 @@ object SparkEntry {
       // the "landed" labeling is STORED, as in production (a crawl folds
       // deltas into a labeling table it already has — re-deriving it per
       // run would benchmark the wrong thing). Written once per sf dir,
-      // keyed by source mtime+size so regenerated data invalidates it;
-      // per-pid staging + atomic publish (the q59 reuse pattern).
+      // keyed by source mtime+size so regenerated data invalidates it,
+      // PLUS an algorithm-version token — unlike the q59 copy this caches
+      // ALGORITHM OUTPUT, so a change to the edge derivation, the split
+      // rule, or the CC winner rule must bump CcLabelsVer or a stale
+      // labeling survives rebuilds and reads as an incremental-CC bug.
+      // Per-pid staging + atomic publish (the q59 reuse pattern).
       val src = new java.io.File(s"$dir/lineitem.parquet")
-      val labelsPath = s"${graft.core.TmpFs.base}/graft-cc-labels-" +
+      val labelsPath = s"${graft.core.TmpFs.base}/graft-cc-labels-$CcLabelsVer-" +
         s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}-${src.lastModified}-${src.length}"
       graft.core.TmpFs.ensureShared(labelsPath) { staging =>
         graft.kg.ConnectedComponents.runStar(s, old)
@@ -1207,8 +1217,10 @@ object SparkEntry {
       val types = graft.kg.Ontology.inferTypes(s,
         linked.select(col("entity_id"), col("category")).distinct(),
         ClassHierarchy)
-      graft.kg.Ontology.domainViolations(s, kgTriples(s, dir), types,
-        PredDomains)
+      // triples from the SAME linked frame — kgTriples(s, dir) would
+      // re-run the whole extraction+linking pipeline a second time
+      graft.kg.Ontology.domainViolations(s,
+        Kg.triples(linked, NerSpark.Predicates), types, PredDomains)
     }),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,

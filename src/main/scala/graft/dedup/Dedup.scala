@@ -530,13 +530,18 @@ object Dedup {
         split(trim(col("text")), "\\s+").as("tk"))
       .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
       .filter(col("g") =!= "")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val nDocs = docs.count() // measured scalar, like q68's total
     val cap = nDocs * dfCapPercent / 100
     val rare = sh.join(
       sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
         .select("g"),
       "g")
+    // sizes over the POST-cap shingle space: numerator and denominator
+    // must live in the same universe, or a boilerplate-heavy document's
+    // true containment deflates (its stop-shingles would count in |B|
+    // but never in |A∩B|) and the quote the operator exists to catch
+    // slips under the threshold
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = rare.as("a")
       .join(rare.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -560,11 +565,11 @@ object Dedup {
        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) < 2 THEN tk
        |   ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END)) AS g
        |  FROM toks) WHERE g <> ''),
-       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        | cap AS (SELECT (count(*) * $dfCapPercent) // 100 AS c FROM documents),
        | rare AS (SELECT sh.doc_id, sh.g FROM sh
        |   JOIN (SELECT g FROM sh GROUP BY g
        |         HAVING count(*) <= (SELECT c FROM cap)) d ON d.g = sh.g),
+       | sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY 1),
        | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    count(*) AS n_shared
        |  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id

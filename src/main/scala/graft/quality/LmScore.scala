@@ -101,16 +101,31 @@ object LmScore {
     *
     * @return `(bucket, n_docs, lp_min, lp_max)`, one row per non-empty
     *         bucket, buckets numbered 0 (lowest scores) upward. */
-  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 10): DataFrame =
-    bucketsAt(docs, scoreCutpoints(docs, nBuckets))
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val scored = scoredDocs(docs)
+    bucketsFromScored(scored, cutpointsOf(scored, nBuckets))
+  }
+
+  /** The scored corpus, PERSISTED — cutpoint measurement and bucket
+    * binning must read one materialization: re-deriving the scores per
+    * consumer doubles the dominant cost AND re-opens the last-bit window
+    * where independently re-aggregated averages round differently at a
+    * 4-decimal boundary. CacheManager keys by canonicalized plan, so
+    * q66/q95 invocations over the same table share one copy. */
+  def scoredDocs(docs: DataFrame): DataFrame =
+    unigramLogProb(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** [[perplexityBuckets]] with a caller-supplied cutpoint list — the
     * memo path: the query run and the oracle generation must bin with
     * the SAME measured cutpoints, not two independently re-measured
-    * lists, so callers measure once ([[scoreCutpoints]]), memoize, and
-    * pass the values to both sides. */
-  def bucketsAt(docs: DataFrame, cuts: Seq[Double]): DataFrame = {
-    val scored = unigramLogProb(docs)
+    * lists, so callers score once ([[scoredDocs]]), measure once
+    * ([[cutpointsOf]]), memoize, and pass the values to both sides. */
+  def bucketsAt(docs: DataFrame, cuts: Seq[Double]): DataFrame =
+    bucketsFromScored(scoredDocs(docs), cuts)
+
+  /** Bin an already-scored (and ideally persisted) corpus. */
+  def bucketsFromScored(scored: DataFrame, cuts: Seq[Double]): DataFrame = {
     val bucket = cuts.map(c => when(col("avg_logprob") > c, 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0)).cast("int")
     scored.groupBy(bucket.as("bucket"))
@@ -129,10 +144,15 @@ object LmScore {
     * scores and a NULL percentile — returned as an empty cutpoint list
     * (one bucket), never an NPE (the same empty-table hardening as
     * `oracleSqlFor`'s bound derivation). */
-  def scoreCutpoints(docs: DataFrame, nBuckets: Int = 10): Seq[Double] = {
+  def scoreCutpoints(docs: DataFrame, nBuckets: Int = 10): Seq[Double] =
+    cutpointsOf(scoredDocs(docs), nBuckets)
+
+  /** [[scoreCutpoints]] over an already-scored corpus (see [[scoredDocs]]
+    * for why callers should score once and share). */
+  def cutpointsOf(scored: DataFrame, nBuckets: Int): Seq[Double] = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    val row = unigramLogProb(docs)
+    val row = scored
       .agg(expr(s"percentile(avg_logprob, array(${ps.mkString(", ")}))"))
       .head()
     if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
