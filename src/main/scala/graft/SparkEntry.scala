@@ -1200,11 +1200,13 @@ object SparkEntry {
     "q98_degree_histogram" -> ((s, dir) =>
       graft.kg.Assortativity.degreeHistogram(partsCooccurEdges(s, dir))),
     // asymmetric shingle containment (quote / paragraph-copy detection):
-    // the near-dup measure Jaccard-tuned LSH misses — candidates from a
-    // stop-shingle-capped posting self-join, cap data-relative at 15% of
-    // the corpus in integer math (see Dedup.containmentPairs)
+    // the near-dup measure Jaccard-tuned LSH misses — the physical plan
+    // (direct posting self-join vs ppjoin-style prefix filtering) chosen
+    // ADAPTIVELY from measured df stats over the stop-shingle-capped
+    // space; cap data-relative at 15% of the corpus in integer math
+    // (see Dedup.containmentPairsAdaptive — identical rows either way)
     "q99_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"), ContainDfPct,
+      Dedup.containmentPairsAdaptive(t(s, dir, "documents"), ContainDfPct,
         ContainMinOverlap)),
     // rdfs:domain / SHACL sh:class audit over the extracted KG: subjects
     // using a predicate whose declared domain is missing from their

@@ -507,20 +507,180 @@ object Dedup {
     * corpus at any scale factor. Shingles are the same word bigrams as
     * q31's verify stage, built with codegen'd array expressions (no UDF).
     *
-    * If a corpus's shingle-TYPE cardinality is pathologically low (the
-    * synthetic bench vocabulary yields only ~900 bigram types, so mid-df
-    * shingles still fan out to tens of millions of pair rows), the next
-    * refinement is positional prefix filtering (Xiao et al., WWW'08
-    * ppjoin): join only each document's K rarest shingles, with K set by
-    * the overlap threshold — candidate-complete for the threshold while
-    * cutting the posting join to the prefix lists. Real crawl shingle
-    * frequencies are power-law (near-unique tail), where the stop-shingle
-    * cap alone is the production-sufficient bound.
+    * Two physical plans produce these rows; which is cheaper depends on
+    * the corpus's df profile, so [[containmentPairsAdaptive]] picks from
+    * MEASURED stats (the same measured-scalar gating as
+    * [[graft.quality.TfIdf.topTerms]]' broadcast decision):
+    *
+    *  - this DIRECT posting self-join: cost `Σ df²`, optimal when
+    *    sharing pairs are near-dups (their shared-shingle enumeration
+    *    IS the useful work) or the capped df profile is flat-and-low;
+    *  - [[containmentPairsPrefix]]: optimal when `Σ df²` is driven by
+    *    junk mid-df shingles whose pairs never qualify — the prefix
+    *    filter deletes those pairs before any pairwise work.
     *
     * @return `(doc_a, doc_b, n_shared, n_a, n_b, ov_a, ov_b)`,
     *         overlaps rounded to 4 decimals. */
   def containmentPairs(docs: DataFrame, dfCapPercent: Long,
       minOverlap: Double): DataFrame = {
+    val rare = containmentPostings(docs, dfCapPercent)
+    directContainment(rare, containmentSizes(rare), minOverlap)
+  }
+
+  /** [[containmentPairs]] with POSITIONAL PREFIX FILTERING — the ppjoin
+    * prefix principle (Xiao et al., WWW'08) adapted to the asymmetric
+    * max-containment score. IDENTICAL output (same oracle), different
+    * candidate generation:
+    *
+    * Under a fixed global rarity order on shingles (df ascending, then
+    * the shingle string), if `|A∩B| ≥ k` then among A's first
+    * `|A|−k+1` shingles at least one lies in `A∩B` — at most `|A|−k`
+    * of A's shingles are outside B, so they cannot fill the whole
+    * prefix. A qualifying pair has `round(sh/n_x, 4) ≥ t` on some side
+    * x, i.e. `sh ≥ (t − 5e-5)·n_x` (HALF_UP rounding made exact), so
+    * with `k(n) = max(1, ⌈(t − 5e-5)·n⌉)` the qualifying side's
+    * `n−k(n)+1`-prefix must intersect the OTHER side's full shingle
+    * set. Joining every doc's prefix postings against every doc's full
+    * postings therefore proposes every qualifying pair — candidate-
+    * COMPLETE — and an exact join-back verify restores `n_shared`, so
+    * false candidates are filtered, never mis-scored.
+    *
+    * Scale shape: the quadratic fan-out drops from `Σ df_full²` to
+    * `Σ df_prefix·df_full`, and because the prefix keeps each doc's
+    * RAREST shingles, a junk mid-df shingle enters a doc's prefix only
+    * when the doc has almost nothing rarer — its `df²` pair fan-out
+    * vanishes from the candidate join. Costs added: one rank shuffle
+    * (row_number windowed by doc, keyed the same as the sizes agg) and
+    * the per-candidate verify join-back (`Σ_cand (n_a + n_b)`), which
+    * is why this plan LOSES when candidates ≈ all sharing pairs (dense
+    * low-cardinality vocabularies — measured 55 s vs the direct join's
+    * 36 s on the sf0.1 synthetic corpus, same host window): the verify
+    * then re-enumerates what the direct join enumerates once. Use
+    * [[containmentPairsAdaptive]] unless the regime is known. The
+    * posting table is persisted once and feeds the rank, the probe
+    * side, and both verify legs. */
+  def containmentPairsPrefix(docs: DataFrame, dfCapPercent: Long,
+      minOverlap: Double): DataFrame = {
+    val rare = containmentPostings(docs, dfCapPercent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = containmentSizes(rare)
+    val prefix = prefixPostings(rare, sizes, minOverlap)
+    prefixContainment(rare, prefix, sizes, minOverlap)
+  }
+
+  /** [[containmentPairs]] with the physical plan chosen from MEASURED
+    * stats — identical rows from either branch, so the choice never
+    * shows in results, only in cost. Model (exact integer counters off
+    * the persisted posting table, no sampling):
+    *
+    *  - `Σ df²` — the direct self-join's fan-out — is `sum(df)` over
+    *    posting ROWS (each of a shingle's df rows carries df once).
+    *  - If `Σ df² ≤ directCheapFactor · |postings|` the direct join is
+    *    within a small constant of linear: take it without paying the
+    *    rank pass (the power-law-tail regime — post-cap dfs near 1).
+    *  - Otherwise rank, build the prefix postings, and measure the
+    *    candidate join's exact fan-out `Σ df_prefix·df_full` =
+    *    `sum(df)` over PREFIX rows; model the verify join-back as
+    *    `min(candRows, maxPairs) · 2·avg(n)` (candRows bounds the
+    *    distinct candidate pairs — conservative toward direct, which
+    *    is the bias you want since prefix adds two extra shuffles).
+    *
+    * Dense regime (sf0.1 synthetic: Σdf² = 72M but candidates ≈ ALL
+    * 12.5M pairs → verify ≈ 1.3B) picks direct; the junk-mid-df-shingle
+    * regime (a few df≈10k boilerplate shingles under the cap drive Σdf²
+    * into the hundreds of millions while typical docs' prefixes stay
+    * near-unique → candRows tiny) picks prefix. */
+  def containmentPairsAdaptive(docs: DataFrame, dfCapPercent: Long,
+      minOverlap: Double, directCheapFactor: Double = 8.0): DataFrame = {
+    val rare = containmentPostings(docs, dfCapPercent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = containmentSizes(rare)
+    val head = rare.agg(count(lit(1)), sum(col("df"))).head()
+    val posts = head.getLong(0)
+    val sumDf2 = if (head.isNullAt(1)) 0L else head.getLong(1)
+    if (sumDf2 <= directCheapFactor * posts)
+      directContainment(rare, sizes, minOverlap)
+    else {
+      val nDocs = rare.select("doc_id").distinct().count()
+      val prefix = prefixPostings(rare, sizes, minOverlap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candRows = Option(prefix.agg(sum(col("df"))).head().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      if (preferDirectContainment(sumDf2, candRows,
+          nDocs * (nDocs - 1) / 2, posts.toDouble / math.max(nDocs, 1)))
+        directContainment(rare, sizes, minOverlap)
+      else prefixContainment(rare, prefix, sizes, minOverlap)
+    }
+  }
+
+  /** The adaptive cost model, exposed pure so both regimes are
+    * unit-testable without building the corpora that exhibit them:
+    * direct costs its fan-out `Σ df²`; prefix costs its candidate join
+    * plus an exact verify of at most `min(candRows, maxPairs)` pairs at
+    * `2·avgPostingsPerDoc` rows each. */
+  def preferDirectContainment(sumDf2: Long, candRows: Long, maxPairs: Long,
+      avgPostingsPerDoc: Double): Boolean =
+    sumDf2.toDouble <=
+      candRows.toDouble +
+        math.min(candRows, maxPairs).toDouble * 2.0 * avgPostingsPerDoc
+
+  /** Prefix postings `(doc_id, g, df)` under the global rarity order
+    * (df asc, shingle asc): each doc's first `n − k(n) + 1` shingles,
+    * `k(n) = max(1, ⌈(minOverlap − 5e-5)·n⌉)` — the smallest shared
+    * count a qualifying side of size n can have (HALF_UP rounding made
+    * exact). The 1e-9 guards ⌈⌉ against the product landing a double
+    * ulp above an exact integer (under-k only lengthens the prefix —
+    * still candidate-complete). */
+  private def prefixPostings(rare: DataFrame, sizes: DataFrame,
+      minOverlap: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kOf = greatest(lit(1L),
+      ceil(lit(minOverlap - 5e-5) * col("n") - lit(1e-9)))
+    rare
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("n") - kOf + 1)
+      .select("doc_id", "g", "df")
+  }
+
+  private def directContainment(rare: DataFrame, sizes: DataFrame,
+      minOverlap: Double): DataFrame = {
+    val post = rare.select("doc_id", "g")
+    val pairs = post.as("a")
+      .join(post.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    scoreContainment(pairs, sizes, minOverlap)
+  }
+
+  private def prefixContainment(rare: DataFrame, prefix: DataFrame,
+      sizes: DataFrame, minOverlap: Double): DataFrame = {
+    // prefix(X) ⋈ full(Y): canonicalizing covers both directions, so
+    // whichever side qualifies, its prefix witness proposes the pair
+    val cand = prefix.select("doc_id", "g").as("a")
+      .join(rare.select("doc_id", "g").as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val pairs = cand // exact verify: full shared count per candidate
+      .join(rare.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(rare.select(col("doc_id").as("doc_b"), col("g")),
+        Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+    scoreContainment(pairs, sizes, minOverlap)
+  }
+
+  /** Stop-shingle-capped bigram postings `(doc_id, g, df)` — the shared
+    * candidate space of both containment variants. Shingles are the same
+    * word bigrams as q31's verify stage, built with codegen'd array
+    * expressions (no UDF); the df cap is integer-exact (`n·pct div 100`)
+    * so it replays identically in the oracle. */
+  private def containmentPostings(docs: DataFrame,
+      dfCapPercent: Long): DataFrame = {
     val grams = when(size(col("tk")) < 2, col("tk")).otherwise(expr(
       """transform(sequence(1, size(tk) - 1),
         |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""
@@ -532,21 +692,21 @@ object Dedup {
       .filter(col("g") =!= "")
     val nDocs = docs.count() // measured scalar, like q68's total
     val cap = nDocs * dfCapPercent / 100
-    val rare = sh.join(
-      sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
-        .select("g"),
+    sh.join(
+      sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= cap),
       "g")
-    // sizes over the POST-cap shingle space: numerator and denominator
-    // must live in the same universe, or a boilerplate-heavy document's
-    // true containment deflates (its stop-shingles would count in |B|
-    // but never in |A∩B|) and the quote the operator exists to catch
-    // slips under the threshold
-    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = rare.as("a")
-      .join(rare.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Per-doc shingle-set sizes over the POST-cap space: numerator and
+    * denominator must live in the same universe, or a boilerplate-heavy
+    * document's true containment deflates (its stop-shingles would count
+    * in |B| but never in |A∩B|) and the quote the operator exists to
+    * catch slips under the threshold. */
+  private def containmentSizes(rare: DataFrame): DataFrame =
+    rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+  private def scoreContainment(pairs: DataFrame, sizes: DataFrame,
+      minOverlap: Double): DataFrame =
     pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
@@ -554,7 +714,6 @@ object Dedup {
         round(col("n_shared") / col("n_a"), 4).as("ov_a"),
         round(col("n_shared") / col("n_b"), 4).as("ov_b"))
       .filter(greatest(col("ov_a"), col("ov_b")) >= minOverlap)
-  }
 
   /** [[containmentPairs]] as SQL (the q31 shingle CTE + the same
     * integer-exact df cap and rounded-overlap filter). */

@@ -181,6 +181,55 @@ class GraphLmOpsSpec extends AnyFunSuite {
     assert(dedup.Dedup.containmentPairs(docs, 0L, 0.9).count() == 0L)
   }
 
+  test("prefix-filtered containment equals the direct posting join") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    // goldens: the quoted-doc case at two thresholds + the 0% cap edge
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "c d e"),
+      (3L, "p q r s")).toDF("doc_id", "text")
+    for (t <- Seq(0.9, 0.2))
+      assert(rows(dedup.Dedup.containmentPairsPrefix(docs, 100, t)) ==
+        rows(dedup.Dedup.containmentPairs(docs, 100, t)))
+    assert(dedup.Dedup.containmentPairsPrefix(docs, 0L, 0.9).count() == 0L)
+    // adversarial cross-check: a low-cardinality vocabulary (the q99
+    // worst case) with a seeded generator — every (cap, threshold)
+    // combination must agree exactly, including boundary thresholds
+    // where HALF_UP rounding decides membership
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("u", "v", "w", "x", "y", "z")
+    val fuzz = (1L to 40L).map { i =>
+      val n = 2 + rnd.nextInt(12)
+      (i, Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (cap <- Seq(100L, 40L); t <- Seq(0.5, 0.3333, 1.0)) {
+      val naive = rows(dedup.Dedup.containmentPairs(fuzz, cap, t))
+      val pref = rows(dedup.Dedup.containmentPairsPrefix(fuzz, cap, t))
+      assert(pref == naive, s"cap=$cap t=$t: prefix=$pref naive=$naive")
+      // the adaptive chooser must land on the same rows whichever
+      // branch its measured stats pick
+      assert(rows(dedup.Dedup.containmentPairsAdaptive(fuzz, cap, t)) == naive)
+    }
+  }
+
+  test("containment cost model picks direct on dense, prefix on junk-shingle stats") {
+    // dense regime — the sf0.1 synthetic corpus's measured shape:
+    // Σdf² 72M, prefix candidates ≈ all 12.5M pairs, avg 51 postings/doc
+    // → verify re-enumerates everything, direct wins (measured 36 vs 55 s)
+    assert(dedup.Dedup.preferDirectContainment(
+      sumDf2 = 72_000_000L, candRows = 21_000_000L,
+      maxPairs = 12_497_500L, avgPostingsPerDoc = 51.0))
+    // junk-mid-df regime: a few df≈10k boilerplate shingles under the
+    // cap drive Σdf² to 500M, but typical docs' prefixes are near-unique
+    // so the candidate join measures tiny → prefix wins
+    assert(!dedup.Dedup.preferDirectContainment(
+      sumDf2 = 500_000_000L, candRows = 1_000_000L,
+      maxPairs = 499_999_500_000L, avgPostingsPerDoc = 50.0))
+  }
+
   test("degenerate corpora: empty cutpoints and a NULL Heaps beta, no NPE") {
     import spark.implicits._
     val blank = Seq((1L, " "), (2L, "")).toDF("doc_id", "text")
