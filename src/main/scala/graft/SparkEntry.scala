@@ -4,7 +4,7 @@ import graft.dedup.Dedup
 import graft.kg.{ConnectedComponents, Kg}
 import graft.ner.NerSpark
 import graft.sim.Ann
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -170,6 +170,33 @@ object SparkEntry {
 
   /** The same set as a SQL IN-list body, so engine and oracle share it. */
   private val FunctionalPredsSql = FunctionalPreds.map(p => s"'$p'").mkString(", ")
+
+  /** q101's second extractor vocabulary: the rename map extractor B
+    * emits its predicates under. ONE definition feeds both the Spark
+    * rename expression and the oracle's CASE so they cannot drift. */
+  private val PredAliases = Seq(
+    "uses_tool" -> "tool_used", "performs" -> "op_performed",
+    "involves" -> "actor_of", "consumes" -> "data_read")
+
+  /** [[PredAliases]] as a SQL CASE over column `pred`. */
+  private val PredAliasCase = PredAliases
+    .map { case (a, b) => s"WHEN '$a' THEN '$b'" }
+    .mkString("CASE pred ", " ", " END")
+
+  /** [[PredAliases]] as a Catalyst when-chain over column `pred`. */
+  private def predAliasExpr: Column = PredAliases.tail
+    .foldLeft(when(col("pred") === PredAliases.head._1,
+      lit(PredAliases.head._2))) {
+      case (e, (a, b)) => e.when(col("pred") === a, lit(b))
+    }
+
+  /** q102's fused-corruption parameters: each of the three sources
+    * mis-extracts the nation fact on its own residue class mod 7, so
+    * every subject keeps a 2-of-3 majority and the vote provably
+    * recovers the clean fact (asserted by the spec, measured by the
+    * oracle). */
+  private val FusionSources = 3
+  private val FusionCorruptMod = 7
 
   /** q79's sorted-neighborhood width and edit-distance ceiling: the dirty
     * variants sort within 1–2 ranks of their clean record, and both dirt
@@ -1224,6 +1251,38 @@ object SparkEntry {
       graft.kg.Ontology.domainViolations(s,
         Kg.triples(linked, NerSpark.Predicates), types, PredDomains)
     }),
+    // PARIS-style predicate alignment: extractor A (docs with id%3≠0,
+    // original vocabulary) vs extractor B (docs with id%3≠1, every
+    // predicate renamed) — the rename map is recovered purely from
+    // shared (subj, obj) evidence, no name similarity (see
+    // kg.Ontology.alignPredicates)
+    "q101_pred_alignment" -> ((s, dir) => {
+      val tr = kgTriples(s, dir)
+      val did = regexp_extract(col("obj"), "^doc://(\\d+)$", 1).cast("long")
+      graft.kg.Ontology.alignPredicates(
+        tr.filter(did % 3 =!= 0),
+        tr.filter(did % 3 =!= 1).withColumn("pred", predAliasExpr))
+    }),
+    // multi-source fact fusion: three extractor sources each corrupt the
+    // functional in_nation fact on their own suppkey residue class mod 7
+    // → deterministic majority vote resolves every subject back to the
+    // clean fact (the ACTION on q78's violation audit; see
+    // kg.Fusion.majorityVote)
+    "q102_fact_fusion" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val claims = (0 until FusionSources).map { k =>
+        sup.select(
+          concat(lit("s_"), col("s_suppkey").cast("string")).as("subj"),
+          lit("in_nation").as("pred"),
+          concat(lit("n_"),
+            when((col("s_suppkey") + k) % FusionCorruptMod === 0,
+              (col("s_nationkey") + 1 + k) % 25)
+              .otherwise(col("s_nationkey")).cast("string")).as("obj"),
+          lit(k).as("source"))
+      }.reduce(_ union _)
+      graft.kg.Fusion.majorityVote(claims)
+    }),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -2110,6 +2169,47 @@ object SparkEntry {
          | LEFT JOIN typ ON typ.entity_id = g.subj
          |   AND typ.type = dom.required_type
          | WHERE typ.entity_id IS NULL""".stripMargin.replaceAll("\n", " "),
+    // q82's doc_id%3 snapshot split + the shared PredAliasCase rename on
+    // side B; alignment = per-pair (subj,obj) overlap with per-predicate
+    // totals (counts are over DISTINCT triples on each side)
+    "q101_pred_alignment" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj, d.doc_id AS did
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | a AS (SELECT DISTINCT subj, pred, obj FROM tr WHERE did % 3 != 0),
+         | b AS (SELECT DISTINCT subj, $PredAliasCase AS pred, obj
+         |   FROM tr WHERE did % 3 != 1),
+         | na AS (SELECT pred AS pred_a, count(*) AS n_a FROM a GROUP BY 1),
+         | nb AS (SELECT pred AS pred_b, count(*) AS n_b FROM b GROUP BY 1),
+         | nboth AS (SELECT a.pred AS pred_a, b.pred AS pred_b,
+         |   count(*) AS n_both
+         |  FROM a JOIN b ON a.subj = b.subj AND a.obj = b.obj GROUP BY 1, 2)
+         | SELECT pred_a, pred_b, n_a, n_b, n_both,
+         |  round(n_both / (n_a + n_b - n_both), 4) AS jaccard
+         | FROM nboth JOIN na USING (pred_a) JOIN nb USING (pred_b)"""
+        .stripMargin.replaceAll("\n", " "),
+    // the three corrupted sources replayed via a fixed-bound series;
+    // count(DISTINCT source) == the engine's distinct-then-count;
+    // window sum cast to BIGINT (DuckDB sums to HUGEINT)
+    "q102_fact_fusion" ->
+      s"""WITH src AS (
+         |  SELECT 's_' || s_suppkey AS subj, 'in_nation' AS pred,
+         |   'n_' || (CASE WHEN (s_suppkey + g.k) % $FusionCorruptMod = 0
+         |     THEN (s_nationkey + 1 + g.k) % 25
+         |     ELSE s_nationkey END) AS obj,
+         |   g.k AS source
+         |  FROM supplier CROSS JOIN generate_series(0, ${FusionSources - 1}) g(k)),
+         | votes AS (SELECT subj, pred, obj,
+         |   count(DISTINCT source) AS n_votes FROM src GROUP BY 1, 2, 3),
+         | ranked AS (SELECT subj, pred, obj, n_votes,
+         |   (sum(n_votes) OVER (PARTITION BY subj, pred))::bigint AS n_claims,
+         |   row_number() OVER (PARTITION BY subj, pred
+         |     ORDER BY n_votes DESC, obj ASC) AS rn
+         |  FROM votes)
+         | SELECT subj, pred, obj, n_votes, n_claims,
+         |  n_votes = n_claims AS unanimous
+         | FROM ranked WHERE rn = 1""".stripMargin.replaceAll("\n", " "),
     // gap-sessionization replay: same (sec, event_id) tie order as q45;
     // session_idx cast to BIGINT (DuckDB sums to HUGEINT)
     "q76_sessionize" ->

@@ -71,6 +71,47 @@ object Ontology {
       .select(col("subj"), col("pred"), col("required_type"), col("n_triples"))
   }
 
+  /** PARIS-style predicate alignment between two extractor vocabularies
+    * (Suchanek/Abiteboul/Senellart, VLDB 2012 — the probabilistic
+    * ontology-alignment system; we compute its set-overlap evidence in
+    * its symmetric Jaccard form). Two extraction runs over the same
+    * corpus — different prompt versions, different upstream models —
+    * emit the same FACTS under different predicate names; alignment
+    * recovers the rename map from shared `(subj, obj)` evidence alone,
+    * with no string similarity on the names: predicates `pa` and `pb`
+    * align when the instance sets `{(s,o) : (s,pa,o) ∈ A}` and
+    * `{(s,o) : (s,pb,o) ∈ B}` overlap.
+    *
+    * Returns every co-occurring pair
+    * `(pred_a, pred_b, n_a, n_b, n_both, jaccard)` — thresholding is the
+    * consumer's decision, so the operator stays measurement-only.
+    *
+    * Scale shape: each side collapses to distinct fact triples (one
+    * exchange keyed by the full triple, map-side combined); the equi-join
+    * on `(subj, obj)` is partitioned by the fact key and its output
+    * aggregates map-side down to at most |vocab_a|·|vocab_b| rows; the
+    * per-predicate totals are vocabulary-sized relations broadcast onto
+    * the pair counts. Nothing corpus-sized crosses the network twice.
+    *
+    * @param a `(subj, pred, obj)` triples from extractor A
+    * @param b `(subj, pred, obj)` triples from extractor B
+    */
+  def alignPredicates(a: DataFrame, b: DataFrame): DataFrame = {
+    val da = a.select("subj", "pred", "obj").distinct()
+    val db = b.select("subj", "pred", "obj").distinct()
+    val na = da.groupBy(col("pred").as("pred_a")).agg(count(lit(1)).as("n_a"))
+    val nb = db.groupBy(col("pred").as("pred_b")).agg(count(lit(1)).as("n_b"))
+    da.as("a").join(db.as("b"), Seq("subj", "obj"))
+      .groupBy(col("a.pred").as("pred_a"), col("b.pred").as("pred_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(na), "pred_a")
+      .join(broadcast(nb), "pred_b")
+      .select(col("pred_a"), col("pred_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both") / (col("n_a") + col("n_b") - col("n_both")), 4)
+          .as("jaccard"))
+  }
+
   /** VoID-style predicate cardinality profile — the dataset-statistics
     * block (`void:properties`, `void:distinctSubjects`/`Objects`,
     * W3C VoID vocabulary) every published KG ships, and the planner input

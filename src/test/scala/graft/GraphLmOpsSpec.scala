@@ -270,6 +270,69 @@ class GraphLmOpsSpec extends AnyFunSuite {
     assert(got == Map(0 -> ((3L, 1L, 1L)), 1 -> ((1L, 3L, 3L))))
   }
 
+  test("predicate alignment recovers a rename from shared facts only") {
+    import spark.implicits._
+    // A asserts p over 3 facts; B renames p→q but only saw 2 of them,
+    // plus one fact A never saw. Unrelated r/s share nothing.
+    val a = Seq(("s1", "p", "o1"), ("s2", "p", "o2"), ("s3", "p", "o3"),
+      ("s9", "r", "o9")).toDF("subj", "pred", "obj")
+    val b = Seq(("s1", "q", "o1"), ("s2", "q", "o2"), ("s4", "q", "o4"),
+      ("s8", "s", "o8")).toDF("subj", "pred", "obj")
+    val got = kg.Ontology.alignPredicates(a, b).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only the truly-aligned pair co-occurs: |A_p|=3, |B_q|=3, both=2,
+    // jaccard = 2/(3+3-2) = 0.5; r/s never surface
+    assert(got == Map(("p", "q") -> ((3L, 3L, 2L, 0.5))))
+  }
+
+  test("alignment counts distinct facts, not re-assertions") {
+    import spark.implicits._
+    val a = Seq(("s1", "p", "o1"), ("s1", "p", "o1")).toDF("subj", "pred", "obj")
+    val b = Seq(("s1", "q", "o1")).toDF("subj", "pred", "obj")
+    val row = kg.Ontology.alignPredicates(a, b).head()
+    assert((row.getLong(2), row.getLong(3), row.getLong(4), row.getDouble(5))
+      == ((1L, 1L, 1L, 1.0)))
+  }
+
+  test("majority vote picks the best-supported object per item") {
+    import spark.implicits._
+    val facts = Seq(
+      // s1: 2 votes for oA, 1 for oB → oA wins, not unanimous
+      ("s1", "p", "oA", 0), ("s1", "p", "oA", 1), ("s1", "p", "oB", 2),
+      // s2: unanimous across 3 sources
+      ("s2", "p", "oC", 0), ("s2", "p", "oC", 1), ("s2", "p", "oC", 2))
+      .toDF("subj", "pred", "obj", "source")
+    val got = kg.Fusion.majorityVote(facts).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got == Map(
+      "s1" -> (("oA", 2L, 3L, false)),
+      "s2" -> (("oC", 3L, 3L, true))))
+  }
+
+  test("vote ties break to the smallest object, deterministically") {
+    import spark.implicits._
+    val facts = Seq(("s1", "p", "oB", 0), ("s1", "p", "oA", 1))
+      .toDF("subj", "pred", "obj", "source")
+    val row = kg.Fusion.majorityVote(facts).head()
+    assert((row.getString(2), row.getLong(3), row.getLong(4),
+      row.getBoolean(5)) == (("oA", 1L, 2L, false)))
+  }
+
+  test("a chatty source re-asserting the same claim gets one vote") {
+    import spark.implicits._
+    val facts = Seq(
+      ("s1", "p", "oA", 0), ("s1", "p", "oA", 0), ("s1", "p", "oA", 0),
+      ("s1", "p", "oB", 1), ("s1", "p", "oB", 2))
+      .toDF("subj", "pred", "obj", "source")
+    val row = kg.Fusion.majorityVote(facts).head()
+    // source 0's three re-assertions collapse to ONE vote; oB's two
+    // distinct sources outvote it
+    assert((row.getString(2), row.getLong(3), row.getLong(4),
+      row.getBoolean(5)) == (("oB", 2L, 3L, false)))
+  }
+
   test("measured hub cap is the p75 degree percentile, floored at 2") {
     // path 1-2-3-4: degrees {1,2,2,1}; exact p75 over [1,1,2,2] = 2
     assert(LinkPredict.measuredHubCap(
