@@ -198,6 +198,52 @@ object SparkEntry {
   private val FusionSources = 3
   private val FusionCorruptMod = 7
 
+  /** q104's reliability construction: sources 0 and 1 are a CORRELATED
+    * coin-flip pair (both corrupt every suppkey ≡ 0 mod [[Q104PairMod]]
+    * the same way — the failure mode unweighted majority cannot escape),
+    * source 2 is a 95%-reliable solo (corrupts only mod [[Q104SoloMod]]);
+    * the calibration gold is the true facts on the
+    * `suppkey % [[Q104GoldMod]] < [[Q104GoldKeep]]` subset. */
+  private val Q104PairMod = 2
+  private val Q104SoloMod = 20
+  private val Q104GoldMod = 10
+  private val Q104GoldKeep = 3
+
+  /** q104's claim stream: per-source corruption per the constants above.
+    * Shared by the query, the weight calibration, and (via the same
+    * constants) the oracle SQL, so the three cannot drift. */
+  private def weightedFusionClaims(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    def src(corrupt: Column, delta: Int, k: Int): DataFrame = sup.select(
+      concat(lit("s_"), col("s_suppkey").cast("string")).as("subj"),
+      lit("in_nation").as("pred"),
+      concat(lit("n_"),
+        when(corrupt, (col("s_nationkey") + delta) % 25)
+          .otherwise(col("s_nationkey")).cast("string")).as("obj"),
+      lit(k).as("source"))
+    src(col("s_suppkey") % Q104PairMod === 0, 1, 0)
+      .union(src(col("s_suppkey") % Q104PairMod === 0, 1, 1))
+      .union(src(col("s_suppkey") % Q104SoloMod === 0, 2, 2))
+  }
+
+  /** q104's calibration gold: the TRUE facts on the deterministic subset. */
+  private def weightedFusionGold(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .filter(col("s_suppkey") % Q104GoldMod < Q104GoldKeep)
+      .select(
+        concat(lit("s_"), col("s_suppkey").cast("string")).as("subj"),
+        lit("in_nation").as("pred"),
+        concat(lit("n_"), col("s_nationkey").cast("string")).as("obj"))
+
+  /** q104's engine-measured source weights per sf dir — micro-log-odds
+    * longs, inlined into the oracle (the q42/q73/q95 measured-literals
+    * pattern) so no transcendental is ever recomputed cross-engine. */
+  private val FusionWeightsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Long]]
+  private def q104Weights(s: SparkSession, dir: String): Map[String, Long] =
+    FusionWeightsMemo.getOrElseUpdate(dir, graft.kg.Fusion.sourceWeightsMicro(
+      weightedFusionClaims(s, dir), weightedFusionGold(s, dir)))
+
   /** q79's sorted-neighborhood width and edit-distance ceiling: the dirty
     * variants sort within 1–2 ranks of their clean record, and both dirt
     * modes are ≤ 1 edit away. */
@@ -1283,6 +1329,26 @@ object SparkEntry {
       }.reduce(_ union _)
       graft.kg.Fusion.majorityVote(claims)
     }),
+    // capture–recapture completeness estimation: two salted 70%-per-fact
+    // "captures" of the KG (independent md5 coin flips per fact, the
+    // shared Buckets primitive) → Lincoln–Petersen/Chapman estimates of
+    // the unobservable fact population per predicate — the non-parametric
+    // recall method (Luggen et al. ISWC 2019); see Ontology.captureRecapture
+    "q103_recall_estimate" -> ((s, dir) => {
+      val tr = kgTriples(s, dir).select("subj", "pred", "obj")
+      def capture(salt: String) = tr.filter(graft.core.Buckets.md5Bucket(
+        concat_ws("|", lit(salt), col("subj"), col("pred"), col("obj")),
+        10) < 7)
+      graft.kg.Ontology.captureRecapture(capture("cra"), capture("crb"))
+    }),
+    // reliability-weighted fusion: a correlated coin-flip source PAIR
+    // agrees on a wrong fact for every even suppkey — unweighted majority
+    // (q102) is structurally wrong there, while log-odds weights
+    // calibrated on the gold subset give the pair ~zero combined voice
+    // and the 95%-reliable solo wins; see kg.Fusion.weightedVote
+    "q104_weighted_fusion" -> ((s, dir) =>
+      graft.kg.Fusion.weightedVote(
+        weightedFusionClaims(s, dir), q104Weights(s, dir))),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -2210,6 +2276,32 @@ object SparkEntry {
          | SELECT subj, pred, obj, n_votes, n_claims,
          |  n_votes = n_claims AS unanimous
          | FROM ranked WHERE rn = 1""".stripMargin.replaceAll("\n", " "),
+    // q103: the q101 triple derivation, two salted md5 captures (the
+    // documented Buckets replay form), then pure per-predicate arithmetic
+    // — Chapman is (n_a+1)(n_b+1)/(n_both+1)−1 in BOTH engines with the
+    // same operation order, and Petersen NULLs out on empty overlap
+    "q103_recall_estimate" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | a AS (SELECT subj, pred, obj FROM tr
+         |  WHERE ('0x' || substr(md5('cra|' || subj || '|' || pred || '|' || obj),
+         |    1, 8))::BIGINT % 10 < 7),
+         | b AS (SELECT subj, pred, obj FROM tr
+         |  WHERE ('0x' || substr(md5('crb|' || subj || '|' || pred || '|' || obj),
+         |    1, 8))::BIGINT % 10 < 7),
+         | na AS (SELECT pred, count(*) AS n_a FROM a GROUP BY 1),
+         | nb AS (SELECT pred, count(*) AS n_b FROM b GROUP BY 1),
+         | nboth AS (SELECT pred, count(*) AS n_both
+         |  FROM a JOIN b USING (subj, pred, obj) GROUP BY 1)
+         | SELECT pred, n_a, n_b, n_both,
+         |  round(n_a * n_b / nullif(n_both, 0), 4) AS est_petersen,
+         |  round((n_a + 1) * (n_b + 1) / (n_both + 1) - 1, 4) AS est_chapman,
+         |  round(n_a / ((n_a + 1) * (n_b + 1) / (n_both + 1) - 1), 4) AS recall_a,
+         |  round(n_b / ((n_a + 1) * (n_b + 1) / (n_both + 1) - 1), 4) AS recall_b
+         | FROM nboth JOIN na USING (pred) JOIN nb USING (pred)"""
+        .stripMargin.replaceAll("\n", " "),
     // gap-sessionization replay: same (sec, event_id) tie order as q45;
     // session_idx cast to BIGINT (DuckDB sums to HUGEINT)
     "q76_sessionize" ->
@@ -2511,7 +2603,38 @@ object SparkEntry {
       "q95_perplexity_buckets" -> graft.quality.LmScore.bucketsOracleSql(
         PerplexityCutsMemo.getOrElseUpdate(sfDir,
           graft.quality.LmScore.scoreCutpoints(
-            t(spark, sfDir, "documents"), 10))))
+            t(spark, sfDir, "documents"), 10))),
+      // q104's weights are the ENGINE's micro-log-odds longs inlined as a
+      // CASE — the only transcendental (ln) runs once, engine-side; every
+      // oracle-side sum and comparison is exact integer arithmetic
+      "q104_weighted_fusion" -> {
+        val w = q104Weights(spark, sfDir)
+        val wCase = (0 until FusionSources)
+          .map(k => s"WHEN $k THEN ${w.getOrElse(k.toString, 0L)}")
+          .mkString("CASE source ", " ", " ELSE 0 END")
+        s"""WITH src AS (
+           | SELECT 's_' || s_suppkey AS subj, 'in_nation' AS pred,
+           |  'n_' || (CASE WHEN g.k <= 1 AND s_suppkey % $Q104PairMod = 0
+           |    THEN (s_nationkey + 1) % 25
+           |   WHEN g.k = 2 AND s_suppkey % $Q104SoloMod = 0
+           |    THEN (s_nationkey + 2) % 25
+           |   ELSE s_nationkey END) AS obj,
+           |  g.k AS source
+           | FROM supplier CROSS JOIN generate_series(0, ${FusionSources - 1}) g(k)),
+           | votes AS (SELECT DISTINCT subj, pred, obj, source FROM src),
+           | scored AS (SELECT subj, pred, obj, count(*) AS n_votes,
+           |   (sum($wCase))::bigint AS score_micro
+           |  FROM votes GROUP BY 1, 2, 3),
+           | ranked AS (SELECT subj, pred, obj, n_votes, score_micro,
+           |   row_number() OVER (PARTITION BY subj, pred
+           |     ORDER BY score_micro DESC, obj ASC) AS rn,
+           |   first_value(obj) OVER (PARTITION BY subj, pred
+           |     ORDER BY n_votes DESC, obj ASC) AS vote_winner
+           |  FROM scored)
+           | SELECT subj, pred, obj, n_votes, score_micro,
+           |  obj != vote_winner AS flipped
+           | FROM ranked WHERE rn = 1""".stripMargin.replaceAll("\n", " ")
+      })
     val cent = graft.sim.Ivf.centroidsFor(
       spark, t(spark, sfDir, "embeddings"), 16, 5, 100000)
     oracleSql ++ derived + ("q42_ann_ivf" -> (

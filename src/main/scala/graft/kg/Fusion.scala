@@ -37,6 +37,80 @@ object Fusion {
     * item, and an item carries at most one row per (source, object)
     * pair — source-count-bounded, never corpus-bounded.
     */
+  /** Per-source reliability weights for [[weightedVote]], calibrated on a
+    * labeled gold subset — the naive-Bayes/Dawid-Skene log-odds rule:
+    * a source with Laplace-smoothed gold accuracy `a` votes with weight
+    * `ln(a / (1 - a))`, so a coin-flip source weighs ~0, an anti-correlated
+    * source weighs NEGATIVE, and weights ADD across independent sources.
+    * Weights are returned as micro-log-odds LONGS (`round(w * 1e6)`) so
+    * every downstream sum and comparison is exact integer arithmetic —
+    * no float-summation-order hazard in the engine or in a replaying
+    * oracle (the q42 engine-measured-literals pattern).
+    *
+    * The collect is bounded by the DISTINCT SOURCE COUNT (a handful of
+    * extractors), never by the claim volume: one map-side-combined
+    * aggregation over the gold join, then a driver-side log per source.
+    *
+    * @param claims `(subj, pred, obj, source)` claim rows
+    * @param gold   `(subj, pred, obj)` trusted facts on a calibration
+    *               subset of the items
+    * @return source (as string) → micro-log-odds weight
+    */
+  def sourceWeightsMicro(claims: DataFrame, gold: DataFrame): Map[String, Long] = {
+    val votes = claims.select("subj", "pred", "obj", "source").distinct()
+    val g = gold.select(col("subj"), col("pred"), col("obj").as("gold_obj"))
+      .distinct()
+    votes.join(g, Seq("subj", "pred"))
+      .groupBy(col("source").cast("string").as("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("obj") === col("gold_obj"), 1L).otherwise(0L)).as("c"))
+      .collect()
+      .map { r =>
+        val a = (r.getLong(2) + 1).toDouble / (r.getLong(1) + 2)
+        r.getString(0) -> Math.round(Math.log(a / (1 - a)) * 1e6)
+      }.toMap
+  }
+
+  /** Reliability-weighted truth discovery — the step up from
+    * [[majorityVote]] when sources are NOT equally trustworthy (Dong &
+    * Srivastava's data-fusion survey; Li et al. VLDB 2013): each object's
+    * support is the SUM of its backing sources' log-odds weights, so two
+    * correlated coin-flip sources agreeing on a wrong value (combined
+    * weight ~0) lose to one reliable dissenter — the exact failure mode
+    * unweighted voting cannot escape.
+    *
+    * Output one row per `(subj, pred)` item:
+    * `(subj, pred, obj, n_votes, score_micro, flipped)` where `obj` is the
+    * weighted winner (ties broken by the smallest object), `score_micro`
+    * its exact integer weight sum, and `flipped` whether the weighted
+    * winner differs from what unweighted majority vote would have picked.
+    *
+    * Scale shape: identical to [[majorityVote]] — one claim-collapsing
+    * exchange (the weight lookup is a broadcast-free literal map), then
+    * one exchange keyed by the fact item feeding both window passes
+    * (weighted rank and unweighted winner share the partition sort).
+    * Sources absent from the calibration map vote with weight 0, the
+    * uninformative Bayes prior.
+    */
+  def weightedVote(claims: DataFrame, weightsMicro: Map[String, Long]): DataFrame = {
+    val votes = claims.select("subj", "pred", "obj", "source").distinct()
+      .withColumn("w", coalesce(
+        element_at(typedLit(weightsMicro), col("source").cast("string")),
+        lit(0L)))
+    val scored = votes.groupBy("subj", "pred", "obj")
+      .agg(count(lit(1)).as("n_votes"), sum(col("w")).as("score_micro"))
+    val item = Window.partitionBy("subj", "pred")
+    val byScore = item.orderBy(col("score_micro").desc, col("obj").asc)
+    val byVotes = item.orderBy(col("n_votes").desc, col("obj").asc)
+    scored
+      .withColumn("vote_winner", first(col("obj")).over(byVotes))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") === 1)
+      .select(col("subj"), col("pred"), col("obj"), col("n_votes"),
+        col("score_micro"),
+        (col("obj") =!= col("vote_winner")).as("flipped"))
+  }
+
   def majorityVote(facts: DataFrame): DataFrame = {
     val votes = facts.select("subj", "pred", "obj", "source").distinct()
       .groupBy("subj", "pred", "obj")

@@ -112,6 +112,49 @@ object Ontology {
           .as("jaccard"))
   }
 
+  /** Capture–recapture KG recall estimation per predicate (Lincoln–
+    * Petersen, with Chapman's 1951 bias-corrected form) — the
+    * non-parametric completeness method the KG literature applies when
+    * the true fact population is unobservable (Luggen et al.,
+    * "Non-Parametric Class Completeness Estimation", ISWC 2019;
+    * Trushkowsky et al., ICDE 2013 crowd-enumeration): treat two
+    * independent extraction runs as two "captures" of the same unknown
+    * fact population, and the overlap rate estimates the population
+    * size — `n̂ = n_a·n_b / n_both` — hence each side's recall.
+    *
+    * Both inputs must share one predicate vocabulary (align with
+    * [[alignPredicates]] first if they don't). Output one row per
+    * predicate observed on both sides:
+    * `(pred, n_a, n_b, n_both, est_petersen, est_chapman, recall_a,
+    * recall_b)` — recalls are against the Chapman estimate (defined even
+    * at zero overlap); the Petersen column is NULL when the overlap is
+    * empty rather than a division blow-up.
+    *
+    * Scale shape: two distinct-fact collapses (map-side combined), one
+    * equi-join on the full fact key for the overlap, then everything
+    * downstream is vocabulary-sized — the three per-predicate aggregates
+    * meet in broadcast joins. Nothing corpus-sized is exchanged twice.
+    */
+  def captureRecapture(a: DataFrame, b: DataFrame): DataFrame = {
+    val da = a.select("subj", "pred", "obj").distinct()
+    val db = b.select("subj", "pred", "obj").distinct()
+    val na = da.groupBy("pred").agg(count(lit(1)).as("n_a"))
+    val nb = db.groupBy("pred").agg(count(lit(1)).as("n_b"))
+    val nboth = da.join(db, Seq("subj", "pred", "obj"))
+      .groupBy("pred").agg(count(lit(1)).as("n_both"))
+    val chapman = (col("n_a") + 1) * (col("n_b") + 1) /
+      (col("n_both") + 1) - 1
+    nboth
+      .join(broadcast(na), "pred")
+      .join(broadcast(nb), "pred")
+      .select(col("pred"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_a") * col("n_b") / nullif(col("n_both"), lit(0)), 4)
+          .as("est_petersen"),
+        round(chapman, 4).as("est_chapman"),
+        round(col("n_a") / chapman, 4).as("recall_a"),
+        round(col("n_b") / chapman, 4).as("recall_b"))
+  }
+
   /** VoID-style predicate cardinality profile — the dataset-statistics
     * block (`void:properties`, `void:distinctSubjects`/`Objects`,
     * W3C VoID vocabulary) every published KG ships, and the planner input

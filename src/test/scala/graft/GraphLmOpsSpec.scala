@@ -333,6 +333,80 @@ class GraphLmOpsSpec extends AnyFunSuite {
       row.getBoolean(5)) == (("oB", 2L, 3L, false)))
   }
 
+  test("capture-recapture recovers the universe size exactly on full cycles") {
+    import spark.implicits._
+    // universe of 12 facts; capture A keeps i%3!=0 (8 facts), capture B
+    // keeps i%4!=0 (9 facts) — over the full lcm cycle the captures are
+    // exactly independent, so Petersen must recover N = 12 exactly
+    def facts(keep: Int => Boolean) = (1 to 12).filter(keep)
+      .map(i => (s"s$i", "p", s"o$i")).toDF("subj", "pred", "obj")
+    val r = kg.Ontology.captureRecapture(
+      facts(_ % 3 != 0), facts(_ % 4 != 0)).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((8L, 9L, 6L)))
+    assert(r.getDouble(4) == 12.0) // Petersen: 8*9/6
+    assert(r.getDouble(5) == 11.8571) // Chapman: 9*10/7 - 1
+    assert(r.getDouble(6) == 0.6747) // recall_a = 8/11.857...
+    assert(r.getDouble(7) == 0.759) // recall_b = 9/11.857...
+  }
+
+  test("capture-recapture nulls Petersen on empty overlap, Chapman survives") {
+    import spark.implicits._
+    val a = Seq(("s1", "p", "o1")).toDF("subj", "pred", "obj")
+    val b = Seq(("s2", "p", "o2")).toDF("subj", "pred", "obj")
+    // disjoint captures co-occur on no fact → no row at all (the pred
+    // never reaches the overlap aggregate); a one-fact overlap on a
+    // second predicate still reports
+    assert(kg.Ontology.captureRecapture(a, b).count() == 0)
+    val b2 = Seq(("s1", "p", "o1"), ("s3", "p", "o3")).toDF("subj", "pred", "obj")
+    val r = kg.Ontology.captureRecapture(a, b2).head()
+    assert((r.getLong(3), r.getDouble(4), r.getDouble(5)) == ((1L, 2.0, 2.0)))
+  }
+
+  test("log-odds weights: coin-flip 0, reliable positive, adversarial negative") {
+    import spark.implicits._
+    val gold = (1 to 4).map(i => (s"i$i", "p", "T")).toDF("subj", "pred", "obj")
+    val claims = ((1 to 4).flatMap { i =>
+      Seq((s"i$i", "p", if (i <= 2) "F" else "T", "flip"), // right on 2 of 4
+        (s"i$i", "p", "T", "good"), // right on 4 of 4
+        (s"i$i", "p", "F", "bad")) // right on 0 of 4
+    }).toDF("subj", "pred", "obj", "source")
+    val w = kg.Fusion.sourceWeightsMicro(claims, gold)
+    // smoothed accuracies 3/6, 5/6, 1/6 → ln(1)=0, ln(5), ln(1/5)
+    assert(w == Map("flip" -> 0L, "good" -> 1609438L, "bad" -> -1609438L))
+  }
+
+  test("weighted vote lets one reliable source outvote a correlated pair") {
+    import spark.implicits._
+    // sources a+b are a correlated coin-flip pair (wrong the SAME way on
+    // i1, i2); source c is always right; calibrate on all four items
+    val gold = (1 to 4).map(i => (s"i$i", "p", "T")).toDF("subj", "pred", "obj")
+    val claims = ((1 to 4).flatMap { i =>
+      val pairObj = if (i <= 2) "F" else "T"
+      Seq((s"i$i", "p", pairObj, "a"), (s"i$i", "p", pairObj, "b"),
+        (s"i$i", "p", "T", "c"))
+    }).toDF("subj", "pred", "obj", "source")
+    val w = kg.Fusion.sourceWeightsMicro(claims, gold)
+    val got = kg.Fusion.weightedVote(claims, w).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // i1/i2: majority (2 votes) says F, but the pair's combined weight is
+    // 0 vs c's ln(5) — the weighted winner FLIPS to the truth
+    assert(got("i1") == (("T", 1L, 1609438L, true)))
+    assert(got("i2") == (("T", 1L, 1609438L, true)))
+    // i3/i4: unanimous, no flip, all three weights sum
+    assert(got("i3") == (("T", 3L, 1609438L, false)))
+  }
+
+  test("a source absent from the calibration map votes with weight zero") {
+    import spark.implicits._
+    val claims = Seq(("i1", "p", "A", "unknown"), ("i1", "p", "B", "known"))
+      .toDF("subj", "pred", "obj", "source")
+    val row = kg.Fusion.weightedVote(claims, Map("known" -> 5L)).head()
+    // A would win the unweighted obj-asc tie; weight 5 flips it to B
+    assert((row.getString(2), row.getLong(4), row.getBoolean(5))
+      == (("B", 5L, true)))
+  }
+
   test("measured hub cap is the p75 degree percentile, floored at 2") {
     // path 1-2-3-4: degrees {1,2,2,1}; exact p75 over [1,1,2,2] = 2
     assert(LinkPredict.measuredHubCap(
