@@ -198,6 +198,12 @@ object SparkEntry {
   private val FusionSources = 3
   private val FusionCorruptMod = 7
 
+  /** q105's alignment-acceptance threshold — shared by the engine merge
+    * and the oracle replay. The two-thirds doc splits make a true rename
+    * pair's Jaccard ≈ 1/3, while spurious pairs need genuinely shared
+    * facts to reach 0.2 at all. */
+  private val MergeMinJaccard = 0.2
+
   /** q104's reliability construction: sources 0 and 1 are a CORRELATED
     * coin-flip pair (both corrupt every suppkey ≡ 0 mod [[Q104PairMod]]
     * the same way — the failure mode unweighted majority cannot escape),
@@ -1349,6 +1355,18 @@ object SparkEntry {
     "q104_weighted_fusion" -> ((s, dir) =>
       graft.kg.Fusion.weightedVote(
         weightedFusionClaims(s, dir), q104Weights(s, dir))),
+    // the ACTION on q101's alignment: merge the two extractor KGs — B's
+    // predicates rewritten through the recovered rename map (threshold
+    // MergeMinJaccard, best canon per pred_b), union collapsed to distinct
+    // facts with per-side provenance; see kg.Ontology.mergeAligned
+    "q105_kg_merge" -> ((s, dir) => {
+      val tr = kgTriples(s, dir)
+      val did = regexp_extract(col("obj"), "^doc://(\\d+)$", 1).cast("long")
+      graft.kg.Ontology.mergeAligned(
+        tr.filter(did % 3 =!= 0),
+        tr.filter(did % 3 =!= 1).withColumn("pred", predAliasExpr),
+        MergeMinJaccard)
+    }),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -2302,6 +2320,38 @@ object SparkEntry {
          |  round(n_b / ((n_a + 1) * (n_b + 1) / (n_both + 1) - 1), 4) AS recall_b
          | FROM nboth JOIN na USING (pred) JOIN nb USING (pred)"""
         .stripMargin.replaceAll("\n", " "),
+    // q105: q101's alignment CTEs → threshold + best-canon-per-pred_b →
+    // rename B through the map (LEFT join — unaligned B predicates keep
+    // their name) → distinct union with per-side provenance flags
+    "q105_kg_merge" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj, d.doc_id AS did
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | a AS (SELECT DISTINCT subj, pred, obj FROM tr WHERE did % 3 != 0),
+         | b AS (SELECT DISTINCT subj, $PredAliasCase AS pred, obj
+         |   FROM tr WHERE did % 3 != 1),
+         | na AS (SELECT pred AS pred_a, count(*) AS n_a FROM a GROUP BY 1),
+         | nb AS (SELECT pred AS pred_b, count(*) AS n_b FROM b GROUP BY 1),
+         | nboth AS (SELECT a.pred AS pred_a, b.pred AS pred_b,
+         |   count(*) AS n_both
+         |  FROM a JOIN b ON a.subj = b.subj AND a.obj = b.obj GROUP BY 1, 2),
+         | al AS (SELECT pred_a, pred_b,
+         |   round(n_both / (n_a + n_b - n_both), 4) AS jaccard
+         |  FROM nboth JOIN na USING (pred_a) JOIN nb USING (pred_b)),
+         | ren AS (SELECT pred_b, pred_a AS canon FROM (
+         |   SELECT pred_a, pred_b, row_number() OVER (PARTITION BY pred_b
+         |     ORDER BY jaccard DESC, pred_a ASC) AS rn
+         |   FROM al WHERE jaccard >= $MergeMinJaccard) t WHERE rn = 1),
+         | u AS (SELECT subj, pred, obj, 'a' AS side FROM a
+         |  UNION ALL
+         |  SELECT b.subj, coalesce(ren.canon, b.pred) AS pred, b.obj,
+         |   'b' AS side
+         |  FROM b LEFT JOIN ren ON ren.pred_b = b.pred)
+         | SELECT subj, pred, obj,
+         |  max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) = 1 AS in_a,
+         |  max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) = 1 AS in_b
+         | FROM u GROUP BY 1, 2, 3""".stripMargin.replaceAll("\n", " "),
     // gap-sessionization replay: same (sec, event_id) tie order as q45;
     // session_idx cast to BIGINT (DuckDB sums to HUGEINT)
     "q76_sessionize" ->

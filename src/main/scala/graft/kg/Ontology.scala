@@ -112,6 +112,42 @@ object Ontology {
           .as("jaccard"))
   }
 
+  /** The ACTION on [[alignPredicates]]' measurement: merge two extractor
+    * KGs into one vocabulary. Alignment pairs at or above `minJaccard`
+    * become a rename map (best `pred_a` per `pred_b` — highest overlap,
+    * ties to the lexicographically smallest canon), B's facts are
+    * rewritten through it (unaligned B predicates keep their own name —
+    * novel vocabulary must survive a merge, not vanish), and the union is
+    * collapsed to distinct facts with per-side provenance:
+    * `(subj, pred, obj, in_a, in_b)`. The same measure-then-act
+    * composition as near-dup pairs → cluster collapse (q61).
+    *
+    * Scale shape: the alignment legs are vocabulary-sized and the rename
+    * map is broadcast onto B's fact stream (narrow); the only
+    * corpus-sized exchange is the final distinct-with-provenance
+    * aggregation, map-side combined on the full fact key.
+    */
+  def mergeAligned(a: DataFrame, b: DataFrame, minJaccard: Double): DataFrame = {
+    val byPredB = org.apache.spark.sql.expressions.Window
+      .partitionBy("pred_b").orderBy(col("jaccard").desc, col("pred_a").asc)
+    val renames = alignPredicates(a, b)
+      .filter(col("jaccard") >= minJaccard)
+      .withColumn("rn", row_number().over(byPredB))
+      .filter(col("rn") === 1)
+      .select(col("pred_b"), col("pred_a").as("canon"))
+    val da = a.select("subj", "pred", "obj").distinct()
+      .withColumn("side", lit("a"))
+    val db = b.select("subj", "pred", "obj").distinct()
+      .join(broadcast(renames), col("pred") === col("pred_b"), "left")
+      .select(col("subj"), coalesce(col("canon"), col("pred")).as("pred"),
+        col("obj"), lit("b").as("side"))
+    da.union(db)
+      .groupBy("subj", "pred", "obj")
+      .agg(
+        (max(when(col("side") === "a", 1).otherwise(0)) === 1).as("in_a"),
+        (max(when(col("side") === "b", 1).otherwise(0)) === 1).as("in_b"))
+  }
+
   /** Capture–recapture KG recall estimation per predicate (Lincoln–
     * Petersen, with Chapman's 1951 bias-corrected form) — the
     * non-parametric completeness method the KG literature applies when

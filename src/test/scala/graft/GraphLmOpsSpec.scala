@@ -362,6 +362,36 @@ class GraphLmOpsSpec extends AnyFunSuite {
     assert((r.getLong(3), r.getDouble(4), r.getDouble(5)) == ((1L, 2.0, 2.0)))
   }
 
+  test("merge rewrites aligned predicates and keeps novel B vocabulary") {
+    import spark.implicits._
+    // p↔q align (2 shared of 3/3); B's "s" never co-occurs → keeps its name
+    val a = Seq(("s1", "p", "o1"), ("s2", "p", "o2"), ("s3", "p", "o3"))
+      .toDF("subj", "pred", "obj")
+    val b = Seq(("s1", "q", "o1"), ("s2", "q", "o2"), ("s4", "q", "o4"),
+      ("s8", "s", "o8")).toDF("subj", "pred", "obj")
+    val got = kg.Ontology.mergeAligned(a, b, 0.2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      ("s1", "p", "o1") -> ((true, true)), // shared fact, one merged row
+      ("s2", "p", "o2") -> ((true, true)),
+      ("s3", "p", "o3") -> ((true, false)), // A-only
+      ("s4", "p", "o4") -> ((false, true)), // B-only, rewritten q→p
+      ("s8", "s", "o8") -> ((false, true)))) // novel B predicate survives
+  }
+
+  test("merge threshold: a sub-threshold alignment is NOT rewritten") {
+    import spark.implicits._
+    // overlap 1 of 3/3 → jaccard 0.2 exactly; threshold 0.5 rejects it
+    val a = Seq(("s1", "p", "o1"), ("s2", "p", "o2"), ("s3", "p", "o3"))
+      .toDF("subj", "pred", "obj")
+    val b = Seq(("s1", "q", "o1"), ("s4", "q", "o4"), ("s5", "q", "o5"))
+      .toDF("subj", "pred", "obj")
+    val preds = kg.Ontology.mergeAligned(a, b, 0.5)
+      .select("pred").distinct().collect().map(_.getString(0)).toSet
+    assert(preds == Set("p", "q")) // q kept its name — no rename applied
+  }
+
   test("log-odds weights: coin-flip 0, reliable positive, adversarial negative") {
     import spark.implicits._
     val gold = (1 to 4).map(i => (s"i$i", "p", "T")).toDF("subj", "pred", "obj")
