@@ -178,17 +178,20 @@ object SparkEntry {
     "uses_tool" -> "tool_used", "performs" -> "op_performed",
     "involves" -> "actor_of", "consumes" -> "data_read")
 
-  /** [[PredAliases]] as a SQL CASE over column `pred`. */
+  /** [[PredAliases]] as a SQL CASE over column `pred` — predicates
+    * outside the map fall through UNCHANGED (a grown vocabulary must
+    * survive the rename, not collapse to NULL). */
   private val PredAliasCase = PredAliases
     .map { case (a, b) => s"WHEN '$a' THEN '$b'" }
-    .mkString("CASE pred ", " ", " END")
+    .mkString("CASE pred ", " ", " ELSE pred END")
 
-  /** [[PredAliases]] as a Catalyst when-chain over column `pred`. */
+  /** [[PredAliases]] as a Catalyst when-chain over column `pred`, same
+    * keep-unknown fall-through as [[PredAliasCase]]. */
   private def predAliasExpr: Column = PredAliases.tail
     .foldLeft(when(col("pred") === PredAliases.head._1,
       lit(PredAliases.head._2))) {
       case (e, (a, b)) => e.when(col("pred") === a, lit(b))
-    }
+    }.otherwise(col("pred"))
 
   /** q102's fused-corruption parameters: each of the three sources
     * mis-extracts the nation fact on its own residue class mod 7, so
@@ -214,6 +217,10 @@ object SparkEntry {
   private val Q104SoloMod = 20
   private val Q104GoldMod = 10
   private val Q104GoldKeep = 3
+  /** q104's construction is structurally THREE-source (the pair + the
+    * solo) — its own constant, NOT q102's tunable [[FusionSources]],
+    * so retuning q102 cannot silently desynchronize q104's oracle. */
+  private val Q104Sources = 3
 
   /** q104's claim stream: per-source corruption per the constants above.
     * Shared by the query, the weight calibration, and (via the same
@@ -2312,14 +2319,15 @@ object SparkEntry {
          | na AS (SELECT pred, count(*) AS n_a FROM a GROUP BY 1),
          | nb AS (SELECT pred, count(*) AS n_b FROM b GROUP BY 1),
          | nboth AS (SELECT pred, count(*) AS n_both
-         |  FROM a JOIN b USING (subj, pred, obj) GROUP BY 1)
+         |  FROM a JOIN b USING (subj, pred, obj) GROUP BY 1),
+         | ov AS (SELECT pred, n_a, n_b, coalesce(n_both, 0) AS n_both
+         |  FROM na JOIN nb USING (pred) LEFT JOIN nboth USING (pred))
          | SELECT pred, n_a, n_b, n_both,
          |  round(n_a * n_b / nullif(n_both, 0), 4) AS est_petersen,
          |  round((n_a + 1) * (n_b + 1) / (n_both + 1) - 1, 4) AS est_chapman,
          |  round(n_a / ((n_a + 1) * (n_b + 1) / (n_both + 1) - 1), 4) AS recall_a,
          |  round(n_b / ((n_a + 1) * (n_b + 1) / (n_both + 1) - 1), 4) AS recall_b
-         | FROM nboth JOIN na USING (pred) JOIN nb USING (pred)"""
-        .stripMargin.replaceAll("\n", " "),
+         | FROM ov""".stripMargin.replaceAll("\n", " "),
     // q105: q101's alignment CTEs → threshold + best-canon-per-pred_b →
     // rename B through the map (LEFT join — unaligned B predicates keep
     // their name) → distinct union with per-side provenance flags
@@ -2659,7 +2667,7 @@ object SparkEntry {
       // oracle-side sum and comparison is exact integer arithmetic
       "q104_weighted_fusion" -> {
         val w = q104Weights(spark, sfDir)
-        val wCase = (0 until FusionSources)
+        val wCase = (0 until Q104Sources)
           .map(k => s"WHEN $k THEN ${w.getOrElse(k.toString, 0L)}")
           .mkString("CASE source ", " ", " ELSE 0 END")
         s"""WITH src AS (
@@ -2670,7 +2678,7 @@ object SparkEntry {
            |    THEN (s_nationkey + 2) % 25
            |   ELSE s_nationkey END) AS obj,
            |  g.k AS source
-           | FROM supplier CROSS JOIN generate_series(0, ${FusionSources - 1}) g(k)),
+           | FROM supplier CROSS JOIN generate_series(0, ${Q104Sources - 1}) g(k)),
            | votes AS (SELECT DISTINCT subj, pred, obj, source FROM src),
            | scored AS (SELECT subj, pred, obj, count(*) AS n_votes,
            |   (sum($wCase))::bigint AS score_micro

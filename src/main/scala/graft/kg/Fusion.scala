@@ -17,26 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object Fusion {
 
-  /** Resolve each `(subj, pred)` item to one canonical object by
-    * majority vote over distinct source claims.
-    *
-    * Input `(subj, pred, obj, source)`; re-assertions of the same claim
-    * by the same source are collapsed first, so a chatty source cannot
-    * outvote the others. Output one row per `(subj, pred)`:
-    * `(subj, pred, obj, n_votes, n_claims, unanimous)` where `n_votes`
-    * counts the distinct sources backing the winning object, `n_claims`
-    * the distinct `(source, obj)` claims on the item (equals the source
-    * count when every source asserts a single object), and `unanimous`
-    * is `n_votes == n_claims`.
-    *
-    * Scale shape: one exchange collapses claims (keyed by the full
-    * claim, map-side combined — the vote count per object falls out of
-    * the same aggregation), then one window over `(subj, pred)` picks
-    * the winner and sums `n_claims` in the same partition pass. Hot
-    * subjects cannot skew the window: its partition key is the fact
-    * item, and an item carries at most one row per (source, object)
-    * pair — source-count-bounded, never corpus-bounded.
-    */
   /** Per-source reliability weights for [[weightedVote]], calibrated on a
     * labeled gold subset — the naive-Bayes/Dawid-Skene log-odds rule:
     * a source with Laplace-smoothed gold accuracy `a` votes with weight
@@ -111,6 +91,26 @@ object Fusion {
         (col("obj") =!= col("vote_winner")).as("flipped"))
   }
 
+  /** Resolve each `(subj, pred)` item to one canonical object by
+    * majority vote over distinct source claims.
+    *
+    * Input `(subj, pred, obj, source)`; re-assertions of the same claim
+    * by the same source are collapsed first, so a chatty source cannot
+    * outvote the others. Output one row per `(subj, pred)`:
+    * `(subj, pred, obj, n_votes, n_claims, unanimous)` where `n_votes`
+    * counts the distinct sources backing the winning object, `n_claims`
+    * the distinct `(source, obj)` claims on the item (equals the source
+    * count when every source asserts a single object), and `unanimous`
+    * is `n_votes == n_claims`.
+    *
+    * Scale shape: one exchange collapses claims (keyed by the full
+    * claim, map-side combined — the vote count per object falls out of
+    * the same aggregation), then one window over `(subj, pred)` picks
+    * the winner and sums `n_claims` in the same partition pass. Hot
+    * subjects cannot skew the window: its partition key is the fact
+    * item, and an item carries at most one row per (source, object)
+    * pair — source-count-bounded, never corpus-bounded.
+    */
   def majorityVote(facts: DataFrame): DataFrame = {
     val votes = facts.select("subj", "pred", "obj", "source").distinct()
       .groupBy("subj", "pred", "obj")

@@ -96,9 +96,20 @@ object Ontology {
     * @param a `(subj, pred, obj)` triples from extractor A
     * @param b `(subj, pred, obj)` triples from extractor B
     */
-  def alignPredicates(a: DataFrame, b: DataFrame): DataFrame = {
-    val da = a.select("subj", "pred", "obj").distinct()
-    val db = b.select("subj", "pred", "obj").distinct()
+  def alignPredicates(a: DataFrame, b: DataFrame): DataFrame =
+    alignDistinct(distinctFacts(a), distinctFacts(b))
+
+  /** The corpus-sized distinct-fact collapse both alignment consumers
+    * share — persisted (session-cache lifetime, the [[Triangles]]
+    * convention) because every caller reads it at least twice: once for
+    * the per-predicate totals, once for the overlap join, and in
+    * [[mergeAligned]] a third time for the union leg. */
+  private def distinctFacts(t: DataFrame): DataFrame =
+    t.select("subj", "pred", "obj").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[alignPredicates]] over already-collapsed fact sets. */
+  private def alignDistinct(da: DataFrame, db: DataFrame): DataFrame = {
     val na = da.groupBy(col("pred").as("pred_a")).agg(count(lit(1)).as("n_a"))
     val nb = db.groupBy(col("pred").as("pred_b")).agg(count(lit(1)).as("n_b"))
     da.as("a").join(db.as("b"), Seq("subj", "obj"))
@@ -130,18 +141,22 @@ object Ontology {
   def mergeAligned(a: DataFrame, b: DataFrame, minJaccard: Double): DataFrame = {
     val byPredB = org.apache.spark.sql.expressions.Window
       .partitionBy("pred_b").orderBy(col("jaccard").desc, col("pred_a").asc)
-    val renames = alignPredicates(a, b)
+    // ONE distinct collapse per side (persisted) feeds the alignment's
+    // totals + overlap AND the merge's union legs — the extraction
+    // lineage upstream runs once, not once per consumer
+    val da = distinctFacts(a)
+    val db = distinctFacts(b)
+    val renames = alignDistinct(da, db)
       .filter(col("jaccard") >= minJaccard)
       .withColumn("rn", row_number().over(byPredB))
       .filter(col("rn") === 1)
       .select(col("pred_b"), col("pred_a").as("canon"))
-    val da = a.select("subj", "pred", "obj").distinct()
-      .withColumn("side", lit("a"))
-    val db = b.select("subj", "pred", "obj").distinct()
+    val ua = da.withColumn("side", lit("a"))
+    val ub = db
       .join(broadcast(renames), col("pred") === col("pred_b"), "left")
       .select(col("subj"), coalesce(col("canon"), col("pred")).as("pred"),
         col("obj"), lit("b").as("side"))
-    da.union(db)
+    ua.union(ub)
       .groupBy("subj", "pred", "obj")
       .agg(
         (max(when(col("side") === "a", 1).otherwise(0)) === 1).as("in_a"),
@@ -172,17 +187,21 @@ object Ontology {
     * meet in broadcast joins. Nothing corpus-sized is exchanged twice.
     */
   def captureRecapture(a: DataFrame, b: DataFrame): DataFrame = {
-    val da = a.select("subj", "pred", "obj").distinct()
-    val db = b.select("subj", "pred", "obj").distinct()
+    val da = distinctFacts(a)
+    val db = distinctFacts(b)
     val na = da.groupBy("pred").agg(count(lit(1)).as("n_a"))
     val nb = db.groupBy("pred").agg(count(lit(1)).as("n_b"))
     val nboth = da.join(db, Seq("subj", "pred", "obj"))
       .groupBy("pred").agg(count(lit(1)).as("n_both"))
     val chapman = (col("n_a") + 1) * (col("n_b") + 1) /
       (col("n_both") + 1) - 1
-    nboth
-      .join(broadcast(na), "pred")
-      .join(broadcast(nb), "pred")
+    // predicates observed on BOTH sides anchor the output; the overlap
+    // joins in from the LEFT so disjoint captures — the worst-recall
+    // case this estimator exists to surface — report n_both = 0 with a
+    // NULL Petersen and a still-defined Chapman, instead of vanishing
+    na.join(nb, "pred")
+      .join(broadcast(nboth), Seq("pred"), "left")
+      .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
       .select(col("pred"), col("n_a"), col("n_b"), col("n_both"),
         round(col("n_a") * col("n_b") / nullif(col("n_both"), lit(0)), 4)
           .as("est_petersen"),

@@ -351,12 +351,14 @@ class GraphLmOpsSpec extends AnyFunSuite {
 
   test("capture-recapture nulls Petersen on empty overlap, Chapman survives") {
     import spark.implicits._
+    // disjoint captures of the same predicate — the worst-recall case —
+    // still report: n_both = 0, Petersen NULL, Chapman (2*2/1)-1 = 3
     val a = Seq(("s1", "p", "o1")).toDF("subj", "pred", "obj")
     val b = Seq(("s2", "p", "o2")).toDF("subj", "pred", "obj")
-    // disjoint captures co-occur on no fact → no row at all (the pred
-    // never reaches the overlap aggregate); a one-fact overlap on a
-    // second predicate still reports
-    assert(kg.Ontology.captureRecapture(a, b).count() == 0)
+    val r0 = kg.Ontology.captureRecapture(a, b).head()
+    assert((r0.getLong(3), r0.isNullAt(4), r0.getDouble(5), r0.getDouble(6))
+      == ((0L, true, 3.0, 0.3333)))
+    // a one-fact overlap reports the Petersen estimate again
     val b2 = Seq(("s1", "p", "o1"), ("s3", "p", "o3")).toDF("subj", "pred", "obj")
     val r = kg.Ontology.captureRecapture(a, b2).head()
     assert((r.getLong(3), r.getDouble(4), r.getDouble(5)) == ((1L, 2.0, 2.0)))
