@@ -173,4 +173,42 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(got.values.toSet.intersect(Set("en", "es")).size == 2)
   }
+
+  test("streaming fusion: incremental winners match the batch majority vote") {
+    import spark.implicits._
+    import graft.streaming.StreamingFusion.Claim
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Claim]
+    val q = graft.streaming.StreamingFusion.winnersStream(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("fusion_w").start()
+    val batch1 = Seq(Claim("s1", "p", "oB", "x"))
+    val batch2 = Seq(
+      Claim("s1", "p", "oA", "y"), Claim("s1", "p", "oA", "z"),
+      Claim("s1", "p", "oB", "x"), // chatty re-assertion: one vote only
+      Claim("s2", "p", "oC", "x"))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = spark.table("fusion_w").as[graft.streaming.StreamingFusion.Winner]
+      .collect()
+    // n_claims is monotonic per item, so the current winner is the row
+    // with the highest n_claims
+    val cur = sink.groupBy(w => (w.subj, w.pred)).view
+      .mapValues(_.maxBy(_.n_claims)).toMap
+    // parity: the final streamed winners equal a batch majorityVote over
+    // ALL claims
+    val batch = graft.kg.Fusion.majorityVote(
+      (batch1 ++ batch2).toDF("subj", "pred", "obj", "source")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(cur.map { case (k, w) =>
+      k -> ((w.obj, w.n_votes, w.n_claims, w.unanimous)) } == batch)
+    // the flip was OBSERVABLE: oB led after batch 1, oA leads at the end
+    assert(sink.exists(w => w.subj == "s1" && w.obj == "oB" && w.n_claims == 1))
+    assert(cur(("s1", "p")).obj == "oA")
+  }
 }
