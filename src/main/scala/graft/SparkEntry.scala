@@ -207,6 +207,27 @@ object SparkEntry {
     * facts to reach 0.2 at all. */
   private val MergeMinJaccard = 0.2
 
+  /** q107's held-out alias surfaces: dropped from the linking dictionary
+    * so the miner has genuinely-unlinked mentions to bootstrap from; the
+    * spec asserts the mined winners agree with what the full dictionary
+    * would have linked. */
+  private val MinedSurfaces = Set("vector", "stream")
+
+  /** [[graft.kg.Kg.Aliases]] minus [[MinedSurfaces]] as SQL VALUES
+    * `(alias, entity_id)` — one definition derives both the engine's
+    * reduced dictionary and the oracle's, so they cannot drift. */
+  private val ReducedAliasValues = graft.kg.Kg.Aliases
+    .filterNot { case (s, _, _) => MinedSurfaces(s) }
+    .map { case (s, e, _) => s"('$s','$e')" }
+    .mkString("(VALUES ", ", ", ")")
+
+  /** q107's mining thresholds: support ≥ 3 co-occurring docs survives
+    * sf0.001 (~60 docs), and confidence ≥ 0.25 provably filters — the
+    * rarest linked entities co-occur with the held-out surfaces on well
+    * under a quarter of their pages at every sf. */
+  private val MineMinSupport = 3L
+  private val MineMinConf = 0.25
+
   /** q104's reliability construction: sources 0 and 1 are a CORRELATED
     * coin-flip pair (both corrupt every suppkey ≡ 0 mod [[Q104PairMod]]
     * the same way — the failure mode unweighted majority cannot escape),
@@ -1374,6 +1395,48 @@ object SparkEntry {
         tr.filter(did % 3 =!= 1).withColumn("pred", predAliasExpr),
         MergeMinJaccard)
     }),
+    // inverse-predicate detection — the orientation half of alignment:
+    // a third extractor emits REVERSED facts (doc-as-subject) under an
+    // inv_-prefixed vocabulary for docs with even id; inversePairs
+    // recovers exactly the (pred, inv_pred) pairs from reversed-fact
+    // overlap, jaccard ≈ the even-doc share (see kg.Ontology.inversePairs)
+    "q106_inverse_preds" -> ((s, dir) => {
+      val tr = kgTriples(s, dir)
+      val did = regexp_extract(col("obj"), "^doc://(\\d+)$", 1).cast("long")
+      val inv = tr.filter(did % 2 === 0).select(
+        col("obj").as("subj"),
+        concat(lit("inv_"), col("pred")).as("pred"),
+        col("subj").as("obj"))
+      graft.kg.Ontology.inversePairs(tr.unionByName(inv))
+    }),
+    // alias-dictionary bootstrap: link with a REDUCED dictionary (the
+    // MinedSurfaces held out), then mine the held-out surfaces' entity
+    // associations from per-doc co-occurrence with confidently-linked
+    // entities (see kg.Kg.mineAliases)
+    "q107_alias_mining" -> ((s, dir) => {
+      import s.implicits._
+      val reduced = graft.kg.Kg.Aliases
+        .filterNot { case (a, _, _) => MinedSurfaces(a) }
+        .toDF("alias", "entity_id", "score")
+      val cand = Kg.candidates(kgMentions(s, dir), reduced)
+      graft.kg.Kg.mineAliases(
+        cand.filter(col("entity_id").isNull)
+          .select(col("doc_id"), col("surface")),
+        Kg.disambiguate(cand).select(col("doc_id"), col("entity_id")),
+        MineMinSupport, MineMinConf)
+    }),
+    // chain BGP (SPARQL `performs/from_source`): entity → evidence page →
+    // corpus source, over the KG extended with doc-metadata triples from
+    // the documents table — the provenance profile per entity (see
+    // kg.TriplePatterns.chain)
+    "q108_chain_bgp" -> ((s, dir) => {
+      val meta = t(s, dir, "documents").select(
+        concat(lit("doc://"), col("doc_id").cast("string")).as("subj"),
+        lit("from_source").as("pred"),
+        col("source").as("obj"))
+      graft.kg.TriplePatterns.chain(
+        kgTriples(s, dir).unionByName(meta), "performs", "from_source")
+    }),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -2360,6 +2423,63 @@ object SparkEntry {
          |  max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) = 1 AS in_a,
          |  max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) = 1 AS in_b
          | FROM u GROUP BY 1, 2, 3""".stripMargin.replaceAll("\n", " "),
+    // q106: UNION (set semantics) adds the reversed inv_ facts for even
+    // docs, then the self-join keys x's fact against y's REVERSED fact;
+    // MATERIALIZED stops DuckDB re-evaluating u per reference
+    "q106_inverse_preds" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS MATERIALIZED (SELECT DISTINCT entity_id AS subj,
+         |   $PredCase AS pred, 'doc://' || d.doc_id AS obj, d.doc_id AS did
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | u AS MATERIALIZED (SELECT subj, pred, obj FROM tr
+         |  UNION
+         |  SELECT obj AS subj, 'inv_' || pred AS pred, subj AS obj
+         |  FROM tr WHERE did % 2 = 0),
+         | na AS (SELECT pred AS pred_a, count(*) AS n_a FROM u GROUP BY 1),
+         | nb AS (SELECT pred AS pred_b, count(*) AS n_b FROM u GROUP BY 1),
+         | nboth AS (SELECT x.pred AS pred_a, y.pred AS pred_b,
+         |   count(*) AS n_both
+         |  FROM u x JOIN u y ON x.subj = y.obj AND x.obj = y.subj
+         |  GROUP BY 1, 2)
+         | SELECT pred_a, pred_b, n_a, n_b, n_both,
+         |  round(n_both / (n_a + n_b - n_both), 4) AS jaccard
+         | FROM nboth JOIN na USING (pred_a) JOIN nb USING (pred_b)"""
+        .stripMargin.replaceAll("\n", " "),
+    // q107: doc-level surface presence (the q100 equivalence) split by
+    // the reduced dictionary into unlinked mentions vs linked entities;
+    // confidence is one exact integer division rounded to 4 decimals
+    "q107_alias_mining" ->
+      s"""WITH dict(category, surface) AS $DictValues,
+         | red(alias, entity_id) AS $ReducedAliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, v.surface
+         |  FROM documents d CROSS JOIN dict v
+         |  WHERE position(v.surface in d.text) > 0),
+         | unl AS MATERIALIZED (SELECT m.doc_id, m.surface FROM men m
+         |  LEFT JOIN red r ON m.surface = r.alias WHERE r.alias IS NULL),
+         | lnk AS MATERIALIZED (SELECT DISTINCT m.doc_id, r.entity_id
+         |  FROM men m JOIN red r ON m.surface = r.alias),
+         | ns AS (SELECT surface, count(*) AS n_docs_surface FROM unl GROUP BY 1),
+         | nb AS (SELECT u.surface, l.entity_id, count(*) AS n_docs_both
+         |  FROM unl u JOIN lnk l ON u.doc_id = l.doc_id GROUP BY 1, 2)
+         | SELECT nb.surface, nb.entity_id, nb.n_docs_both,
+         |  ns.n_docs_surface,
+         |  round(nb.n_docs_both / ns.n_docs_surface, 4) AS confidence
+         | FROM nb JOIN ns ON nb.surface = ns.surface
+         | WHERE nb.n_docs_both >= $MineMinSupport
+         |  AND round(nb.n_docs_both / ns.n_docs_surface, 4) >= $MineMinConf"""
+        .stripMargin.replaceAll("\n", " "),
+    // q108: chain legs — KG triples filtered to 'performs' joined on
+    // mid = the doc URI against the doc-metadata 'from_source' triples
+    "q108_chain_bgp" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj
+         |  FROM documents d CROSS JOIN dict WHERE position(surface in d.text) > 0),
+         | a AS (SELECT subj, obj AS mid FROM tr WHERE pred = 'performs'),
+         | b AS (SELECT 'doc://' || doc_id AS mid, source AS obj FROM documents)
+         | SELECT a.subj, b.obj, count(*) AS n_paths
+         | FROM a JOIN b ON a.mid = b.mid GROUP BY 1, 2"""
+        .stripMargin.replaceAll("\n", " "),
     // gap-sessionization replay: same (sec, event_id) tie order as q45;
     // session_idx cast to BIGINT (DuckDB sums to HUGEINT)
     "q76_sessionize" ->

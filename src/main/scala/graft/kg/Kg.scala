@@ -48,6 +48,57 @@ object Kg {
       lower(trim(mentions("surface"))) === aliases("alias"),
       "left")
 
+  /** Alias-dictionary bootstrap — mine NEW alias→entity mappings from
+    * document co-occurrence, the step that grows the broadcast dictionary
+    * [[candidates]] joins against (the Wikipedia-anchor method: estimate
+    * `P(entity | surface)` from contexts where both are observed; Spitkovsky
+    * & Chang LREC 2012 is the canonical published form). A surface the
+    * dictionary can NOT link is a candidate alias for entity `e` in
+    * proportion to how often the pages containing the surface also
+    * confidently link `e`:
+    * `confidence = |docs(surface) ∩ docs(e)| / |docs(surface)|`.
+    *
+    * @param unlinked `(doc_id, surface)` mention stream the dictionary
+    *                 missed (any multiplicity — collapsed to per-doc
+    *                 presence internally)
+    * @param linked   `(doc_id, entity_id)` confidently-linked entities
+    *                 (any multiplicity — collapsed likewise)
+    * @return `(surface, entity_id, n_docs_both, n_docs_surface,
+    *         confidence)` for pairs with `n_docs_both >= minSupport` and
+    *         `confidence >= minConf` — append the winners to the
+    *         dictionary and re-run [[candidates]]; that loop is the
+    *         bootstrap.
+    *
+    * Scale shape: both streams collapse to distinct per-doc presence
+    * (map-side combined, keyed by doc — no hot surface ever keys an
+    * exchange), the co-occurrence join is doc-keyed (per-doc fan-out =
+    * distinct surfaces × distinct entities on that page, page-bounded),
+    * and the per-surface totals re-join on `surface` — vocabulary-sized
+    * by then, and AQE broadcasts it when it measures small. Confidence
+    * is one exact integer division rounded to 4 decimals: identical
+    * operands give identical IEEE results in any engine, so the DuckDB
+    * gate compares exactly.
+    */
+  def mineAliases(unlinked: DataFrame, linked: DataFrame,
+      minSupport: Long, minConf: Double): DataFrame = {
+    val ds = unlinked
+      .select(col("doc_id"), lower(trim(col("surface"))).as("surface"))
+      .distinct()
+    val de = linked.select(col("doc_id"), col("entity_id")).distinct()
+    val nSurf = ds.groupBy("surface")
+      .agg(count(lit(1)).as("n_docs_surface"))
+    ds.join(de, "doc_id")
+      .groupBy(col("surface"), col("entity_id"))
+      .agg(count(lit(1)).as("n_docs_both"))
+      .join(nSurf, "surface")
+      .withColumn("confidence",
+        round(col("n_docs_both") / col("n_docs_surface"), 4))
+      .filter(col("n_docs_both") >= minSupport &&
+        col("confidence") >= minConf)
+      .select(col("surface"), col("entity_id"), col("n_docs_both"),
+        col("n_docs_surface"), col("confidence"))
+  }
+
   /** Generic salted equi-join for skewed keys: the big (probe) side gets a
     * deterministic salt in `[0, saltFactor)`, the small (build) side is
     * exploded over every salt value, and the join key becomes

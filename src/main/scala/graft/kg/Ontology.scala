@@ -127,6 +127,183 @@ object Ontology {
           .as("jaccard"))
   }
 
+  /** Inverse-predicate detection — the orientation half of PARIS-style
+    * alignment ([[alignPredicates]] recovers renames; this recovers
+    * REVERSALS). Two extraction prompts routinely emit the same relation
+    * in opposite orientations (`authored` vs `authored_by`); the evidence
+    * is again purely instance-level: predicates `p` and `q` are inverse
+    * candidates when the fact set `{(s,o) : (s,p,o)}` overlaps the
+    * REVERSED set `{(o,s) : (s,q,o)}`. The diagonal `p = q` row is the
+    * symmetric-predicate detector (OWL `SymmetricProperty` discovery): a
+    * predicate whose facts mirror themselves scores jaccard 1.0 against
+    * its own reversal.
+    *
+    * Returns every co-occurring ordered pair
+    * `(pred_a, pred_b, n_a, n_b, n_both, jaccard)` where `n_both` counts
+    * facts of `pred_a` whose reversal is asserted under `pred_b` —
+    * measurement-only, like [[alignPredicates]]; thresholding and the
+    * rewrite (flip `pred_b` facts through [[mergeAligned]]'s rename
+    * machinery after reversing them) stay with the consumer.
+    *
+    * Scale shape: ONE distinct-fact collapse feeds both join legs as
+    * byte-identical subtrees (exchange reuse — see [[distinctFacts]]),
+    * the self-join keys on the full `(subj, obj)` fact pair (unique per
+    * predicate per side, so per-key fan-out is bounded by the predicate
+    * vocabulary, never corpus-sized), and the per-predicate totals are
+    * vocabulary-sized broadcast legs.
+    */
+  def inversePairs(triples: DataFrame): DataFrame =
+    inversePairsDistinct(distinctFacts(triples))
+
+  /** [[inversePairs]] over an already-collapsed fact set — shared with
+    * [[enrichInverses]] so the detection and the enrichment consume ONE
+    * distinct collapse (byte-identical subtrees → exchange reuse). */
+  private def inversePairsDistinct(d: DataFrame): DataFrame = {
+    val na = d.groupBy(col("pred").as("pred_a")).agg(count(lit(1)).as("n_a"))
+    val nb = d.groupBy(col("pred").as("pred_b")).agg(count(lit(1)).as("n_b"))
+    d.as("x")
+      .join(d.as("y"),
+        col("x.subj") === col("y.obj") && col("x.obj") === col("y.subj"))
+      .groupBy(col("x.pred").as("pred_a"), col("y.pred").as("pred_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(na), "pred_a")
+      .join(broadcast(nb), "pred_b")
+      .select(col("pred_a"), col("pred_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both") / (col("n_a") + col("n_b") - col("n_both")), 4)
+          .as("jaccard"))
+  }
+
+  /** The ACTION on [[inversePairs]]' measurement: materialize the OWL
+    * `inverseOf` / `SymmetricProperty` consequences. For every detected
+    * pair `(p, q)` at or above `minJaccard`, each asserted fact
+    * `(s, q, o)` entails `(o, p, s)`; the entailed facts the KG does not
+    * already assert are added with provenance `inferred`, everything
+    * asserted keeps provenance `asserted`. Diagonal pairs `(p, p)` are
+    * the symmetric case and enrich identically (a fact whose mirror is
+    * missing gains it). This is the standard rule-materialization step
+    * (RDFS/OWL-RL forward chaining, `owl:inverseOf`) that makes the
+    * downstream BGP queries ([[graft.kg.TriplePatterns]]) see a fact
+    * regardless of which orientation the extractor happened to emit.
+    *
+    * @return `(subj, pred, obj, provenance)` — the enriched KG; distinct
+    *         by construction.
+    *
+    * Scale shape: ONE distinct-fact collapse feeds the detection's three
+    * legs AND the enrichment's two union legs (byte-identical subtrees →
+    * exchange reuse); the surviving pair map is vocabulary-sized and
+    * broadcast onto the fact stream (narrow reversal); the only new
+    * corpus-sized exchange is the final provenance collapse, map-side
+    * combined on the full fact key. */
+  def enrichInverses(triples: DataFrame, minJaccard: Double): DataFrame = {
+    val d = distinctFacts(triples)
+    val pairs = inversePairsDistinct(d)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("pred_a"), col("pred_b"))
+    val entailed = d
+      .join(broadcast(pairs), d("pred") === col("pred_b"))
+      .select(col("obj").as("subj"), col("pred_a").as("pred"),
+        col("subj").as("obj"), lit("i").as("src"))
+    d.withColumn("src", lit("a"))
+      .unionByName(entailed)
+      .groupBy("subj", "pred", "obj")
+      .agg(when(max(when(col("src") === "a", 1).otherwise(0)) === 1,
+        "asserted").otherwise("inferred").as("provenance"))
+  }
+
+  /** Usage-based type inference for UNTYPED entities — the SDType method
+    * (Paulheim & Bizer, "Type Inference on Noisy RDF Data", ISWC 2013):
+    * each predicate a subject uses casts a vote for the subject's type,
+    * weighted by the conditional distribution `P(type | pred)` observed
+    * over the entities whose types ARE known. An entity the alias
+    * dictionary could not type (the [[graft.kg.Kg.mineAliases]] regime:
+    * new vocabulary the crawl surfaced) is assigned the argmax of its
+    * summed votes. Votes are SCALED-INTEGER micros
+    * (`(n_pt * 1e6) div n_p`, exact integer division) so every sum and
+    * the final ranking are exact in any engine — the q104 weighted-fusion
+    * determinism pattern.
+    *
+    * @param triples `(subj, pred, obj)` — usage evidence (duplicates
+    *                fine; collapsed to distinct subject–predicate use)
+    * @param typed   `(entity_id, category)` — the known direct types
+    * @return one row per untyped subject that shares at least one
+    *         predicate with a typed subject:
+    *         `(entity_id, inferred_type, n_preds, score_micro,
+    *         confidence)` where `n_preds` counts the subject's
+    *         vote-carrying predicates and
+    *         `confidence = score_micro / (n_preds·1e6)` — 1.0 means every
+    *         predicate the subject uses is used ONLY by entities of the
+    *         inferred type. Ties break to the lexicographically smallest
+    *         type (deterministic).
+    *
+    * Scale shape: usage collapses once to distinct `(subj, pred)`
+    * (map-side combined, keyed by subject — hot predicates never key an
+    * exchange); the vote table is |vocab|×|types| and broadcast; the
+    * vote-sum aggregation keys on subject; the argmax is a per-subject
+    * window over at most |types| rows. Nothing corpus-sized crosses the
+    * network more than once. */
+  def inferTypesByUsage(triples: DataFrame, typed: DataFrame): DataFrame = {
+    val usage = triples.select("subj", "pred").distinct()
+    val ty = typed.select(col("entity_id").as("subj"), col("category"))
+    val tu = usage.join(ty, "subj")
+    val np = tu.groupBy("pred").agg(count(lit(1)).as("n_p"))
+    val votes = tu.groupBy(col("pred"), col("category").as("type"))
+      .agg(count(lit(1)).as("n_pt"))
+      .join(np, "pred")
+      .select(col("pred"), col("type"),
+        expr("(n_pt * 1000000L) div n_p").as("vote_micro"))
+    val untypedUse = usage.join(ty.select("subj"), Seq("subj"), "left_anti")
+    val scored = untypedUse.join(broadcast(votes), "pred")
+    val scores = scored.groupBy(col("subj"), col("type"))
+      .agg(sum(col("vote_micro")).as("score_micro"))
+    val nPreds = scored.select("subj", "pred").distinct()
+      .groupBy("subj").agg(count(lit(1)).as("n_preds"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("subj").orderBy(col("score_micro").desc, col("type").asc)
+    scores.withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") === 1)
+      .join(nPreds, "subj")
+      .select(col("subj").as("entity_id"), col("type").as("inferred_type"),
+        col("n_preds"), col("score_micro"),
+        round(col("score_micro") / (col("n_preds") * 1000000.0), 4)
+          .as("confidence"))
+  }
+
+  /** VoID-style class–property completeness profile (`void:classPartition`
+    * / `void:propertyPartition`; the per-class coverage signal behind KB
+    * completeness prediction — Galárraga et al., WSDM 2017): per
+    * `(type, pred)` observed in the KG, how many entities of the type
+    * appear as a subject at all, how many carry at least one fact of the
+    * predicate, and the coverage ratio. The profile is what a curator
+    * reads to decide which relation the NEXT extraction round should
+    * target — the completeness complement of [[functionalViolations]]'
+    * (too many facts) and [[domainViolations]]' (wrong class) audits.
+    *
+    * @param triples `(subj, pred, obj)` extracted triples
+    * @param types   `(entity_id, type)` — [[inferTypes]]' closure output
+    * @return `(type, pred, n_entities, n_with_pred, coverage)`; pairs no
+    *         entity exhibits are absent (VoID partition semantics —
+    *         coverage of an undeclared pair is a schema question, not a
+    *         data one)
+    *
+    * Scale shape: ONE distinct `(subj, pred)` collapse feeds both the
+    * numerator and (re-collapsed to subjects) the denominator; the type
+    * table joins on subject — entity-vocabulary-sized, AQE picks
+    * broadcast when it measures small; both aggregations are map-side
+    * combined and the final join meets two |types|×|vocab|-bounded
+    * relations. */
+  def completenessProfile(triples: DataFrame, types: DataFrame): DataFrame = {
+    val sp = triples.select("subj", "pred").distinct()
+    val ty = types.select(col("entity_id").as("subj"), col("type"))
+    val denom = sp.select("subj").distinct().join(ty, "subj")
+      .groupBy("type").agg(count(lit(1)).as("n_entities"))
+    sp.join(ty, "subj")
+      .groupBy("type", "pred").agg(count(lit(1)).as("n_with_pred"))
+      .join(broadcast(denom), "type")
+      .select(col("type"), col("pred"), col("n_entities"), col("n_with_pred"),
+        round(col("n_with_pred") / col("n_entities"), 4).as("coverage"))
+  }
+
   /** The ACTION on [[alignPredicates]]' measurement: merge two extractor
     * KGs into one vocabulary. Alignment pairs at or above `minJaccard`
     * become a rename map (best `pred_a` per `pred_b` — highest overlap,

@@ -37,6 +37,34 @@ object TriplePatterns {
       .join(triples.filter(col("pred") === predB)
         .select(col("obj"), col("subj").as("subj_b")), "obj")
 
+  /** Chain BGP (SPARQL property-path composition `predA/predB`):
+    * `?s predA ?m . ?m predB ?o` → `(subj, obj, n_paths)` where
+    * `n_paths` counts the distinct intermediates connecting the pair
+    * (triples are distinct by contract, so each mid contributes exactly
+    * one path). With the pipeline's doc-grounded triples plus the
+    * doc-metadata triples (`doc://… from_source …`, `doc://… in_lang …`)
+    * this reads e.g. "which corpus sources ground each entity's facts,
+    * and how many pages deep" — the provenance profile a KG consumer
+    * asks for before trusting an entity's facts.
+    *
+    * Scale shape: both legs predicate-filter BEFORE the join (pushed to
+    * the scan; a predicate-partitioned snapshot prunes files), then ONE
+    * hash join on the shared node `mid` — the object side of A
+    * co-partitioned with the subject side of B, which is the join
+    * ordering [[graft.kg.Ontology.predicateProfile]]'s VoID stats exist
+    * to justify. Per-mid fan-out = outdeg(predB) × indeg(predA) on that
+    * node — per-page-bounded here; a pathological hot mid is the
+    * q08/q52 salting case and AQE's skew join covers the moderate form.
+    * The final count collapses map-side on (subj, obj).
+    */
+  def chain(triples: DataFrame, predA: String, predB: String): DataFrame =
+    triples.filter(col("pred") === predA)
+      .select(col("subj"), col("obj").as("mid"))
+      .join(triples.filter(col("pred") === predB)
+        .select(col("subj").as("mid"), col("obj")), "mid")
+      .groupBy(col("subj"), col("obj"))
+      .agg(count(lit(1)).as("n_paths"))
+
   /** Diff two KG snapshots keyed by the full triple:
     * `(subj, pred, obj, status)` with status ∈ kept | added | removed
     * (kept = in both, added = only in `b`, removed = only in `a`) — the

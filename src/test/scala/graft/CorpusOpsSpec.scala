@@ -349,6 +349,47 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("doc://2", "t3", "d2")))
   }
 
+  test("chain composes predA/predB through the shared mid with path counts") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("e1", "performs", "doc://1"), ("e2", "performs", "doc://1"),
+      ("e1", "performs", "doc://2"),
+      ("doc://1", "from_source", "web"), ("doc://2", "from_source", "web"),
+      ("doc://1", "in_lang", "en")) // wrong predicate — must not leak in
+      .toDF("subj", "pred", "obj")
+    val got = TriplePatterns.chain(tr, "performs", "from_source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("e1", "web", 2L), ("e2", "web", 1L)))
+  }
+
+  test("alias mining scores entity co-occurrence with support and confidence") {
+    import spark.implicits._
+    import graft.kg.Kg
+    // "Vector" appears on docs 1,2,3 (with case/space noise and a same-doc
+    // re-mention that must collapse); e1 links on docs 1,2 → conf 2/3;
+    // e2 links on doc 3 only → support 1, cut by minSupport = 2
+    val unl = Seq((1L, "Vector"), (1L, "Vector"), (2L, "vector "),
+      (3L, "vector")).toDF("doc_id", "surface")
+    val lnk = Seq((1L, "e1"), (2L, "e1"), (3L, "e2"), (3L, "e2"))
+      .toDF("doc_id", "entity_id")
+    val got = Kg.mineAliases(unl, lnk, minSupport = 2L, minConf = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == Set(("vector", "e1", 2L, 3L, 0.6667)))
+  }
+
+  test("alias mining's confidence floor cuts weak co-occurrence") {
+    import spark.implicits._
+    import graft.kg.Kg
+    // e3 co-occurs on 2 of 4 pages (conf 0.5): survives 0.5, cut at 0.6
+    val unl = (1L to 4L).map(d => (d, "beta")).toDF("doc_id", "surface")
+    val lnk = Seq((1L, "e3"), (2L, "e3")).toDF("doc_id", "entity_id")
+    assert(Kg.mineAliases(unl, lnk, 2L, 0.5).count() == 1L)
+    assert(Kg.mineAliases(unl, lnk, 2L, 0.6).count() == 0L)
+  }
+
   test("firstMentionContexts slices the text between first mentions only") {
     import spark.implicits._
     import graft.kg.RelationMining

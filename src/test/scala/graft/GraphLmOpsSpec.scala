@@ -295,6 +295,114 @@ class GraphLmOpsSpec extends AnyFunSuite {
       == ((1L, 1L, 1L, 1.0)))
   }
 
+  test("inverse detection recovers a reversal from instance evidence only") {
+    import spark.implicits._
+    // p has 2 facts; q asserts the REVERSAL of one of them. r is noise.
+    val tr = Seq(("s1", "p", "o1"), ("s2", "p", "o2"),
+      ("o1", "q", "s1"), ("s9", "r", "o9")).toDF("subj", "pred", "obj")
+    val got = kg.Ontology.inversePairs(tr).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // ordered pairs both ways; jaccard = 1/(2+1-1) = 0.5; r never surfaces
+    assert(got == Map(
+      ("p", "q") -> ((2L, 1L, 1L, 0.5)),
+      ("q", "p") -> ((1L, 2L, 1L, 0.5))))
+  }
+
+  test("a symmetric predicate scores 1.0 against itself on the diagonal") {
+    import spark.implicits._
+    val tr = Seq(("a", "m", "b"), ("b", "m", "a")).toDF("subj", "pred", "obj")
+    val got = kg.Ontology.inversePairs(tr).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == Map(("m", "m") -> ((2L, 2L, 2L, 1.0))))
+  }
+
+  test("inverse enrichment materializes the missing reversals only") {
+    import spark.implicits._
+    // (p, q) are inverses with jaccard 0.5 each way; only o2's reversal
+    // is missing, so exactly one inferred row appears under q
+    val tr = Seq(("s1", "p", "o1"), ("s2", "p", "o2"), ("o1", "q", "s1"))
+      .toDF("subj", "pred", "obj")
+    val got = kg.Ontology.enrichInverses(tr, minJaccard = 0.4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      ("s1", "p", "o1", "asserted"), ("s2", "p", "o2", "asserted"),
+      ("o1", "q", "s1", "asserted"), ("o2", "q", "s2", "inferred")))
+  }
+
+  test("inverse enrichment closes a partially-mirrored symmetric predicate") {
+    import spark.implicits._
+    // diagonal (m, m): 2 of 3 facts mirror → jaccard 0.5; the third
+    // gains its mirror as inferred. Below threshold nothing is added.
+    val tr = Seq(("a", "m", "b"), ("b", "m", "a"), ("c", "m", "d"))
+      .toDF("subj", "pred", "obj")
+    val got = kg.Ontology.enrichInverses(tr, 0.4)
+    assert(got.filter(col("provenance") === "inferred").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      == Set(("d", "m", "c")))
+    assert(kg.Ontology.enrichInverses(tr, 0.6).count() == 3L)
+  }
+
+  test("usage type-votes assign the majority type with exact micro scores") {
+    import spark.implicits._
+    // p1 is used only by T1 entities; p2 splits 1:1 between T1 and T2.
+    // u1 uses both → T1 scores 1e6 + 5e5; u2 uses only the ambiguous p2
+    // → exact tie, broken to the lexicographically smallest type.
+    val typed = Seq(("e1", "T1"), ("e2", "T1"), ("e3", "T2"))
+      .toDF("entity_id", "category")
+    val tr = Seq(
+      ("e1", "p1", "x"), ("e2", "p2", "x"), ("e3", "p2", "x"),
+      ("u1", "p1", "x"), ("u1", "p2", "y"), ("u2", "p2", "x"))
+      .toDF("subj", "pred", "obj")
+    val got = kg.Ontology.inferTypesByUsage(tr, typed).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      "u1" -> (("T1", 2L, 1500000L, 0.75)),
+      "u2" -> (("T1", 1L, 500000L, 0.5))))
+  }
+
+  test("usage type-votes ignore predicates without typed evidence") {
+    import spark.implicits._
+    val typed = Seq(("e1", "T1")).toDF("entity_id", "category")
+    val tr = Seq(("e1", "p1", "x"), ("u1", "p1", "x"), ("u1", "pz", "y"),
+      ("u2", "pz", "y")).toDF("subj", "pred", "obj")
+    val got = kg.Ontology.inferTypesByUsage(tr, typed).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // u1's pz carries no vote → n_preds = 1, confidence stays 1.0;
+    // u2 uses ONLY unvoted predicates → absent entirely
+    assert(got.toSeq == Seq(("u1", "T1", 1L, 1000000L, 1.0)))
+  }
+
+  test("completeness profile counts per-type predicate coverage") {
+    import spark.implicits._
+    val types = Seq(("e1", "T"), ("e2", "T"), ("e1", "Thing"),
+      ("e2", "Thing")).toDF("entity_id", "type")
+    val tr = Seq(("e1", "p", "x"), ("e1", "p", "x2"), ("e1", "q", "x"),
+      ("e2", "p", "y"), ("zz", "p", "y")).toDF("subj", "pred", "obj")
+    val got = kg.Ontology.completenessProfile(tr, types).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    // multiplicity of e1's p facts collapses; the untyped subject zz is
+    // invisible; coverage = entities-with-pred / typed subjects
+    assert(got == Set(
+      ("T", "p", 2L, 2L, 1.0), ("T", "q", 2L, 1L, 0.5),
+      ("Thing", "p", 2L, 2L, 1.0), ("Thing", "q", 2L, 1L, 0.5)))
+  }
+
+  test("inverse detection counts distinct facts, not re-assertions") {
+    import spark.implicits._
+    val tr = Seq(("s1", "p", "o1"), ("s1", "p", "o1"), ("o1", "q", "s1"))
+      .toDF("subj", "pred", "obj")
+    val row = kg.Ontology.inversePairs(tr)
+      .filter(col("pred_a") === "p").head()
+    assert((row.getLong(2), row.getLong(3), row.getLong(4),
+      row.getDouble(5)) == ((1L, 1L, 1L, 1.0)))
+  }
+
   test("majority vote picks the best-supported object per item") {
     import spark.implicits._
     val facts = Seq(
