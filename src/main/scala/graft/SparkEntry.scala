@@ -228,6 +228,17 @@ object SparkEntry {
   private val MineMinSupport = 3L
   private val MineMinConf = 0.25
 
+  /** q109's held-out entities: stripped from the typed table so the
+    * usage voter has genuinely-untyped subjects. `ent:sort` keeps three
+    * typed OPERATION peers (its `performs` vote stays crisp); dropping
+    * `ent:customer` leaves `involves` with NO typed user, so it can only
+    * be typed through the mixed co-occurrence votes — the noisy-vote
+    * regime SDType exists for. */
+  private val UsageHeldOut = Seq("ent:sort", "ent:customer")
+
+  private val UsageHeldOutIn =
+    UsageHeldOut.map(e => s"'$e'").mkString("(", ", ", ")")
+
   /** q104's reliability construction: sources 0 and 1 are a CORRELATED
     * coin-flip pair (both corrupt every suppkey ≡ 0 mod [[Q104PairMod]]
     * the same way — the failure mode unweighted majority cannot escape),
@@ -1437,6 +1448,42 @@ object SparkEntry {
       graft.kg.TriplePatterns.chain(
         kgTriples(s, dir).unionByName(meta), "performs", "from_source")
     }),
+    // usage-based type inference (SDType): the UsageHeldOut entities are
+    // stripped from the typed table and re-typed from predicate-usage
+    // votes; `cooccurs_with` facts (per-doc entity pairs) supply the
+    // mixed-distribution votes that make the method non-trivial (see
+    // kg.Ontology.inferTypesByUsage)
+    "q109_type_by_usage" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      val ents = linked
+        .select(col("doc_id"), col("entity_id"), col("category")).distinct()
+      val co = ents.as("a")
+        .join(ents.as("b"), col("a.doc_id") === col("b.doc_id") &&
+          col("a.entity_id") =!= col("b.entity_id"))
+        .select(col("a.entity_id").as("subj"),
+          lit("cooccurs_with").as("pred"), col("b.entity_id").as("obj"))
+        .distinct()
+      val typed = ents.select("entity_id", "category").distinct()
+        .filter(!col("entity_id").isin(UsageHeldOut: _*))
+      graft.kg.Ontology.inferTypesByUsage(
+        Kg.triples(linked, NerSpark.Predicates).select("subj", "pred", "obj")
+          .unionByName(co),
+        typed)
+    }),
+    // VoID class-property completeness profile over the q80 type closure:
+    // per (type, pred) — how many typed subjects exist, how many carry
+    // the predicate, and the coverage ratio the next extraction round
+    // would target (see kg.Ontology.completenessProfile)
+    "q110_completeness" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      val types = graft.kg.Ontology.inferTypes(s,
+        linked.select(col("entity_id"), col("category")).distinct(),
+        ClassHierarchy)
+      graft.kg.Ontology.completenessProfile(
+        Kg.triples(linked, NerSpark.Predicates), types)
+    }),
     // JSONL round-trip — the interchange format training corpora actually
     // ship in: write the documents table as JSON Lines (native writer,
     // splittable line-per-record at scale), read it back under the
@@ -2479,6 +2526,76 @@ object SparkEntry {
          | b AS (SELECT 'doc://' || doc_id AS mid, source AS obj FROM documents)
          | SELECT a.subj, b.obj, count(*) AS n_paths
          | FROM a JOIN b ON a.mid = b.mid GROUP BY 1, 2"""
+        .stripMargin.replaceAll("\n", " "),
+    // q109: usage = the doc-level KG triples (the q100 equivalence) plus
+    // co-occurrence facts, collapsed to distinct (subj, pred); votes are
+    // exact scaled-integer micros (// is DuckDB integer division); the
+    // sum is cast back from HUGEINT; ties break lexicographically
+    "q109_type_by_usage" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | u AS MATERIALIZED (
+         |  SELECT DISTINCT entity_id AS subj, $PredCase AS pred FROM men
+         |  UNION
+         |  SELECT DISTINCT a.entity_id, 'cooccurs_with' FROM men a
+         |   JOIN men b ON a.doc_id = b.doc_id
+         |    AND a.entity_id <> b.entity_id),
+         | ty AS (SELECT DISTINCT entity_id, category FROM dict
+         |  WHERE entity_id NOT IN $UsageHeldOutIn),
+         | tu AS MATERIALIZED (SELECT u.subj, u.pred, ty.category
+         |  FROM u JOIN ty ON u.subj = ty.entity_id),
+         | np AS (SELECT pred, count(*) AS n_p FROM tu GROUP BY 1),
+         | votes AS MATERIALIZED (SELECT v.pred, v.category AS type,
+         |   (v.n_pt * 1000000) // np.n_p AS vote_micro
+         |  FROM (SELECT pred, category, count(*) AS n_pt FROM tu
+         |        GROUP BY 1, 2) v JOIN np USING (pred)),
+         | unt AS MATERIALIZED (SELECT u.subj, u.pred FROM u
+         |  LEFT JOIN ty ON u.subj = ty.entity_id
+         |  WHERE ty.entity_id IS NULL),
+         | sc AS (SELECT unt.subj, votes.type,
+         |   CAST(sum(votes.vote_micro) AS BIGINT) AS score_micro
+         |  FROM unt JOIN votes USING (pred) GROUP BY 1, 2),
+         | npr AS (SELECT unt.subj, count(DISTINCT unt.pred) AS n_preds
+         |  FROM unt JOIN votes USING (pred) GROUP BY 1),
+         | rk AS (SELECT subj, type, score_micro, row_number() OVER
+         |   (PARTITION BY subj ORDER BY score_micro DESC, type ASC) AS rn
+         |  FROM sc)
+         | SELECT rk.subj AS entity_id, rk.type AS inferred_type,
+         |  npr.n_preds, rk.score_micro,
+         |  round(rk.score_micro / (npr.n_preds * 1000000.0), 4)
+         |   AS confidence
+         | FROM rk JOIN npr USING (subj) WHERE rn = 1"""
+        .stripMargin.replaceAll("\n", " "),
+    // q110: the q80 recursive type closure feeds both the per-type
+    // subject denominator and the per-(type, pred) numerator over ONE
+    // distinct (subj, pred) collapse of the KG triples
+    "q110_completeness" ->
+      s"""WITH RECURSIVE dict(category, surface, entity_id) AS $AliasValues,
+         | sub(c, p) AS $ClassHierarchyValues,
+         | cl(c, p) AS (SELECT c, p FROM sub
+         |   UNION SELECT cl.c, sub.p FROM cl JOIN sub ON cl.p = sub.c),
+         | ent AS MATERIALIZED (SELECT DISTINCT entity_id, category
+         |  FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | ty AS MATERIALIZED (SELECT DISTINCT entity_id, type FROM (
+         |  SELECT entity_id, category AS type FROM ent
+         |  UNION ALL
+         |  SELECT ent.entity_id, cl.p AS type FROM ent
+         |   JOIN cl ON ent.category = cl.c)),
+         | sp AS MATERIALIZED (SELECT DISTINCT entity_id AS subj,
+         |   $PredCase AS pred FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | denom AS (SELECT ty.type, count(*) AS n_entities
+         |  FROM (SELECT DISTINCT subj FROM sp) s
+         |  JOIN ty ON s.subj = ty.entity_id GROUP BY 1)
+         | SELECT num.type, num.pred, denom.n_entities, num.n_with_pred,
+         |  round(num.n_with_pred / denom.n_entities, 4) AS coverage
+         | FROM (SELECT ty.type, sp.pred, count(*) AS n_with_pred
+         |       FROM sp JOIN ty ON sp.subj = ty.entity_id
+         |       GROUP BY 1, 2) num
+         | JOIN denom USING (type)"""
         .stripMargin.replaceAll("\n", " "),
     // gap-sessionization replay: same (sec, event_id) tie order as q45;
     // session_idx cast to BIGINT (DuckDB sums to HUGEINT)
