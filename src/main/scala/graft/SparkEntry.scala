@@ -1448,6 +1448,20 @@ object SparkEntry {
       graft.kg.TriplePatterns.chain(
         kgTriples(s, dir).unionByName(meta), "performs", "from_source")
     }),
+    // generic BGP compiler: the chain+star pattern `?e performs ?d .
+    // ?d from_source ?src . ?e2 consumes ?d` compiled to greedy
+    // connected equi-joins — the general form q81/q108 hand-wrote (see
+    // kg.TriplePatterns.bgp; the spec pins no-cartesian plans)
+    "q111_bgp_compile" -> ((s, dir) => {
+      val meta = t(s, dir, "documents").select(
+        concat(lit("doc://"), col("doc_id").cast("string")).as("subj"),
+        lit("from_source").as("pred"),
+        col("source").as("obj"))
+      graft.kg.TriplePatterns.bgp(
+        kgTriples(s, dir).unionByName(meta),
+        Seq(("?e", "performs", "?d"), ("?d", "from_source", "?src"),
+          ("?e2", "consumes", "?d")))
+    }),
     // usage-based type inference (SDType): the UsageHeldOut entities are
     // stripped from the typed table and re-typed from predicate-usage
     // votes; `cooccurs_with` facts (per-doc entity pairs) supply the
@@ -2527,6 +2541,21 @@ object SparkEntry {
          | SELECT a.subj, b.obj, count(*) AS n_paths
          | FROM a JOIN b ON a.mid = b.mid GROUP BY 1, 2"""
         .stripMargin.replaceAll("\n", " "),
+    // q111: the BGP's three legs as aliased scans of the union KG; bag
+    // semantics (no DISTINCT at the end) — triples are distinct, so
+    // solution multiplicity is join multiplicity in both engines
+    "q111_bgp_compile" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | u AS MATERIALIZED (SELECT DISTINCT entity_id AS subj,
+         |   $PredCase AS pred, 'doc://' || d.doc_id AS obj
+         |  FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0
+         |  UNION ALL
+         |  SELECT 'doc://' || doc_id, 'from_source', source FROM documents)
+         | SELECT a.subj AS e, a.obj AS d, b.obj AS src, c.subj AS e2
+         | FROM u a JOIN u b ON b.subj = a.obj JOIN u c ON c.obj = a.obj
+         | WHERE a.pred = 'performs' AND b.pred = 'from_source'
+         |  AND c.pred = 'consumes'""".stripMargin.replaceAll("\n", " "),
     // q109: usage = the doc-level KG triples (the q100 equivalence) plus
     // co-occurrence facts, collapsed to distinct (subj, pred); votes are
     // exact scaled-integer micros (// is DuckDB integer division); the

@@ -65,6 +65,93 @@ object TriplePatterns {
       .groupBy(col("subj"), col("obj"))
       .agg(count(lit(1)).as("n_paths"))
 
+  /** Generic BGP compiler: evaluate an arbitrary SPARQL-style basic graph
+    * pattern — a conjunction of `(subj, pred, obj)` patterns whose
+    * `?`-prefixed terms are variables — against a KG snapshot, returning
+    * one row per solution mapping with the variables as columns
+    * (first-appearance order). [[starOnObject]] and [[chain]] are the
+    * two hand-written special cases; this is the general form a KG
+    * consumer's query layer compiles to, so every ad-hoc BGP gets the
+    * same relational treatment without a new operator per shape.
+    *
+    * Semantics (SPARQL BGP under bag semantics, triples distinct by the
+    * pipeline contract): a variable repeated within one pattern means
+    * positional equality (`?x knows ?x` matches self-loops); a pattern
+    * with no variables is an EXISTS gate (zero matching triples → zero
+    * solutions); a disconnected pattern group multiplies solutions
+    * (SPARQL cross product). At least one variable must appear overall.
+    *
+    * Compilation: each pattern becomes a constant-filtered scan leaf
+    * (the `pred`/`subj`/`obj` equality filters push into the parquet
+    * scan, so a predicate-partitioned snapshot prunes files), and leaves
+    * are joined greedily — most-constrained leaf first (most constants),
+    * then always a leaf sharing a bound variable (most shared, then most
+    * constants), so a connected BGP NEVER plans a cartesian product; the
+    * joins are plain equi-joins on the shared variable names, which
+    * leaves Catalyst free to pick broadcast/sort-merge per measured
+    * sizes and AQE to split skewed solution fan-outs (the q08/q52 case).
+    * A genuinely disconnected group falls back to the cross join its
+    * semantics require.
+    */
+  def bgp(triples: DataFrame,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "BGP needs at least one pattern")
+    case class Pat(i: Int, vars: Seq[(String, String)],
+        consts: Seq[(String, String)])
+    val pats = patterns.zipWithIndex.map { case ((s, p, o), i) =>
+      val terms = Seq("subj" -> s, "pred" -> p, "obj" -> o)
+      Pat(i,
+        terms.collect { case (c, t) if t.startsWith("?") => (c, t.drop(1)) },
+        terms.filterNot(_._2.startsWith("?")))
+    }
+    val allVars = pats.flatMap(_.vars.map(_._2)).distinct
+    require(allVars.nonEmpty, "BGP needs at least one variable")
+
+    def leaf(p: Pat): DataFrame = {
+      val filtered = p.consts.foldLeft(triples) {
+        case (df, (c, v)) => df.filter(col(c) === lit(v))
+      }
+      // a variable repeated within the pattern = positional equality
+      val eq = p.vars.groupBy(_._2).values.filter(_.size > 1)
+        .foldLeft(filtered) { (df, g) =>
+          g.map(_._1).sliding(2).foldLeft(df) {
+            case (d, Seq(c1, c2)) => d.filter(col(c1) === col(c2))
+            case (d, _) => d
+          }
+        }
+      val varOrder = p.vars.map(_._2).distinct
+      if (varOrder.isEmpty) // EXISTS gate: 1 row if any triple matches
+        eq.select(lit(true).as(s"__exists_${p.i}")).limit(1)
+      else eq.select(varOrder.map(v =>
+        col(p.vars.find(_._2 == v).get._1).as(v)): _*)
+    }
+
+    var bound = Set.empty[String]
+    var acc: DataFrame = null
+    var remaining = pats.toList
+    while (remaining.nonEmpty) {
+      val pick =
+        if (acc == null)
+          remaining.maxBy(p => (p.consts.size, -p.i))
+        else {
+          val conn = remaining.filter(_.vars.exists(v => bound(v._2)))
+          val pool = if (conn.nonEmpty) conn else remaining
+          pool.maxBy(p =>
+            (p.vars.map(_._2).distinct.count(bound), p.consts.size, -p.i))
+        }
+      val l = leaf(pick)
+      acc =
+        if (acc == null) l
+        else {
+          val shared = pick.vars.map(_._2).distinct.filter(bound)
+          if (shared.nonEmpty) acc.join(l, shared) else acc.crossJoin(l)
+        }
+      bound ++= pick.vars.map(_._2)
+      remaining = remaining.filterNot(_.i == pick.i)
+    }
+    acc.select(allVars.map(col): _*)
+  }
+
   /** Diff two KG snapshots keyed by the full triple:
     * `(subj, pred, obj, status)` with status ∈ kept | added | removed
     * (kept = in both, added = only in `b`, removed = only in `a`) — the

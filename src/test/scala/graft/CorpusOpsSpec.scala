@@ -390,6 +390,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Kg.mineAliases(unl, lnk, 2L, 0.6).count() == 0L)
   }
 
+  test("bgp compiles a chain+star pattern and agrees with the hand-built ops") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("e1", "performs", "doc://1"), ("e2", "performs", "doc://2"),
+      ("d1", "consumes", "doc://1"), ("d2", "consumes", "doc://1"),
+      ("doc://1", "from_source", "web"), ("doc://2", "from_source", "cc"))
+      .toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgp(tr, Seq(
+      ("?e", "performs", "?d"), ("?d", "from_source", "?src"),
+      ("?e2", "consumes", "?d")))
+    assert(got.columns.toSeq == Seq("e", "d", "src", "e2"))
+    assert(got.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3))).toSet == Set(
+      ("e1", "doc://1", "web", "d1"), ("e1", "doc://1", "web", "d2")))
+    // connected BGP must never plan a cartesian product
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"))
+  }
+
+  test("bgp: a repeated variable within one pattern matches self-loops only") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(("a", "knows", "a"), ("a", "knows", "b"))
+      .toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgp(tr, Seq(("?x", "knows", "?x")))
+    assert(got.collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("bgp: a constant-only pattern is an EXISTS gate") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(("a", "p", "b"), ("c", "q", "d")).toDF("subj", "pred", "obj")
+    assert(TriplePatterns.bgp(tr,
+      Seq(("?x", "p", "?y"), ("c", "q", "d"))).count() == 1L)
+    assert(TriplePatterns.bgp(tr,
+      Seq(("?x", "p", "?y"), ("c", "q", "MISSING"))).count() == 0L)
+  }
+
+  test("bgp: disconnected pattern groups cross-multiply (SPARQL product)") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(("a", "p", "b"), ("a2", "p", "b2"), ("x", "q", "y"))
+      .toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgp(tr, Seq(("?s", "p", "?o"), ("?u", "q", "?v")))
+    assert(got.count() == 2L)
+    assert(got.columns.toSeq == Seq("s", "o", "u", "v"))
+  }
+
   test("firstMentionContexts slices the text between first mentions only") {
     import spark.implicits._
     import graft.kg.RelationMining
