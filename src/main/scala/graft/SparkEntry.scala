@@ -239,6 +239,16 @@ object SparkEntry {
   private val UsageHeldOutIn =
     UsageHeldOut.map(e => s"'$e'").mkString("(", ", ", ")")
 
+  /** q112's rule-mining floors: support ≥ 5 distinct groundings survives
+    * sf0.001 for the co-occurrence rules (the co graph is dense at every
+    * sf), and confidence ≥ 0.05 keeps the cross-predicate
+    * `cooccurs ∧ consumes ⇒ consumes` family whose confidence is the
+    * page-overlap share — well under the transitivity rules' — while
+    * still provably pruning (the mined table would otherwise carry every
+    * zero-signal `(·,·,head)` combination the support join surfaces). */
+  private val RuleMinSupport = 5L
+  private val RuleMinConf = 0.05
+
   /** q104's reliability construction: sources 0 and 1 are a CORRELATED
     * coin-flip pair (both corrupt every suppkey ≡ 0 mod [[Q104PairMod]]
     * the same way — the failure mode unweighted majority cannot escape),
@@ -1462,6 +1472,27 @@ object SparkEntry {
         Seq(("?e", "performs", "?d"), ("?d", "from_source", "?src"),
           ("?e2", "consumes", "?d")))
     }),
+    // AMIE-style path-rule mining over the KG plus per-doc cooccurs_with
+    // facts: discovers e.g. `cooccurs(x,y) ∧ consumes(y,d) ⇒
+    // consumes(x,d)` (co-occurrence predicts shared grounding) and the
+    // co-occurrence transitivity rule, scored by support / std
+    // confidence / head coverage (see kg.Rules.minePathRules)
+    "q112_rule_mining" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      val ents = linked
+        .select(col("doc_id"), col("entity_id")).distinct()
+      val co = ents.as("a")
+        .join(ents.as("b"), col("a.doc_id") === col("b.doc_id") &&
+          col("a.entity_id") =!= col("b.entity_id"))
+        .select(col("a.entity_id").as("subj"),
+          lit("cooccurs_with").as("pred"), col("b.entity_id").as("obj"))
+        .distinct()
+      graft.kg.Rules.minePathRules(
+        Kg.triples(linked, NerSpark.Predicates).select("subj", "pred", "obj")
+          .unionByName(co),
+        RuleMinSupport, RuleMinConf)
+    }),
     // usage-based type inference (SDType): the UsageHeldOut entities are
     // stripped from the typed table and re-typed from predicate-usage
     // votes; `cooccurs_with` facts (per-doc entity pairs) supply the
@@ -2556,6 +2587,40 @@ object SparkEntry {
          | FROM u a JOIN u b ON b.subj = a.obj JOIN u c ON c.obj = a.obj
          | WHERE a.pred = 'performs' AND b.pred = 'from_source'
          |  AND c.pred = 'consumes'""".stripMargin.replaceAll("\n", " "),
+    // q112: the rule miner's distinct-grounding counts as plain SQL —
+    // body = the path self-join collapsed to distinct (p, q, x, z),
+    // support = body pairs whose head fact exists; confidences are one
+    // exact BIGINT/BIGINT division rounded to 4 decimals on both sides
+    "q112_rule_mining" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS MATERIALIZED (SELECT DISTINCT entity_id AS subj,
+         |   $PredCase AS pred, 'doc://' || doc_id AS obj FROM men),
+         | u AS MATERIALIZED (SELECT subj, pred, obj FROM tr
+         |  UNION ALL
+         |  SELECT DISTINCT a.entity_id, 'cooccurs_with', b.entity_id
+         |  FROM men a JOIN men b ON a.doc_id = b.doc_id
+         |   AND a.entity_id <> b.entity_id),
+         | body AS MATERIALIZED (SELECT DISTINCT a.pred AS body_p,
+         |   b.pred AS body_q, a.subj AS x, b.obj AS z
+         |  FROM u a JOIN u b ON a.obj = b.subj),
+         | nb AS (SELECT body_p, body_q, count(*) AS n_body
+         |  FROM body GROUP BY 1, 2),
+         | nh AS (SELECT pred AS head_r, count(*) AS n_head
+         |  FROM u GROUP BY 1),
+         | sup AS (SELECT body.body_p, body.body_q, u.pred AS head_r,
+         |   count(*) AS support FROM body
+         |  JOIN u ON body.x = u.subj AND body.z = u.obj GROUP BY 1, 2, 3)
+         | SELECT sup.body_p, sup.body_q, sup.head_r, nb.n_body,
+         |  nh.n_head, sup.support,
+         |  round(sup.support / nb.n_body, 4) AS confidence,
+         |  round(sup.support / nh.n_head, 4) AS head_coverage
+         | FROM sup JOIN nb USING (body_p, body_q) JOIN nh USING (head_r)
+         | WHERE sup.support >= $RuleMinSupport
+         |  AND round(sup.support / nb.n_body, 4) >= $RuleMinConf"""
+        .stripMargin.replaceAll("\n", " "),
     // q109: usage = the doc-level KG triples (the q100 equivalence) plus
     // co-occurrence facts, collapsed to distinct (subj, pred); votes are
     // exact scaled-integer micros (// is DuckDB integer division); the
