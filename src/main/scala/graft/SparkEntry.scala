@@ -249,6 +249,12 @@ object SparkEntry {
   private val RuleMinSupport = 5L
   private val RuleMinConf = 0.05
 
+  /** q113's acceptance floor: only the co-occurrence transitivity rule
+    * clears 0.8 at every sf (0.875 at sf0.01; the cross-predicate
+    * page-overlap rules sit at 0.10–0.25), so the applied rule set is
+    * stable across scales. */
+  private val RuleApplyMinConf = 0.8
+
   /** q104's reliability construction: sources 0 and 1 are a CORRELATED
     * coin-flip pair (both corrupt every suppkey ≡ 0 mod [[Q104PairMod]]
     * the same way — the failure mode unweighted majority cannot escape),
@@ -377,6 +383,21 @@ object SparkEntry {
   private def kgTriples(spark: SparkSession, dir: String): DataFrame = {
     val linked = Kg.disambiguate(Kg.candidates(kgMentions(spark, dir), Kg.aliasDf(spark)))
     Kg.triples(linked, NerSpark.Predicates)
+  }
+
+  /** Per-doc entity co-occurrence facts over a linked frame: ordered
+    * distinct entity pairs sharing a page as `(subj, cooccurs_with,
+    * obj)` — the entity–entity edges q109/q112/q113 union onto the
+    * doc-grounded KG (ONE definition so their oracles replay the same
+    * construction). */
+  private def cooccurFacts(linked: DataFrame): DataFrame = {
+    val ents = linked.select(col("doc_id"), col("entity_id")).distinct()
+    ents.as("a")
+      .join(ents.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.entity_id") =!= col("b.entity_id"))
+      .select(col("a.entity_id").as("subj"),
+        lit("cooccurs_with").as("pred"), col("b.entity_id").as("obj"))
+      .distinct()
   }
 
   /** The q53/q60/q73/q75 parts co-occurrence graph: canonical (u<v,
@@ -1480,18 +1501,24 @@ object SparkEntry {
     "q112_rule_mining" -> ((s, dir) => {
       val linked = Kg.disambiguate(
         Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
-      val ents = linked
-        .select(col("doc_id"), col("entity_id")).distinct()
-      val co = ents.as("a")
-        .join(ents.as("b"), col("a.doc_id") === col("b.doc_id") &&
-          col("a.entity_id") =!= col("b.entity_id"))
-        .select(col("a.entity_id").as("subj"),
-          lit("cooccurs_with").as("pred"), col("b.entity_id").as("obj"))
-        .distinct()
       graft.kg.Rules.minePathRules(
         Kg.triples(linked, NerSpark.Predicates).select("subj", "pred", "obj")
-          .unionByName(co),
+          .unionByName(cooccurFacts(linked)),
         RuleMinSupport, RuleMinConf)
+    }),
+    // forward-chain the accepted rules (confidence ≥ 0.8 — the
+    // co-occurrence transitivity rule) once over the same KG: entailed-
+    // but-missing facts land as provenance=inferred beside the asserted
+    // stream — the step that makes q112's measurement grow the KG (see
+    // kg.Rules.applyRules)
+    "q113_rule_apply" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      val u = Kg.triples(linked, NerSpark.Predicates)
+        .select("subj", "pred", "obj")
+        .unionByName(cooccurFacts(linked))
+      graft.kg.Rules.applyRules(u,
+        graft.kg.Rules.minePathRules(u, RuleMinSupport, RuleApplyMinConf))
     }),
     // usage-based type inference (SDType): the UsageHeldOut entities are
     // stripped from the typed table and re-typed from predicate-usage
@@ -2621,6 +2648,41 @@ object SparkEntry {
          | WHERE sup.support >= $RuleMinSupport
          |  AND round(sup.support / nb.n_body, 4) >= $RuleMinConf"""
         .stripMargin.replaceAll("\n", " "),
+    // q113: the q112 mining CTEs re-gated at the acceptance floor, the
+    // accepted rules' body groundings entailed as head facts, and the
+    // asserted/inferred collapse on the full fact key
+    "q113_rule_apply" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS MATERIALIZED (SELECT DISTINCT entity_id AS subj,
+         |   $PredCase AS pred, 'doc://' || doc_id AS obj FROM men),
+         | u AS MATERIALIZED (SELECT subj, pred, obj FROM tr
+         |  UNION ALL
+         |  SELECT DISTINCT a.entity_id, 'cooccurs_with', b.entity_id
+         |  FROM men a JOIN men b ON a.doc_id = b.doc_id
+         |   AND a.entity_id <> b.entity_id),
+         | bd AS MATERIALIZED (SELECT DISTINCT a.pred AS body_p,
+         |   b.pred AS body_q, a.subj AS x, b.obj AS z
+         |  FROM u a JOIN u b ON a.obj = b.subj),
+         | nb AS (SELECT body_p, body_q, count(*) AS n_body
+         |  FROM bd GROUP BY 1, 2),
+         | sup AS (SELECT bd.body_p, bd.body_q, u.pred AS head_r,
+         |   count(*) AS support FROM bd
+         |  JOIN u ON bd.x = u.subj AND bd.z = u.obj GROUP BY 1, 2, 3),
+         | rules AS (SELECT sup.body_p, sup.body_q, sup.head_r
+         |  FROM sup JOIN nb USING (body_p, body_q)
+         |  WHERE sup.support >= $RuleMinSupport
+         |   AND round(sup.support / nb.n_body, 4) >= $RuleApplyMinConf),
+         | ent AS (SELECT bd.x AS subj, rules.head_r AS pred, bd.z AS obj
+         |  FROM bd JOIN rules USING (body_p, body_q)),
+         | allf AS (SELECT subj, pred, obj, 'a' AS src FROM u
+         |  UNION ALL SELECT subj, pred, obj, 'i' FROM ent)
+         | SELECT subj, pred, obj,
+         |  CASE WHEN max(CASE WHEN src = 'a' THEN 1 ELSE 0 END) = 1
+         |   THEN 'asserted' ELSE 'inferred' END AS provenance
+         | FROM allf GROUP BY 1, 2, 3""".stripMargin.replaceAll("\n", " "),
     // q109: usage = the doc-level KG triples (the q100 equivalence) plus
     // co-occurrence facts, collapsed to distinct (subj, pred); votes are
     // exact scaled-integer micros (// is DuckDB integer division); the

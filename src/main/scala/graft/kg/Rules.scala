@@ -82,4 +82,46 @@ object Rules {
         col("n_head"), col("support"), col("confidence"),
         col("head_coverage"))
   }
+
+  /** The ACTION on [[minePathRules]]' measurement — forward-chain the
+    * accepted rules once: every body grounding `p(x,y) ∧ q(y,z)` of an
+    * accepted rule entails `head_r(x, z)`; entailed facts the KG does
+    * not assert are added with provenance `inferred`, asserted facts
+    * keep `asserted` (the [[Ontology.enrichInverses]] union-and-collapse
+    * pattern pointed at the rule's body join — rule application is how
+    * a mined rule actually grows the KG). Which rules to accept (the
+    * confidence floor, std vs PCA confidence) is the caller's policy;
+    * pass the filtered rule set. One chaining round only — iterate to a
+    * fixpoint by re-running if the rule set is recursive (AMIE applies
+    * one round too; entailed facts here are groundings over ASSERTED
+    * bodies). Reflexive groundings (`x = z`) entail like any other —
+    * filter the body pairs first if self-facts are meaningless for the
+    * head predicate.
+    *
+    * @param triples `(subj, pred, obj)` rows (duplicates fine)
+    * @param rules   accepted rules carrying `(body_p, body_q, head_r)` —
+    *                extra scoring columns are ignored; must be small
+    *                (vocabulary²-bounded by construction)
+    * @return `(subj, pred, obj, provenance)` — distinct by construction
+    *
+    * Scale shape: the rule set joins the path stream as a broadcast on
+    * `(body_p, body_q)` BEFORE any distinct, so non-rule body pairs are
+    * dropped map-side and never exchanged; the only corpus-sized
+    * exchange is the final provenance collapse on the full fact key. */
+  def applyRules(triples: DataFrame, rules: DataFrame): DataFrame = {
+    val d = triples.select("subj", "pred", "obj").distinct()
+    val entailed = d.as("a")
+      .join(d.as("b"), col("a.obj") === col("b.subj"))
+      .select(col("a.pred").as("body_p"), col("b.pred").as("body_q"),
+        col("a.subj").as("x"), col("b.obj").as("z"))
+      .join(broadcast(rules.select("body_p", "body_q", "head_r")),
+        Seq("body_p", "body_q"))
+      .select(col("x").as("subj"), col("head_r").as("pred"),
+        col("z").as("obj"), lit("i").as("src"))
+    d.withColumn("src", lit("a"))
+      .unionByName(entailed)
+      .groupBy("subj", "pred", "obj")
+      .agg(when(max(when(col("src") === "a", 1).otherwise(0)) === 1,
+        "asserted").otherwise("inferred").as("provenance"))
+  }
 }

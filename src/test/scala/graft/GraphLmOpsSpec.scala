@@ -433,6 +433,33 @@ class GraphLmOpsSpec extends AnyFunSuite {
       row.getDouble(7)) == (("p", "p", "p", 1L, 3L, 1L, 1.0, 0.3333)))
   }
 
+  test("rule application materializes missing heads with provenance") {
+    import spark.implicits._
+    // p is transitive by rule; (a,c) is entailed-but-missing, (b,d) is
+    // entailed AND asserted — it must stay 'asserted', not duplicate
+    val tr = Seq(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+      ("b", "p", "d")).toDF("subj", "pred", "obj")
+    val rules = Seq(("p", "p", "p", 0.9)).toDF(
+      "body_p", "body_q", "head_r", "confidence") // extra column ignored
+    val got = kg.Rules.applyRules(tr, rules).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      ("a", "p", "b", "asserted"), ("b", "p", "c", "asserted"),
+      ("c", "p", "d", "asserted"), ("b", "p", "d", "asserted"),
+      ("a", "p", "c", "inferred"), ("b", "p", "d", "asserted"),
+      ("a", "p", "d", "inferred")))
+  }
+
+  test("rule application with no matching rule returns asserted facts only") {
+    import spark.implicits._
+    val tr = Seq(("a", "p", "b"), ("b", "p", "c")).toDF("subj", "pred", "obj")
+    val rules = Seq(("q", "q", "q")).toDF("body_p", "body_q", "head_r")
+    val got = kg.Rules.applyRules(tr, rules)
+    assert(got.count() == 2L)
+    assert(got.filter(col("provenance") === "inferred").count() == 0L)
+  }
+
   test("majority vote picks the best-supported object per item") {
     import spark.implicits._
     val facts = Seq(
