@@ -255,6 +255,14 @@ object SparkEntry {
     * stable across scales. */
   private val RuleApplyMinConf = 0.8
 
+  /** q116's co-purchase graph: the ≥ 2-shared-orders floor keeps the
+    * parts DAG sparse at every sf (measured: 2.3–3.6k edges, ≤ 12k
+    * 2-hop pairs across sf0.001–sf0.1), so the 3-hop closure stays
+    * neighborhood-sized — the bound the closure scaladoc tells users
+    * to pick. */
+  private val Q116MinOrders = 2L
+  private val Q116MaxHops = 3
+
   /** q104's reliability construction: sources 0 and 1 are a CORRELATED
     * coin-flip pair (both corrupt every suppkey ≡ 0 mod [[Q104PairMod]]
     * the same way — the failure mode unweighted majority cannot escape),
@@ -1520,6 +1528,44 @@ object SparkEntry {
       graft.kg.Rules.applyRules(u,
         graft.kg.Rules.minePathRules(u, RuleMinSupport, RuleApplyMinConf))
     }),
+    // SPARQL OPTIONAL: the language annotation exists only for non-en
+    // pages, so the optional leg genuinely null-fills — left-join BGP
+    // semantics over the same union KG (see kg.TriplePatterns.bgpOptional)
+    "q114_bgp_optional" -> ((s, dir) => {
+      val meta = t(s, dir, "documents").filter(col("lang") =!= "en")
+        .select(
+          concat(lit("doc://"), col("doc_id").cast("string")).as("subj"),
+          lit("in_lang").as("pred"), col("lang").as("obj"))
+      graft.kg.TriplePatterns.bgpOptional(
+        kgTriples(s, dir).unionByName(meta),
+        Seq(("?e", "performs", "?d")),
+        Seq(Seq(("?d", "in_lang", "?lg"))))
+    }),
+    // entity summarization (RELIN informativeness): each entity's 3
+    // most-DISTINGUISHING co-occurrence partners — facts ranked by
+    // ascending corpus frequency of the (pred, obj) value (see
+    // kg.Summarize.topFacts)
+    "q115_entity_summary" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      graft.kg.Summarize.topFacts(cooccurFacts(linked), 3)
+    }),
+    // bounded property-path closure (SPARQL copurchase{1,3}) over the
+    // repeat co-purchase DAG: parts sharing ≥ 2 orders, directed
+    // u < v — every pair reachable in ≤ 3 hops with its minimal hop
+    // count (see kg.TriplePatterns.closure)
+    "q116_path_closure" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val edges = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("subj"), col("b.l_partkey").as("obj"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= Q116MinOrders)
+        .select(col("subj"), lit("copurchase").as("pred"), col("obj"))
+      graft.kg.TriplePatterns.closure(edges, "copurchase", Q116MaxHops)
+    }),
     // usage-based type inference (SDType): the UsageHeldOut entities are
     // stripped from the typed table and re-typed from predicate-usage
     // votes; `cooccurs_with` facts (per-doc entity pairs) supply the
@@ -2637,14 +2683,21 @@ object SparkEntry {
          |  FROM body GROUP BY 1, 2),
          | nh AS (SELECT pred AS head_r, count(*) AS n_head
          |  FROM u GROUP BY 1),
+         | hs AS (SELECT DISTINCT pred AS head_r, subj AS x FROM u),
+         | pca AS (SELECT body.body_p, body.body_q, hs.head_r,
+         |   count(*) AS n_body_pca FROM body
+         |  JOIN hs ON body.x = hs.x GROUP BY 1, 2, 3),
          | sup AS (SELECT body.body_p, body.body_q, u.pred AS head_r,
          |   count(*) AS support FROM body
          |  JOIN u ON body.x = u.subj AND body.z = u.obj GROUP BY 1, 2, 3)
          | SELECT sup.body_p, sup.body_q, sup.head_r, nb.n_body,
          |  nh.n_head, sup.support,
          |  round(sup.support / nb.n_body, 4) AS confidence,
+         |  pca.n_body_pca,
+         |  round(sup.support / pca.n_body_pca, 4) AS pca_confidence,
          |  round(sup.support / nh.n_head, 4) AS head_coverage
          | FROM sup JOIN nb USING (body_p, body_q) JOIN nh USING (head_r)
+         |  JOIN pca USING (body_p, body_q, head_r)
          | WHERE sup.support >= $RuleMinSupport
          |  AND round(sup.support / nb.n_body, 4) >= $RuleMinConf"""
         .stripMargin.replaceAll("\n", " "),
@@ -2683,6 +2736,53 @@ object SparkEntry {
          |  CASE WHEN max(CASE WHEN src = 'a' THEN 1 ELSE 0 END) = 1
          |   THEN 'asserted' ELSE 'inferred' END AS provenance
          | FROM allf GROUP BY 1, 2, 3""".stripMargin.replaceAll("\n", " "),
+    // q114: OPTIONAL = LEFT JOIN on the shared node; the in_lang leg
+    // exists only where lang <> 'en', so lg null-fills for en pages
+    "q114_bgp_optional" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj
+         |  FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | meta AS (SELECT 'doc://' || doc_id AS subj, lang AS obj
+         |  FROM documents WHERE lang <> 'en')
+         | SELECT a.subj AS e, a.obj AS d, m.obj AS lg
+         | FROM tr a LEFT JOIN meta m ON m.subj = a.obj
+         | WHERE a.pred = 'performs'""".stripMargin.replaceAll("\n", " "),
+    // q115: value-frequency ranking replayed with the identical window
+    // ordering; rank cast to BIGINT on the engine side already
+    "q115_entity_summary" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.entity_id
+         |  FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | co AS MATERIALIZED (SELECT DISTINCT a.entity_id AS subj,
+         |   'cooccurs_with' AS pred, b.entity_id AS obj
+         |  FROM men a JOIN men b ON a.doc_id = b.doc_id
+         |   AND a.entity_id <> b.entity_id),
+         | po AS (SELECT pred, obj, count(*) AS n_po FROM co GROUP BY 1, 2)
+         | SELECT subj, pred, obj, n_po, rank FROM (
+         |  SELECT co.subj, co.pred, co.obj, po.n_po, row_number() OVER
+         |   (PARTITION BY co.subj
+         |    ORDER BY po.n_po ASC, co.pred ASC, co.obj ASC) AS rank
+         |  FROM co JOIN po USING (pred, obj)) WHERE rank <= 3"""
+        .stripMargin.replaceAll("\n", " "),
+    // q116: bounded recursion with per-pair min(h) — the engine's
+    // level-synchronous anti-join reaches each pair first at its
+    // minimal depth, which is exactly min over all enumerated paths
+    "q116_path_closure" ->
+      s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey
+         |  FROM lineitem),
+         | e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $Q116MinOrders),
+         | r(s, o, h) AS (SELECT u, v, 1 FROM e
+         |  UNION
+         |  SELECT r.s, e.v, r.h + 1 FROM r JOIN e ON r.o = e.u
+         |  WHERE r.h < $Q116MaxHops)
+         | SELECT s AS subj, o AS obj, CAST(min(h) AS BIGINT) AS hops
+         | FROM r GROUP BY 1, 2""".stripMargin.replaceAll("\n", " "),
     // q109: usage = the doc-level KG triples (the q100 equivalence) plus
     // co-occurrence facts, collapsed to distinct (subj, pred); votes are
     // exact scaled-integer micros (// is DuckDB integer division); the

@@ -25,12 +25,19 @@ object Rules {
     *   - `support` = |body pairs on which the head fact is asserted|
     *   - `confidence`    = support / n_body  (AMIE std confidence: the
     *     closed-world reading — how often the body predicts a KNOWN head)
+    *   - `n_body_pca` = |body pairs whose `x` asserts ANY `r` fact| —
+    *     AMIE's partial-completeness denominator: a body pair whose
+    *     subject the KG knows nothing about under `r` is treated as
+    *     UNKNOWN, not false
+    *   - `pca_confidence` = support / n_body_pca (AMIE's headline metric
+    *     for incomplete KBs; ≥ std confidence by construction)
     *   - `head_coverage` = support / n_head  (how much of the head
     *     relation the rule explains — AMIE's pruning metric)
     *
     * Returns one row per `(body_p, body_q, head_r)` passing both floors:
     * `(body_p, body_q, head_r, n_body, n_head, support, confidence,
-    * head_coverage)`. Measurement-only, like [[Ontology.alignPredicates]]:
+    * n_body_pca, pca_confidence, head_coverage)`. Measurement-only, like
+    * [[Ontology.alignPredicates]]:
     * applying a rule (materializing its predicted-but-missing heads with
     * `inferred` provenance) is [[Ontology.enrichInverses]]' union-and-
     * collapse pattern pointed at the rule's body join, and stays with
@@ -44,8 +51,12 @@ object Rules {
     * [[TriplePatterns.chain]] — AQE's skew join covers the moderate form
     * and the immediate distinct collapse on `(p, q, x, z)` stops the fan
     * from surviving past one exchange. The support join meets two
-    * (x, z)-keyed streams co-partitioned by construction; per-rule
-    * totals are vocabulary²-sized and broadcast.
+    * (x, z)-keyed streams co-partitioned by construction; the PCA join
+    * keys the body pairs on `x` against the distinct (pred, subject)
+    * relation — vocabulary × subject-vocabulary sized, so AQE broadcasts
+    * it when it measures small and the hot-subject exposure is the same
+    * as the path join's (skew-join covered). Per-rule totals are
+    * vocabulary²-sized and broadcast.
     *
     * @param triples    `(subj, pred, obj)` rows (duplicates fine —
     *                   collapsed to distinct facts first)
@@ -68,19 +79,28 @@ object Rules {
     val nBody = body.groupBy("body_p", "body_q")
       .agg(count(lit(1)).as("n_body"))
     val nHead = heads.groupBy("head_r").agg(count(lit(1)).as("n_head"))
+    val headSubj = d.select(col("pred").as("head_r"), col("subj").as("x"))
+      .distinct()
+    val nPca = body.join(headSubj, "x")
+      .groupBy("body_p", "body_q", "head_r")
+      .agg(count(lit(1)).as("n_body_pca"))
     body.join(heads, Seq("x", "z"))
       .groupBy("body_p", "body_q", "head_r")
       .agg(count(lit(1)).as("support"))
       .join(nBody, Seq("body_p", "body_q"))
       .join(broadcast(nHead), "head_r")
+      // support ≥ 1 ⇒ some body x asserts r, so the PCA group exists
+      .join(nPca, Seq("body_p", "body_q", "head_r"))
       .withColumn("confidence",
         round(col("support") / col("n_body"), 4))
+      .withColumn("pca_confidence",
+        round(col("support") / col("n_body_pca"), 4))
       .withColumn("head_coverage",
         round(col("support") / col("n_head"), 4))
       .filter(col("support") >= minSupport && col("confidence") >= minConf)
       .select(col("body_p"), col("body_q"), col("head_r"), col("n_body"),
         col("n_head"), col("support"), col("confidence"),
-        col("head_coverage"))
+        col("n_body_pca"), col("pca_confidence"), col("head_coverage"))
   }
 
   /** The ACTION on [[minePathRules]]' measurement — forward-chain the

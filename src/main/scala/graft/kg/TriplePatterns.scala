@@ -95,6 +95,44 @@ object TriplePatterns {
     */
   def bgp(triples: DataFrame,
       patterns: Seq[(String, String, String)]): DataFrame = {
+    val (df, vars) = compileGroup(triples, patterns)
+    df.select(vars.map(col): _*)
+  }
+
+  /** [[bgp]] with SPARQL OPTIONAL groups: each group in `optionals` is a
+    * BGP compiled like the required `patterns` and LEFT-joined onto the
+    * solutions bound so far on their shared variables (groups bind
+    * left-to-right, so a later group may join on an earlier group's
+    * variables; a solution the group cannot extend keeps nulls in the
+    * group's new variables — SPARQL's weak-optional semantics for
+    * well-designed patterns). Each optional group must share at least
+    * one variable with what precedes it: a no-shared-variable OPTIONAL
+    * is a cross product per solution, which is a query bug, not a plan.
+    *
+    * Scale shape: identical to [[bgp]] per group, plus one left
+    * equi-join per group on the shared variable names — same
+    * Catalyst/AQE freedom, no cartesian possible by the shared-variable
+    * requirement. */
+  def bgpOptional(triples: DataFrame,
+      patterns: Seq[(String, String, String)],
+      optionals: Seq[Seq[(String, String, String)]]): DataFrame = {
+    val (req, reqVars) = compileGroup(triples, patterns)
+    val (acc, vars) = optionals.foldLeft((req, reqVars)) {
+      case ((df, bound), group) =>
+        val (g, gVars) = compileGroup(triples, group)
+        val shared = gVars.filter(bound.contains)
+        require(shared.nonEmpty,
+          s"OPTIONAL group $group shares no variable with prior patterns")
+        (df.join(g, shared, "left"), bound ++ gVars.filterNot(bound.contains))
+    }
+    acc.select(vars.map(col): _*)
+  }
+
+  /** Compile one conjunctive pattern group to a DataFrame plus its
+    * variable names in first-appearance order (shared by [[bgp]] and
+    * [[bgpOptional]]). */
+  private def compileGroup(triples: DataFrame,
+      patterns: Seq[(String, String, String)]): (DataFrame, Seq[String]) = {
     require(patterns.nonEmpty, "BGP needs at least one pattern")
     case class Pat(i: Int, vars: Seq[(String, String)],
         consts: Seq[(String, String)])
@@ -149,7 +187,56 @@ object TriplePatterns {
       bound ++= pick.vars.map(_._2)
       remaining = remaining.filterNot(_.i == pick.i)
     }
-    acc.select(allVars.map(col): _*)
+    // EXISTS-gate marker columns are group-local — drop them so groups
+    // compose (two groups' gates would otherwise collide by name)
+    (acc.drop(acc.columns.filter(_.startsWith("__exists_")).toSeq: _*),
+      allVars)
+  }
+
+  /** Bounded property-path closure (SPARQL `pred{1,maxHops}`): every
+    * ordered pair `(subj, obj, hops)` connected by 1..maxHops directed
+    * `pred` edges, `hops` = the MINIMAL path length — the all-pairs
+    * complement of [[Bfs.distances]]' seeded single-source traversal,
+    * and the materialization a `pred+` property path queries against
+    * instead of re-traversing per query.
+    *
+    * Algorithm: level-synchronous frontier relaxation keyed by origin —
+    * round d extends only round d−1's pairs by one edge, and an
+    * anti-join against everything reached drops pairs already connected
+    * shorter (BFS minimality, per origin). The iteration count is the
+    * FIXED maxHops, so lineage depth is bounded by construction; the
+    * edge list and each level are persisted (both multiply-referenced:
+    * edges once per round, levels through every later anti-join), the
+    * cumulative union never is — the [[Bfs]] residency contract.
+    *
+    * Scale shape: each round is ONE equi-join on the meeting node plus
+    * one distinct and one anti-join, all AQE-planned (a tiny frontier
+    * broadcasts, an exploding one shuffles); per-node fan-out is
+    * in×out-degree, the [[chain]] exposure, and the per-round distinct
+    * stops it compounding across rounds. The output is the transitive
+    * neighborhood itself, so its size — not the plan — is the scale
+    * bound: keep maxHops small on dense graphs (the same judgment call
+    * every property-path engine surfaces to the user).
+    */
+  def closure(triples: DataFrame, pred: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = triples.filter(col("pred") === pred)
+      .select(col("subj").as("src"), col("obj").as("dst"))
+      .distinct().persist(lvl)
+    var reached = edges.withColumn("hops", lit(1L)).persist(lvl)
+    var frontier = reached
+    (2 to maxHops).foreach { d =>
+      val next = frontier.select(col("src"), col("dst").as("mid"))
+        .join(edges.select(col("src").as("mid"), col("dst")), "mid")
+        .select("src", "dst").distinct()
+        .join(reached.select("src", "dst"), Seq("src", "dst"), "left_anti")
+        .withColumn("hops", lit(d.toLong))
+        .persist(lvl)
+      reached = reached.unionByName(next)
+      frontier = next
+    }
+    reached.select(col("src").as("subj"), col("dst").as("obj"), col("hops"))
   }
 
   /** Diff two KG snapshots keyed by the full triple:

@@ -439,6 +439,70 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("s", "o", "u", "v"))
   }
 
+  test("bgpOptional keeps unmatched solutions with nulls (SPARQL OPTIONAL)") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("e1", "performs", "doc://1"), ("e2", "performs", "doc://2"),
+      ("doc://1", "in_lang", "fr"), ("fr", "lang_name", "French"))
+      .toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgpOptional(tr,
+      Seq(("?e", "performs", "?d")),
+      Seq(Seq(("?d", "in_lang", "?lg")), Seq(("?lg", "lang_name", "?nm"))))
+    assert(got.columns.toSeq == Seq("e", "d", "lg", "nm"))
+    // the second group chains on the first's variable; e2's null lg
+    // cannot match, so nm stays null too
+    assert(got.collect().map(r => (r.getString(0), r.getString(1),
+      Option(r.getString(2)), Option(r.getString(3)))).toSet == Set(
+      ("e1", "doc://1", Some("fr"), Some("French")),
+      ("e2", "doc://2", None, None)))
+  }
+
+  test("bgpOptional rejects an optional group sharing no variable") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(("a", "p", "b")).toDF("subj", "pred", "obj")
+    intercept[IllegalArgumentException] {
+      TriplePatterns.bgpOptional(tr, Seq(("?x", "p", "?y")),
+        Seq(Seq(("?u", "q", "?v"))))
+    }
+  }
+
+  test("entity summarization ranks rarest (pred, obj) values first") {
+    import spark.implicits._
+    import graft.kg.Summarize
+    // (p,b) is common (3 subjects), (p,c) and (q,b) are unique; s1's
+    // duplicate fact must not double-count the frequency
+    val tr = Seq(("s1", "p", "b"), ("s2", "p", "b"), ("s3", "p", "b"),
+      ("s1", "p", "c"), ("s1", "p", "c"), ("s1", "q", "b"))
+      .toDF("subj", "pred", "obj")
+    val got = Summarize.topFacts(tr, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // s1: rank 1 = (p,c) (n_po 1, pred tiebreak beats (q,b)), rank 2 =
+    // (q,b); the common (p,b) is cut by k=2
+    assert(got == Set(
+      ("s1", "p", "c", 1L, 1L), ("s1", "q", "b", 1L, 2L),
+      ("s2", "p", "b", 3L, 1L), ("s3", "p", "b", 3L, 1L)))
+  }
+
+  test("bounded path closure returns minimal hop counts, one predicate only") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    // chain a→b→c→d→e plus the shortcut a→c; q-edges must not leak in
+    val tr = Seq(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+      ("d", "p", "e"), ("a", "p", "c"), ("x", "q", "y"))
+      .toDF("subj", "pred", "obj")
+    val got = TriplePatterns.closure(tr, "p", 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", "b") -> 1L, ("b", "c") -> 1L, ("c", "d") -> 1L,
+      ("d", "e") -> 1L, ("a", "c") -> 1L,
+      ("a", "d") -> 2L, ("b", "d") -> 2L, ("c", "e") -> 2L,
+      ("a", "e") -> 3L, ("b", "e") -> 3L))
+    assert(TriplePatterns.closure(tr, "p", 1).count() == 5L)
+  }
+
   test("firstMentionContexts slices the text between first mentions only") {
     import spark.implicits._
     import graft.kg.RelationMining

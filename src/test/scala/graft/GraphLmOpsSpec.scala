@@ -403,24 +403,25 @@ class GraphLmOpsSpec extends AnyFunSuite {
       row.getDouble(5)) == ((1L, 1L, 1L, 1.0)))
   }
 
-  test("path-rule mining scores support, confidence, and head coverage") {
+  test("path-rule mining scores support, std/PCA confidence, head coverage") {
     import spark.implicits._
     // p: a→b, b→c, b→d, a→c (a→b duplicated — must not double count);
-    // q: a→b. Bodies (p,p) and (q,p) both reach {(a,c),(a,d)}; only
-    // (a,c) is a p head → conf 0.5; head q(a,c) absent → (·,·,q) dies
+    // q: a→b, e→b. Rule (q,p ⇒ p) reaches {(a,c),(a,d),(e,c),(e,d)} but
+    // e asserts NO p fact, so PCA drops e's pairs from the denominator:
+    // std confidence 0.25, PCA confidence 0.5 — the incomplete-KB gap
     val tr = Seq(("a", "p", "b"), ("a", "p", "b"), ("b", "p", "c"),
-      ("b", "p", "d"), ("a", "p", "c"), ("a", "q", "b"))
+      ("b", "p", "d"), ("a", "p", "c"), ("a", "q", "b"), ("e", "q", "b"))
       .toDF("subj", "pred", "obj")
-    val got = kg.Rules.minePathRules(tr, 1L, 0.5).collect()
+    val got = kg.Rules.minePathRules(tr, 1L, 0.2).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
         ((r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
-          r.getDouble(7)))).toMap
+          r.getLong(7), r.getDouble(8), r.getDouble(9)))).toMap
     assert(got == Map(
-      ("p", "p", "p") -> ((2L, 4L, 1L, 0.5, 0.25)),
-      ("q", "p", "p") -> ((2L, 4L, 1L, 0.5, 0.25))))
+      ("p", "p", "p") -> ((2L, 4L, 1L, 0.5, 2L, 0.5, 0.25)),
+      ("q", "p", "p") -> ((4L, 4L, 1L, 0.25, 2L, 0.5, 0.25))))
     // both floors prune: raise confidence past 0.5, then support past 1
     assert(kg.Rules.minePathRules(tr, 1L, 0.6).count() == 0L)
-    assert(kg.Rules.minePathRules(tr, 2L, 0.5).count() == 0L)
+    assert(kg.Rules.minePathRules(tr, 2L, 0.2).count() == 0L)
   }
 
   test("a perfectly transitive predicate mines at confidence 1.0") {
@@ -430,7 +431,8 @@ class GraphLmOpsSpec extends AnyFunSuite {
     val row = kg.Rules.minePathRules(tr, 1L, 0.9).head()
     assert((row.getString(0), row.getString(1), row.getString(2),
       row.getLong(3), row.getLong(4), row.getLong(5), row.getDouble(6),
-      row.getDouble(7)) == (("p", "p", "p", 1L, 3L, 1L, 1.0, 0.3333)))
+      row.getLong(7), row.getDouble(8), row.getDouble(9))
+      == (("p", "p", "p", 1L, 3L, 1L, 1.0, 1L, 1.0, 0.3333)))
   }
 
   test("rule application materializes missing heads with provenance") {
