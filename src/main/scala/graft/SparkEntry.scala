@@ -116,6 +116,12 @@ object SparkEntry {
   private val LinkPredCapMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** q122's holdout split: bucket 0 of 10 (≈10% of edges held out) on the
+    * shared md5 primitive, so the oracle re-derives the identical split —
+    * the q47/q56/q57 discipline applied to the evaluation protocol. */
+  private val LinkPredEvalMod = 10
+  private val LinkPredEvalBucket = 0
+
   /** q95's engine-measured decile cutpoints per sf dir — shared by the
     * query lambda and [[oracleSqlFor]] so both sides bin with the SAME
     * measured values (two independent measurements could differ in the
@@ -425,6 +431,30 @@ object SparkEntry {
     * runs so [[oracleSqlFor]] need not re-run the whole peel. */
   private val KCoreRoundsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** The q116/q120 repeat co-purchase DAG: parts sharing ≥
+    * [[Q116MinOrders]] orders, directed u < v — ONE definition (SQL twin
+    * [[CopurchaseEdgesCtes]]) so the closure and reduction queries read
+    * the same graph. */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("subj"), col("b.l_partkey").as("obj"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= Q116MinOrders)
+      .select(col("subj"), lit("copurchase").as("pred"), col("obj"))
+  }
+
+  /** [[copurchaseEdges]] as oracle CTEs (`li`, `e(u, v)`). */
+  private val CopurchaseEdgesCtes =
+    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |   AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $Q116MinOrders)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY.md §2 ops 2/4/17/18/21 + joins note) ----
@@ -1554,17 +1584,80 @@ object SparkEntry {
     // repeat co-purchase DAG: parts sharing ≥ 2 orders, directed
     // u < v — every pair reachable in ≤ 3 hops with its minimal hop
     // count (see kg.TriplePatterns.closure)
-    "q116_path_closure" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val edges = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("subj"), col("b.l_partkey").as("obj"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= Q116MinOrders)
-        .select(col("subj"), lit("copurchase").as("pred"), col("obj"))
-      graft.kg.TriplePatterns.closure(edges, "copurchase", Q116MaxHops)
+    "q116_path_closure" -> ((s, dir) =>
+      graft.kg.TriplePatterns.closure(
+        copurchaseEdges(s, dir), "copurchase", Q116MaxHops)),
+    // owl:sameAs fact collapse through the near-dup cluster map (the q61
+    // composition): facts grounded in mirror pages re-ground on the
+    // cluster winner's page URI with n_sources = distinct pre-collapse
+    // pages — the step that makes near-dup detection change the KG, not
+    // just the corpus (see kg.SameAs)
+    "q117_sameas_collapse" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      graft.kg.SameAs.collapseFacts(linked,
+        Dedup.clusters(s, t(s, dir, "documents"), 0.5, portableHash = true),
+        NerSpark.Predicates)
+    }),
+    // measurement-literal normalization: planted mixed-format quantities
+    // (comma-grouped, decimal, unit-attached) extracted by one codegen'd
+    // regexp pass and normalized onto exact SI micro-integer BIGINTs (see
+    // text.Literals; the q65 planted-input pattern — the synthetic corpus
+    // asserts no quantities of its own)
+    "q118_measurements" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" dist 1,"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit(" km mass "), (col("doc_id") % 90).cast("string"),
+        lit(".5 kg took "), (col("doc_id") % 250).cast("string"),
+        lit("ms len "), (col("doc_id") % 40).cast("string"), lit(" m"))
+      graft.text.Literals.measurements(
+        t(s, dir, "documents").select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
+    }),
+    // SPARQL MINUS: every `?e performs ?d` solution whose page does NOT
+    // carry a language annotation — the set-difference complement of
+    // q114's OPTIONAL, compiled to one left-anti join (see
+    // kg.TriplePatterns.bgpMinus)
+    "q119_bgp_minus" -> ((s, dir) => {
+      val meta = t(s, dir, "documents").filter(col("lang") =!= "en")
+        .select(
+          concat(lit("doc://"), col("doc_id").cast("string")).as("subj"),
+          lit("in_lang").as("pred"), col("lang").as("obj"))
+      graft.kg.TriplePatterns.bgpMinus(
+        kgTriples(s, dir).unionByName(meta),
+        Seq(("?e", "performs", "?d")),
+        Seq(("?d", "in_lang", "?lg")))
+    }),
+    // bounded transitive reduction over the q116 co-purchase DAG: flag
+    // each asserted edge that a 2..3-hop path entails — the maintenance
+    // audit that keeps crawled hierarchies minimal (see
+    // kg.TriplePatterns.transitiveReduction)
+    "q120_transitive_reduction" -> ((s, dir) =>
+      graft.kg.TriplePatterns.transitiveReduction(
+        copurchaseEdges(s, dir), "copurchase", Q116MaxHops)),
+    // schema (quotient) graph summarization: the instance KG collapsed
+    // onto entity types — one row per (subj_type, pred, obj_type) with
+    // instance support; doc:// objects land in the untyped bucket by
+    // design (see kg.Summarize.schemaGraph)
+    "q121_schema_graph" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      graft.kg.Summarize.schemaGraph(
+        Kg.triples(linked, NerSpark.Predicates).select("subj", "pred", "obj"),
+        linked.select(col("entity_id").as("node"),
+          col("category").as("type")).distinct())
+    }),
+    // link-prediction ranking evaluation (the Liben-Nowell–Kleinberg
+    // held-out protocol): one md5 bucket of true edges held out, q75's
+    // candidates regenerated on the rest, and the removed edges scored by
+    // rank — MRR shipped as an exact integer micro-sum (see
+    // kg.LinkPredict.evalRanking)
+    "q122_linkpred_eval" -> ((s, dir) => {
+      val canon = partsCooccurEdges(s, dir)
+      val cap = LinkPredCapMemo.getOrElseUpdate(dir,
+        graft.kg.LinkPredict.measuredHubCap(canon, LinkPredHubPct))
+      graft.kg.LinkPredict.evalRanking(canon,
+        LinkPredEvalMod, LinkPredEvalBucket, cap, LinkPredMinCommon)
     }),
     // usage-based type inference (SDType): the UsageHeldOut entities are
     // stripped from the typed table and re-typed from predicate-usage
@@ -1685,6 +1778,71 @@ object SparkEntry {
        |  round(aa_raw, 4) AS score_aa
        | FROM noedge JOIN deg d1 ON d1.w = noedge.e1
        | JOIN deg d2 ON d2.w = noedge.e2""".stripMargin.replaceAll("\n", " ")
+
+  /** q122: the held-out ranking evaluation — the shared md5-bucket split,
+    * q75's wedge replay on the TRAIN edges only, the identical
+    * `(n_common desc, e2 asc)` rank window, and per-term integer-rounded
+    * reciprocal ranks (the sum is cast back from DuckDB's HUGEINT). */
+  private def linkPredEvalSql(cap: Long): String =
+    s"""WITH edges AS MATERIALIZED ($KCoreEdgesSql),
+       | keyed AS (SELECT u, v,
+       |   ('0x' || substr(md5(u::varchar || ':' || v::varchar), 1, 8))::BIGINT
+       |     % $LinkPredEvalMod AS hb FROM edges),
+       | held AS (SELECT u, v FROM keyed WHERE hb = $LinkPredEvalBucket),
+       | tre AS MATERIALIZED (SELECT u, v FROM keyed
+       |   WHERE hb <> $LinkPredEvalBucket),
+       | und AS MATERIALIZED (SELECT u AS w, v AS n FROM tre
+       |   UNION ALL SELECT v AS w, u AS n FROM tre),
+       | deg AS MATERIALIZED (SELECT w, count(*) AS d FROM und GROUP BY w),
+       | ctr AS (SELECT und.w, und.n FROM und JOIN deg USING (w)
+       |         WHERE deg.d <= $cap),
+       | sc AS MATERIALIZED (SELECT a.n AS e1, b.n AS e2, count(*) AS n_common
+       |       FROM ctr a JOIN ctr b ON a.w = b.w AND a.n < b.n
+       |       GROUP BY 1, 2 HAVING count(*) >= $LinkPredMinCommon),
+       | noedge AS (SELECT sc.* FROM sc LEFT JOIN tre
+       |            ON sc.e1 = tre.u AND sc.e2 = tre.v
+       |            WHERE tre.u IS NULL),
+       | ranked AS (SELECT e1, e2, row_number() OVER
+       |   (PARTITION BY e1 ORDER BY n_common DESC, e2 ASC) AS r
+       |  FROM noedge),
+       | j AS (SELECT h.u, h.v, rk.r FROM held h
+       |   LEFT JOIN ranked rk ON rk.e1 = h.u AND rk.e2 = h.v)
+       | SELECT count(*) AS n_holdout, count(r) AS n_ranked,
+       |  coalesce(sum(round(1000000.0 / r)::bigint), 0)::bigint
+       |    AS mrr_micro_sum,
+       |  count(CASE WHEN r <= 1 THEN 1 END) AS n_hits1,
+       |  count(CASE WHEN r <= 3 THEN 1 END) AS n_hits3,
+       |  count(CASE WHEN r <= 10 THEN 1 END) AS n_hits10
+       | FROM j""".stripMargin.replaceAll("\n", " ")
+
+  /** q118: measurement extraction replay — group-indexed
+    * regexp_extract_all lists zipped by a fixed-bound series, then CASE
+    * ladders BUILT FROM the engine's own [[graft.text.Literals.UnitMicros]]
+    * table (so unit math cannot drift); the planted quantities mirror the
+    * query's construction verbatim. */
+  private def measurementsSql(mBound: Long): String = {
+    val pat = graft.text.Literals.Pattern
+    val siCase = graft.text.Literals.UnitMicros
+      .map { case (u, b, _) => s"WHEN '$u' THEN '$b'" }
+      .mkString("CASE unit ", " ", " END")
+    val facCase = graft.text.Literals.UnitMicros
+      .map { case (u, _, f) => s"WHEN '$u' THEN $f" }
+      .mkString("CASE unit ", " ", " END")
+    s"""WITH planted AS (SELECT doc_id,
+       |  text || ' dist 1,' || lpad((doc_id % 1000)::varchar, 3, '0') ||
+       |  ' km mass ' || (doc_id % 90) || '.5 kg took ' || (doc_id % 250) ||
+       |  'ms len ' || (doc_id % 40) || ' m' AS text FROM documents),
+       | ex AS (SELECT doc_id,
+       |   regexp_extract_all(text, '$pat', 1) AS nums,
+       |   regexp_extract_all(text, '$pat', 2) AS units FROM planted),
+       | z AS (SELECT doc_id, (g.i - 1)::bigint AS m_idx,
+       |   nums[g.i] AS raw_value, units[g.i] AS unit
+       |  FROM ex JOIN generate_series(1, $mBound) g(i) ON g.i <= len(nums))
+       | SELECT doc_id, m_idx, raw_value, unit, $siCase AS si_unit,
+       |  round(replace(raw_value, ',', '')::double * ($facCase))::bigint
+       |    AS value_si_micro
+       | FROM z""".stripMargin.replaceAll("\n", " ")
+  }
 
   /** q90: add-1-smoothed bigram LM replay — the bigram stream comes from a
     * fixed-bound position series (no lateral series in DuckDB 1.0), then
@@ -1813,6 +1971,31 @@ object SparkEntry {
        |  (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_winner
        | FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
       .stripMargin.replaceAll("\n", " ")
+
+  /** q117: the q61 cluster replay composed with the dictionary-linked
+    * fact stream — facts re-grounded on each doc's cluster representative
+    * and collapsed with a distinct-source count. */
+  private def sameAsSql(tokBound: Long): String =
+    s"""WITH RECURSIVE dict(category, surface, entity_id) AS $AliasValues,
+       | ${minhashEstCtes(tokBound)},
+       | p AS (SELECT doc_a, doc_b FROM est WHERE e >= 0.5),
+       | sym AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |         UNION SELECT doc_b, doc_a FROM p),
+       | cc(node, label) AS (
+       |   SELECT src, src FROM sym
+       |   UNION
+       |   SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.node),
+       | comp AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
+       | clu AS (SELECT d.doc_id,
+       |   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+       | facts AS (SELECT DISTINCT dict.entity_id AS subj, $PredCase AS pred,
+       |   d.doc_id FROM documents d CROSS JOIN dict
+       |  WHERE position(surface in d.text) > 0)
+       | SELECT f.subj, f.pred, 'doc://' || clu.cluster_id AS obj,
+       |  count(DISTINCT f.doc_id) AS n_sources
+       | FROM facts f JOIN clu ON clu.doc_id = f.doc_id
+       | GROUP BY 1, 2, 3""".stripMargin.replaceAll("\n", " ")
 
   /** Shared q62/q63 CTE chain: fixed 3-token spans, md5 fingerprints,
     * corpus-wide distinct-doc df. */
@@ -2771,18 +2954,68 @@ object SparkEntry {
     // level-synchronous anti-join reaches each pair first at its
     // minimal depth, which is exactly min over all enumerated paths
     "q116_path_closure" ->
-      s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey
-         |  FROM lineitem),
-         | e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
-         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-         |   AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= $Q116MinOrders),
+      s"""WITH RECURSIVE $CopurchaseEdgesCtes,
          | r(s, o, h) AS (SELECT u, v, 1 FROM e
          |  UNION
          |  SELECT r.s, e.v, r.h + 1 FROM r JOIN e ON r.o = e.u
          |  WHERE r.h < $Q116MaxHops)
          | SELECT s AS subj, o AS obj, CAST(min(h) AS BIGINT) AS hops
          | FROM r GROUP BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    // q117: the q61 cluster replay + fact re-grounding (bound-derived
+    // variant in oracleSqlFor)
+    "q117_sameas_collapse" -> sameAsSql(4096),
+    // q118: planted-measurement extraction replay (bound-derived variant
+    // in oracleSqlFor)
+    "q118_measurements" -> measurementsSql(4096),
+    // q119: SPARQL MINUS = NOT EXISTS on the shared variable; tr is
+    // distinct, so required-side bag multiplicity is 1 per solution in
+    // both engines
+    "q119_bgp_minus" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || d.doc_id AS obj
+         |  FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | meta AS (SELECT 'doc://' || doc_id AS subj FROM documents
+         |  WHERE lang <> 'en')
+         | SELECT a.subj AS e, a.obj AS d FROM tr a
+         | WHERE a.pred = 'performs'
+         |  AND NOT EXISTS (SELECT 1 FROM meta m WHERE m.subj = a.obj)"""
+        .stripMargin.replaceAll("\n", " "),
+    // q120: 2- and 3-hop path sets deduped per round exactly like the
+    // engine's exact-d chains, then one left join flags entailed edges
+    "q120_transitive_reduction" ->
+      s"""WITH $CopurchaseEdgesCtes,
+         | e2 AS (SELECT a.u, b.v FROM e a JOIN e b ON a.v = b.u
+         |        GROUP BY 1, 2),
+         | e3 AS (SELECT a.u, b.v FROM e2 a JOIN e b ON a.v = b.u
+         |        GROUP BY 1, 2),
+         | multi AS (SELECT u, v FROM e2 UNION SELECT u, v FROM e3)
+         | SELECT e.u AS subj, 'copurchase' AS pred, e.v AS obj,
+         |  (m.u IS NOT NULL) AS redundant
+         | FROM e LEFT JOIN multi m ON m.u = e.u AND m.v = e.v"""
+        .stripMargin.replaceAll("\n", " "),
+    // q121: the quotient collapse — distinct facts, two left joins onto
+    // the mention-derived type map, untyped-bucket coalesce, one
+    // schema-keyed aggregate
+    "q121_schema_graph" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men),
+         | ty AS (SELECT DISTINCT entity_id AS node, category AS type
+         |  FROM men)
+         | SELECT coalesce(ts.type, 'untyped') AS subj_type, tr.pred,
+         |  coalesce(tob.type, 'untyped') AS obj_type,
+         |  count(*) AS n_facts, count(DISTINCT tr.subj) AS n_subj,
+         |  count(DISTINCT tr.obj) AS n_obj
+         | FROM tr LEFT JOIN ty ts ON ts.node = tr.subj
+         | LEFT JOIN ty tob ON tob.node = tr.obj
+         | GROUP BY 1, 2, 3""".stripMargin.replaceAll("\n", " "),
+    // q122: held-out ranking replay (measured-cap variant in oracleSqlFor)
+    "q122_linkpred_eval" -> linkPredEvalSql(LinkPredHubCapStatic),
     // q109: usage = the doc-level KG triples (the q100 equivalence) plus
     // co-occurrence facts, collapsed to distinct (subj, pred); votes are
     // exact scaled-integer micros (// is DuckDB integer division); the
@@ -3128,6 +3361,10 @@ object SparkEntry {
       "q25_frame_sample" -> frameSampleSql(maxBytes / 64 + 2),
       "q15_minhash_pairs" -> minhashSql(maxToks + 1),
       "q61_neardup_clusters" -> clustersSql(maxToks + 1),
+      "q117_sameas_collapse" -> sameAsSql(maxToks + 1),
+      // every measurement mention spans ≥ 2 chars, so matches per doc are
+      // bounded by half the (planted-suffix-padded) text length
+      "q118_measurements" -> measurementsSql(maxLen / 2 + 32),
       "q62_line_dedup" -> lineDedupSql(maxToks / 3 + 2),
       "q63_line_dedup_strip" -> lineStripSql(maxToks / 3 + 2),
       "q64_delta_dedup" -> deltaSql(maxToks + 1),
@@ -3144,6 +3381,12 @@ object SparkEntry {
       // q75's cap is the engine-measured p75 degree percentile — reuse the
       // query run's memo, or measure here if the oracle is generated first
       "q75_link_predict" -> linkPredSql(
+        LinkPredCapMemo.getOrElseUpdate(sfDir,
+          graft.kg.LinkPredict.measuredHubCap(
+            partsCooccurEdges(spark, sfDir), LinkPredHubPct))),
+      // q122 shares q75's measured-cap memo: the eval ranks candidates
+      // under the SAME data-relative hub cap the proposal query uses
+      "q122_linkpred_eval" -> linkPredEvalSql(
         LinkPredCapMemo.getOrElseUpdate(sfDir,
           graft.kg.LinkPredict.measuredHubCap(
             partsCooccurEdges(spark, sfDir), LinkPredHubPct))),

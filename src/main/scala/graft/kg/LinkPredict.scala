@@ -95,4 +95,60 @@ object LinkPredict {
           .as("jaccard"),
         round(col("aa_raw"), 4).as("score_aa"))
   }
+
+  /** Ranking evaluation of [[candidates]] — the held-out protocol that
+    * turns "we propose edges" into a measured claim (the Liben-Nowell &
+    * Kleinberg methodology): deterministically hold out one md5 bucket
+    * of true edges ([[graft.core.Buckets]]' shared primitive — the SAME
+    * split any replaying engine derives), regenerate candidates on the
+    * remaining graph, and score how the removed edges rank among the
+    * proposals. One summary row:
+    * `(n_holdout, n_ranked, mrr_micro_sum, n_hits1, n_hits3, n_hits10)`
+    * — `n_ranked` counts held-out edges that appear in the candidate
+    * list at all; `mrr_micro_sum` is Σ round(10⁶ / rank) over ranked
+    * edges (PER-TERM integer rounding before the sum, so the total is
+    * order-independent and exact — a float sum's result depends on
+    * reduction order across partitions and can never hash-match a
+    * replay); hits@k count ranks ≤ k. MRR ≈ mrr_micro_sum / (10⁶ ·
+    * n_holdout) — the caller divides, the engine ships integers.
+    *
+    * Ranking is per e1 (the canonical lower endpoint) by
+    * `(n_common desc, e2 asc)` — an integer key with a deterministic
+    * tie-break; the float Jaccard/Adamic-Adar columns never order
+    * anything (the cross-engine 1-ulp discipline [[candidates]]
+    * documents).
+    *
+    * Scale shape: the split is a narrow expression; candidate
+    * generation is [[candidates]]' wedge shape on the train edges; the
+    * rank is one window whose partitions are per-node candidate lists
+    * (minCommon-bounded, not corpus-sized); the lookup is one equi-join
+    * of the holdout (a few % of edges) against ranked candidates,
+    * AQE-broadcast when small; the final aggregate is a single
+    * map-side-combined collapse to one row. */
+  def evalRanking(canonical: DataFrame, holdoutMod: Int, holdoutBucket: Int,
+      maxHubDegree: Long, minCommon: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(holdoutMod >= 2 && holdoutBucket >= 0 && holdoutBucket < holdoutMod,
+      s"bad holdout split: bucket $holdoutBucket of mod $holdoutMod")
+    val keyed = canonical.withColumn("hb",
+      graft.core.Buckets.md5Bucket(
+        concat(col("u").cast("string"), lit(":"), col("v").cast("string")),
+        holdoutMod))
+    val held = keyed.filter(col("hb") === holdoutBucket).select("u", "v")
+    val train = keyed.filter(col("hb") =!= holdoutBucket).select("u", "v")
+    val ranked = candidates(train, maxHubDegree, minCommon)
+      .withColumn("r", row_number().over(
+        Window.partitionBy("e1").orderBy(desc("n_common"), asc("e2")))
+        .cast("long"))
+    held
+      .join(ranked.select(col("e1").as("u"), col("e2").as("v"), col("r")),
+        Seq("u", "v"), "left")
+      .agg(count(lit(1)).as("n_holdout"),
+        count(col("r")).as("n_ranked"),
+        coalesce(sum(round(lit(1000000.0) / col("r")).cast("long")), lit(0L))
+          .as("mrr_micro_sum"),
+        count(when(col("r") <= 1, 1)).as("n_hits1"),
+        count(when(col("r") <= 3, 1)).as("n_hits3"),
+        count(when(col("r") <= 10, 1)).as("n_hits10"))
+  }
 }

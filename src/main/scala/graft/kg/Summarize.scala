@@ -47,4 +47,53 @@ object Summarize {
       .filter(col("rank") <= k)
       .select(col("subj"), col("pred"), col("obj"), col("n_po"), col("rank"))
   }
+
+  /** Schema (quotient) graph summarization — the structural summary a KG
+    * consumer reads before writing a single BGP: collapse the instance
+    * graph onto its TYPES, so each output row is one edge of the schema
+    * graph `(subj_type, pred, obj_type)` with its instance support:
+    * `n_facts` (distinct instance triples), `n_subj` / `n_obj` (distinct
+    * participating instances). This is the classic graph-summarization
+    * quotient under the type-equivalence relation (Goldman & Widom's
+    * DataGuides lineage; Čebirić et al., "Summarizing Semantic Graphs",
+    * VLDB J. 2019 survey) and doubles as observed-schema discovery:
+    * rows ARE the predicate signatures usage exhibits, against which
+    * [[Ontology.domainViolations]]' declared signatures can be compared.
+    *
+    * Nodes absent from `types` summarize as `untyped` — a REAL bucket
+    * (web KGs never have full type coverage), not an error.
+    *
+    * Scale shape: one distinct-fact collapse, then two left joins
+    * against the type map — vocabulary-sized (entities, not mentions),
+    * so AQE broadcasts it in the common case — then one
+    * map-side-combined aggregate on the `(subj_type, pred, obj_type)`
+    * key, whose cardinality is schema-sized (|types|² × |preds| worst
+    * case, in practice tiny). The two distinct-counts share one expand;
+    * no window, no explode. A node with two types would multiply facts
+    * through the join by design (quotient semantics) — callers pass a
+    * FUNCTIONAL type map ([[Ontology.inferTypesByUsage]]' argmax or the
+    * alias dictionary's category), which this contract documents rather
+    * than re-checks.
+    *
+    * @param triples `(subj, pred, obj)` instance triples
+    * @param types   functional `(node, type)` map
+    * @param untyped type bucket for nodes not in `types`
+    */
+  def schemaGraph(triples: DataFrame, types: DataFrame,
+      untyped: String = "untyped"): DataFrame = {
+    val d = triples.select("subj", "pred", "obj").distinct()
+    d.join(types.select(col("node").as("subj"), col("type").as("subj_type")),
+        Seq("subj"), "left")
+      .join(types.select(col("node").as("obj"), col("type").as("obj_type")),
+        Seq("obj"), "left")
+      .select(
+        coalesce(col("subj_type"), lit(untyped)).as("subj_type"),
+        col("pred"),
+        coalesce(col("obj_type"), lit(untyped)).as("obj_type"),
+        col("subj"), col("obj"))
+      .groupBy("subj_type", "pred", "obj_type")
+      .agg(count(lit(1)).as("n_facts"),
+        countDistinct(col("subj")).as("n_subj"),
+        countDistinct(col("obj")).as("n_obj"))
+  }
 }

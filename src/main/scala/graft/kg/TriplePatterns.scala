@@ -239,6 +239,83 @@ object TriplePatterns {
     reached.select(col("src").as("subj"), col("dst").as("obj"), col("hops"))
   }
 
+  /** [[bgp]] with a SPARQL MINUS group: solutions of `patterns` that are
+    * NOT compatible with any solution of `minusGroup` on their shared
+    * variables. Per the SPARQL MINUS semantics, a minus group sharing NO
+    * variable with the required patterns removes nothing (disjoint
+    * domains are never compatible) — returned unchanged rather than
+    * rejected, because unlike [[bgpOptional]]'s cross-product hazard the
+    * degenerate case here is cheap and well-defined.
+    *
+    * Scale shape: the required group compiles exactly as [[bgp]]; the
+    * minus group compiles once, projects to the shared variables, and
+    * removes solutions through ONE left-anti equi-join — Catalyst's
+    * native anti join (broadcast when the minus side measures small
+    * under AQE, shuffled hash otherwise), never a per-solution subquery.
+    * Required-side variables are bound from triples and thus non-null,
+    * so anti-join null semantics cannot drop extra rows. */
+  def bgpMinus(triples: DataFrame,
+      patterns: Seq[(String, String, String)],
+      minusGroup: Seq[(String, String, String)]): DataFrame = {
+    val (req, reqVars) = compileGroup(triples, patterns)
+    val (m, mVars) = compileGroup(triples, minusGroup)
+    val shared = mVars.filter(reqVars.contains)
+    val out =
+      if (shared.isEmpty) req
+      else req.join(m.select(shared.map(col): _*).distinct(), shared, "left_anti")
+    out.select(reqVars.map(col): _*)
+  }
+
+  /** Bounded transitive reduction audit over one predicate's edge set:
+    * flag each asserted edge `(u, v)` as `redundant` when a directed
+    * path of length 2..`maxHops` also connects `u` to `v` — the edge a
+    * minimal ontology would NOT assert because it is entailed by
+    * composition (Aho, Garey & Ullman '72; the maintenance pass that
+    * keeps crawled `subClassOf`/`partOf` hierarchies minimal, since web
+    * sources routinely assert both `A⊑B⊑C` and the shortcut `A⊑C`).
+    * Returns the full edge set as `(subj, pred, obj, redundant)` —
+    * `filter(!redundant)` is the reduced graph; keeping the flag makes
+    * the audit, not just its survivors, the output. On a DAG the
+    * reduction is unique and hop-bounding it keeps the cost explicit:
+    * an edge bypassing a path LONGER than `maxHops` stays unflagged —
+    * the same bounded-depth judgment call [[closure]] surfaces.
+    *
+    * Distinct from [[closure]]: closure's per-origin anti-join records
+    * each pair at its MINIMAL depth, so a directly-connected pair never
+    * reappears at depth ≥ 2 — exactly the signal reduction needs — which
+    * is why this walks paths WITHOUT the minimality anti-join.
+    *
+    * Scale shape: `maxHops − 1` equi-joins on the meeting node, each
+    * followed by a distinct that stops fan-out compounding across
+    * rounds (the [[closure]] discipline); the edge list persists across
+    * its ≤ maxHops references, the path accumulations do not (each is
+    * referenced once). The final flag is one left-semi-shaped join of
+    * edges against 2..maxHops-reachable pairs on `(u, v)`. Per-node
+    * fan-out is in×out-degree per round — the [[chain]] exposure, AQE-
+    * covered in the moderate case, q08-salted in the pathological one.
+    */
+  def transitiveReduction(triples: DataFrame, pred: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 2, s"maxHops must be >= 2, got $maxHops")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = triples.filter(col("pred") === pred)
+      .select(col("subj").as("src"), col("obj").as("dst"))
+      .distinct().persist(lvl)
+    // paths of exactly d hops, deduped per round; NO minimality anti-join
+    // (see scaladoc) — the union is every pair with SOME 2..maxHops path
+    var exact = e
+    var multi: DataFrame = null
+    (2 to maxHops).foreach { _ =>
+      exact = exact.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid"), col("dst")), "mid")
+        .select("src", "dst").distinct()
+      multi = if (multi == null) exact else multi.unionByName(exact).distinct()
+    }
+    e.join(multi.withColumn("__r", lit(true)), Seq("src", "dst"), "left")
+      .select(col("src").as("subj"), lit(pred).as("pred"),
+        col("dst").as("obj"), coalesce(col("__r"), lit(false)).as("redundant"))
+  }
+
   /** Diff two KG snapshots keyed by the full triple:
     * `(subj, pred, obj, status)` with status ∈ kept | added | removed
     * (kept = in both, added = only in `b`, removed = only in `a`) — the

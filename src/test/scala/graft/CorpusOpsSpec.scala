@@ -603,4 +603,110 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(3))).toSet
     assert(got == Set(("s1", "kept"), ("s2", "removed"), ("s3", "added")))
   }
+
+  test("bgpMinus removes solutions compatible with the minus group") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("e1", "performs", "doc://1"), ("e2", "performs", "doc://2"),
+      ("doc://1", "in_lang", "fr")).toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgpMinus(tr,
+      Seq(("?e", "performs", "?d")), Seq(("?d", "in_lang", "?lg")))
+    assert(got.columns.toSeq == Seq("e", "d"))
+    assert(got.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("e2", "doc://2")))
+  }
+
+  test("bgpMinus with no shared variable removes nothing (SPARQL MINUS)") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    // disjoint domains are never compatible, so even a non-empty minus
+    // group removes nothing — per the SPARQL MINUS definition
+    val tr = Seq(("a", "p", "b"), ("x", "q", "y")).toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgpMinus(tr,
+      Seq(("?s", "p", "?o")), Seq(("?u", "q", "?v")))
+    assert(got.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b")))
+  }
+
+  test("transitiveReduction flags exactly the path-entailed edges") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    // chain a→b→c with 2-hop shortcut a→c; disjoint chain p→q→r→s with
+    // 3-hop-ONLY shortcut p→s (no 2-hop path exists); q-pred noise must
+    // not leak in
+    val tr = Seq(("a", "p", "b"), ("b", "p", "c"), ("a", "p", "c"),
+      ("p", "p", "q"), ("q", "p", "r"), ("r", "p", "s"), ("p", "p", "s"),
+      ("x", "other", "y")).toDF("subj", "pred", "obj")
+    def flags(maxHops: Int) =
+      TriplePatterns.transitiveReduction(tr, "p", maxHops).collect()
+        .map(r => (r.getString(0), r.getString(2)) -> r.getBoolean(3)).toMap
+    val at3 = flags(3)
+    assert(at3 == Map(
+      ("a", "b") -> false, ("b", "c") -> false, ("a", "c") -> true,
+      ("p", "q") -> false, ("q", "r") -> false, ("r", "s") -> false,
+      ("p", "s") -> true))
+    // hop bound 2: the 3-hop-only bypass p→s stays unflagged — the
+    // documented bounded-depth judgment call
+    val at2 = flags(2)
+    assert(at2(("a", "c")) && !at2(("p", "s")))
+  }
+
+  test("schemaGraph collapses instances onto types with an untyped bucket") {
+    import spark.implicits._
+    import graft.kg.Summarize
+    val tr = Seq(
+      ("e1", "performs", "doc://1"), ("e1", "performs", "doc://1"), // dup fact
+      ("e2", "performs", "doc://2"), ("e3", "uses", "doc://1"))
+      .toDF("subj", "pred", "obj")
+    val ty = Seq(("e1", "OPERATION"), ("e2", "OPERATION")).toDF("node", "type")
+    val got = Summarize.schemaGraph(tr, ty).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // the duplicate e1 fact collapses before counting; e3 and the doc://
+    // objects land in the untyped bucket
+    assert(got == Map(
+      ("OPERATION", "performs", "untyped") -> ((2L, 2L, 2L)),
+      ("untyped", "uses", "untyped") -> ((1L, 1L, 1L))))
+  }
+
+  test("collapseFacts re-grounds mirror facts on the cluster winner") {
+    import spark.implicits._
+    import graft.kg.SameAs
+    // docs 1,2 are mirrors (winner 1), doc 3 a singleton; entity A on all
+    // three pages, B only on the mirror copy
+    val linked = Seq(
+      (1L, "A", "OPERATION"), (2L, "A", "OPERATION"), (3L, "A", "OPERATION"),
+      (2L, "B", "TOOL"))
+      .toDF("doc_id", "entity_id", "category")
+    val clusters = Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true))
+      .toDF("doc_id", "cluster_id", "is_winner")
+    val got = SameAs.collapseFacts(linked, clusters,
+      Map("OPERATION" -> "performs", "TOOL" -> "uses_tool")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    // A on pages 1+2 collapses to ONE fact on doc://1 with 2 sources
+    assert(got == Map(
+      ("A", "performs", "doc://1") -> 2L,
+      ("A", "performs", "doc://3") -> 1L,
+      ("B", "uses_tool", "doc://1") -> 1L))
+  }
+
+  test("measurements extracts and normalizes mixed-format literals") {
+    import spark.implicits._
+    import graft.text.Literals
+    val df = Seq(
+      (1L, "walked 12 km then 3,500 m in 250ms; mass 1.5 kg, 3 g, 45 s"))
+      .toDF("doc_id", "text")
+    val got = Literals.measurements(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, "12", "km", "m", 12000000000L),
+      (1L, "3,500", "m", "m", 3500000000L),
+      (2L, "250", "ms", "s", 250000L),
+      (3L, "1.5", "kg", "g", 1500000000L),
+      (4L, "3", "g", "g", 3000000L),
+      (5L, "45", "s", "s", 45000000L)))
+  }
 }

@@ -613,4 +613,34 @@ class GraphLmOpsSpec extends AnyFunSuite {
     // single edge: degrees {1,1} → percentile 1 → floored to 2
     assert(LinkPredict.measuredHubCap(edges(1L -> 2L)) == 2L)
   }
+
+  test("evalRanking: exact integer metrics over a deterministic holdout") {
+    import graft.core.Buckets
+    // K6: dense enough that every held-out pair keeps ≥ 3 common
+    // neighbors in the train graph, so each should be rankable
+    val all = for (u <- 1L to 6L; v <- (u + 1) to 6L) yield u -> v
+    val e = edges(all: _*)
+    val row = LinkPredict.evalRanking(e, 5, 2, 100L, 1L).head()
+    val (nHold, nRanked, mrr) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (h1, h3, h10) = (row.getLong(3), row.getLong(4), row.getLong(5))
+    // the holdout is EXACTLY the shared md5-bucket split
+    val expectHold = e.filter(Buckets.md5Bucket(
+      concat(col("u").cast("string"), lit(":"), col("v").cast("string")), 5)
+      === 2).count()
+    assert(nHold == expectHold && nHold > 0L && nHold < all.size)
+    // metric sanity: hits monotone, ranks bounded, MRR micro-sum bounded
+    // by a rank-1 hit per ranked edge
+    assert(h1 <= h3 && h3 <= h10 && h10 <= nRanked && nRanked <= nHold)
+    assert(mrr <= 1000000L * nRanked && (mrr > 0L) == (nRanked > 0L))
+    // in K6 minus a ≤ 40% holdout every held pair keeps a common
+    // neighbor, so all of them rank
+    assert(nRanked == nHold)
+    // determinism: the replay is byte-identical
+    assert(LinkPredict.evalRanking(e, 5, 2, 100L, 1L).head().toSeq
+      == row.toSeq)
+    intercept[IllegalArgumentException] {
+      LinkPredict.evalRanking(e, 5, 5, 100L, 1L)
+    }
+  }
 }
