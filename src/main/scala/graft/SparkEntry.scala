@@ -456,6 +456,30 @@ object SparkEntry {
        |   AND a.l_partkey < b.l_partkey
        |  GROUP BY 1, 2 HAVING count(*) >= $Q116MinOrders)""".stripMargin
 
+  /** q120's 2..`maxHops` simple-path CTEs, GENERATED from the same
+    * [[Q116MaxHops]] constant the engine lambda passes — one definition,
+    * so a constant bump re-unrolls the oracle instead of drifting the
+    * twin (the [[CopurchaseEdgesCtes]] discipline). Each `p_d` carries
+    * its full node sequence `(u, w1..w_{d-1}, v)` and each extension
+    * bans self-loop edges and node revisits — the cycle-safe simple-path
+    * semantics of `kg.TriplePatterns.transitiveReduction` (no-op guards
+    * on the u<v co-purchase DAG, kept so the twin replays the operator,
+    * not the special case); `multi` unions the entailed pairs. */
+  private def transitiveReductionCtes(maxHops: Int): String = {
+    val p2 = "p2 AS (SELECT a.u AS u, a.v AS w1, b.v AS v FROM e a" +
+      " JOIN e b ON a.v = b.u WHERE a.u <> a.v AND b.u <> b.v AND b.v <> a.u)"
+    val deeper = (3 to maxHops).map { d =>
+      val keep = (1 to d - 2).map(i => s"p.w$i").mkString(", ")
+      val guards = (1 to d - 2).map(i => s"c.v <> p.w$i").mkString(" AND ")
+      s"p$d AS (SELECT p.u, $keep, p.v AS w${d - 1}, c.v AS v" +
+        s" FROM p${d - 1} p JOIN e c ON p.v = c.u" +
+        s" WHERE c.u <> c.v AND c.v <> p.u AND $guards)"
+    }
+    val multi = (2 to maxHops).map(d => s"SELECT u, v FROM p$d")
+      .mkString("multi AS (", " UNION ", ")")
+    (p2 +: deeper :+ multi).mkString(", ")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY.md §2 ops 2/4/17/18/21 + joins note) ----
     "q01_filter_project" -> ((s, dir) => {
@@ -2982,15 +3006,12 @@ object SparkEntry {
          | WHERE a.pred = 'performs'
          |  AND NOT EXISTS (SELECT 1 FROM meta m WHERE m.subj = a.obj)"""
         .stripMargin.replaceAll("\n", " "),
-    // q120: 2- and 3-hop path sets deduped per round exactly like the
-    // engine's exact-d chains, then one left join flags entailed edges
+    // q120: the simple-path unroll is generated from Q116MaxHops (the
+    // same constant the engine lambda passes), then one left join flags
+    // entailed edges
     "q120_transitive_reduction" ->
       s"""WITH $CopurchaseEdgesCtes,
-         | e2 AS (SELECT a.u, b.v FROM e a JOIN e b ON a.v = b.u
-         |        GROUP BY 1, 2),
-         | e3 AS (SELECT a.u, b.v FROM e2 a JOIN e b ON a.v = b.u
-         |        GROUP BY 1, 2),
-         | multi AS (SELECT u, v FROM e2 UNION SELECT u, v FROM e3)
+         | ${transitiveReductionCtes(Q116MaxHops)}
          | SELECT e.u AS subj, 'copurchase' AS pred, e.v AS obj,
          |  (m.u IS NOT NULL) AS redundant
          | FROM e LEFT JOIN multi m ON m.u = e.u AND m.v = e.v"""

@@ -152,20 +152,27 @@ object Kg {
       .drop("__rn")
   }
 
+  /** The category → predicate mapping as ONE shared Column expression (a
+    * null-defaulted CASE ladder over `category`): the single definition
+    * [[triples]] and [[SameAs.collapseFacts]] both fold facts through,
+    * so a mapping fix can never drift between the direct and the
+    * cluster-collapsed KG paths. Unmapped categories yield null — the
+    * caller filters. */
+  def predColumn(predicates: Map[String, String]): org.apache.spark.sql.Column =
+    predicates.foldLeft(lit(null).cast("string")) {
+      case (acc, (cat, pred)) => when(col("category") === cat, lit(pred)).otherwise(acc)
+    }
+
   /** Materialize distinct `(subj, pred, obj)` triples with doc lineage:
     * subj = linked entity, pred = category-mapped predicate, obj = document
     * URI. Distinct collapses multi-occurrence mentions (set semantics —
     * mirrors the reference's pair dedup at `ai/extractor_ner.py:100`). */
-  def triples(linked: DataFrame, predicates: Map[String, String]): DataFrame = {
-    val predCol = predicates.foldLeft(lit(null).cast("string")) {
-      case (acc, (cat, pred)) => when(col("category") === cat, lit(pred)).otherwise(acc)
-    }
+  def triples(linked: DataFrame, predicates: Map[String, String]): DataFrame =
     linked
       .select(
         col("entity_id").as("subj"),
-        predCol.as("pred"),
+        predColumn(predicates).as("pred"),
         concat(lit("doc://"), col("doc_id").cast("string")).as("obj"))
       .filter(col("pred").isNotNull)
       .distinct()
-  }
 }

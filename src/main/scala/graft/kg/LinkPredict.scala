@@ -130,10 +130,15 @@ object LinkPredict {
     import org.apache.spark.sql.expressions.Window
     require(holdoutMod >= 2 && holdoutBucket >= 0 && holdoutBucket < holdoutMod,
       s"bad holdout split: bucket $holdoutBucket of mod $holdoutMod")
+    // the residency contract ([[TriplePatterns.closure]]): train feeds
+    // und (twice), the existing-edge anti-join, and deg — without the
+    // persist each reference re-derives the caller's upstream lineage
+    // (q122: a shuffle-heavy self-join + per-edge md5 bucketing) ~6×
     val keyed = canonical.withColumn("hb",
       graft.core.Buckets.md5Bucket(
         concat(col("u").cast("string"), lit(":"), col("v").cast("string")),
         holdoutMod))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val held = keyed.filter(col("hb") === holdoutBucket).select("u", "v")
     val train = keyed.filter(col("hb") =!= holdoutBucket).select("u", "v")
     val ranked = candidates(train, maxHubDegree, minCommon)

@@ -47,13 +47,10 @@ object SameAs {
     */
   def collapseFacts(linked: DataFrame, clusters: DataFrame,
       predicates: Map[String, String]): DataFrame = {
-    val predCol = predicates.foldLeft(lit(null).cast("string")) {
-      case (acc, (cat, pred)) => when(col("category") === cat, lit(pred)).otherwise(acc)
-    }
     // per-page facts BEFORE uri construction, so the rewrite is a plain
     // long-keyed join instead of a string surgery on doc:// uris
     val facts = linked
-      .select(col("entity_id").as("subj"), predCol.as("pred"),
+      .select(col("entity_id").as("subj"), Kg.predColumn(predicates).as("pred"),
         col("doc_id").cast("long").as("doc_id"))
       .filter(col("pred").isNotNull)
       .distinct()

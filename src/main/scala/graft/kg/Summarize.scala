@@ -69,11 +69,15 @@ object Summarize {
     * map-side-combined aggregate on the `(subj_type, pred, obj_type)`
     * key, whose cardinality is schema-sized (|types|² × |preds| worst
     * case, in practice tiny). The two distinct-counts share one expand;
-    * no window, no explode. A node with two types would multiply facts
-    * through the join by design (quotient semantics) — callers pass a
-    * FUNCTIONAL type map ([[Ontology.inferTypesByUsage]]' argmax or the
-    * alias dictionary's category), which this contract documents rather
-    * than re-checks.
+    * no window, no explode. A node with two DISTINCT types would
+    * multiply facts through the join by design (quotient semantics) —
+    * callers pass a FUNCTIONAL type map ([[Ontology.inferTypesByUsage]]'
+    * argmax or the alias dictionary's category), which this contract
+    * documents rather than re-checks. Duplicate IDENTICAL `(node, type)`
+    * rows, though — a functional map built straight from a mention
+    * stream — are collapsed here: without the distinct each duplicate
+    * multiplies `n_facts` (count(*)) while `n_subj`/`n_obj` stay
+    * distinct-counted, an internally inconsistent summary row.
     *
     * @param triples `(subj, pred, obj)` instance triples
     * @param types   functional `(node, type)` map
@@ -82,9 +86,10 @@ object Summarize {
   def schemaGraph(triples: DataFrame, types: DataFrame,
       untyped: String = "untyped"): DataFrame = {
     val d = triples.select("subj", "pred", "obj").distinct()
-    d.join(types.select(col("node").as("subj"), col("type").as("subj_type")),
+    val ty = types.select("node", "type").distinct()
+    d.join(ty.select(col("node").as("subj"), col("type").as("subj_type")),
         Seq("subj"), "left")
-      .join(types.select(col("node").as("obj"), col("type").as("obj_type")),
+      .join(ty.select(col("node").as("obj"), col("type").as("obj_type")),
         Seq("obj"), "left")
       .select(
         coalesce(col("subj_type"), lit(untyped)).as("subj_type"),

@@ -267,32 +267,47 @@ object TriplePatterns {
   }
 
   /** Bounded transitive reduction audit over one predicate's edge set:
-    * flag each asserted edge `(u, v)` as `redundant` when a directed
-    * path of length 2..`maxHops` also connects `u` to `v` — the edge a
-    * minimal ontology would NOT assert because it is entailed by
-    * composition (Aho, Garey & Ullman '72; the maintenance pass that
-    * keeps crawled `subClassOf`/`partOf` hierarchies minimal, since web
-    * sources routinely assert both `A⊑B⊑C` and the shortcut `A⊑C`).
-    * Returns the full edge set as `(subj, pred, obj, redundant)` —
-    * `filter(!redundant)` is the reduced graph; keeping the flag makes
-    * the audit, not just its survivors, the output. On a DAG the
-    * reduction is unique and hop-bounding it keeps the cost explicit:
-    * an edge bypassing a path LONGER than `maxHops` stays unflagged —
-    * the same bounded-depth judgment call [[closure]] surfaces.
+    * flag each asserted edge `(u, v)` as `redundant` when a SIMPLE
+    * directed path of length 2..`maxHops` (distinct nodes — no node
+    * revisited, so in particular the path never traverses `(u, v)`
+    * itself) also connects `u` to `v` — the edge a minimal ontology
+    * would NOT assert because it is entailed by composition (Aho, Garey
+    * & Ullman '72; the maintenance pass that keeps crawled
+    * `subClassOf`/`partOf` hierarchies minimal, since web sources
+    * routinely assert both `A⊑B⊑C` and the shortcut `A⊑C`). The
+    * simple-path restriction is what makes the audit cycle-safe: on a
+    * 2-cycle `{(a,b),(b,a)}` a WALK-based check flags both edges via
+    * the walk that traverses the edge under audit, disconnecting the
+    * cycle — here neither is flagged, because no alternate path exists.
+    * Simple paths lose no entailment: any u→v walk avoiding `u`/`v` as
+    * intermediates contains a shorter such walk within the hop bound
+    * whenever it repeats a node, terminating at a simple path. Asserted
+    * self-loops are never flagged (cycle entailment is not composition
+    * of a partial order — a reflexive-assertion policy belongs to the
+    * caller). Returns the full edge set as
+    * `(subj, pred, obj, redundant)` — `filter(!redundant)` is the
+    * reduced graph; keeping the flag makes the audit, not just its
+    * survivors, the output. On a DAG the reduction is unique and
+    * hop-bounding it keeps the cost explicit: an edge bypassing a path
+    * LONGER than `maxHops` stays unflagged — the same bounded-depth
+    * judgment call [[closure]] surfaces.
     *
     * Distinct from [[closure]]: closure's per-origin anti-join records
     * each pair at its MINIMAL depth, so a directly-connected pair never
     * reappears at depth ≥ 2 — exactly the signal reduction needs — which
-    * is why this walks paths WITHOUT the minimality anti-join.
+    * is why this enumerates paths WITHOUT the minimality anti-join.
     *
     * Scale shape: `maxHops − 1` equi-joins on the meeting node, each
-    * followed by a distinct that stops fan-out compounding across
-    * rounds (the [[closure]] discipline); the edge list persists across
-    * its ≤ maxHops references, the path accumulations do not (each is
-    * referenced once). The final flag is one left-semi-shaped join of
-    * edges against 2..maxHops-reachable pairs on `(u, v)`. Per-node
-    * fan-out is in×out-degree per round — the [[chain]] exposure, AQE-
-    * covered in the moderate case, q08-salted in the pathological one.
+    * frontier row carrying its ≤ `maxHops`-entry visited array (the
+    * per-path state simple-path semantics requires — a pair-level
+    * distinct would conflate entailing paths with walks through the
+    * audited edge); fan-out is simple-path-bounded, which is why the
+    * hop bound is the explicit cost knob and callers keep it small
+    * (2–4). The edge list persists across its ≤ maxHops+1 references;
+    * the final flag is one left join of edges against the deduped
+    * 2..maxHops-entailed pairs on `(u, v)`. Per-node fan-out is
+    * in×out-degree per round — the [[chain]] exposure, AQE-covered in
+    * the moderate case, q08-salted in the pathological one.
     */
   def transitiveReduction(triples: DataFrame, pred: String,
       maxHops: Int): DataFrame = {
@@ -301,16 +316,23 @@ object TriplePatterns {
     val e = triples.filter(col("pred") === pred)
       .select(col("subj").as("src"), col("obj").as("dst"))
       .distinct().persist(lvl)
-    // paths of exactly d hops, deduped per round; NO minimality anti-join
-    // (see scaladoc) — the union is every pair with SOME 2..maxHops path
-    var exact = e
-    var multi: DataFrame = null
-    (2 to maxHops).foreach { _ =>
-      exact = exact.select(col("src"), col("dst").as("mid"))
-        .join(e.select(col("src").as("mid"), col("dst")), "mid")
-        .select("src", "dst").distinct()
-      multi = if (multi == null) exact else multi.unionByName(exact).distinct()
+    // composition edges: a self-loop entails nothing and would otherwise
+    // manufacture u→u→v "paths" that self-flag (see scaladoc)
+    val we = e.filter(col("src") =!= col("dst"))
+    // frontier = simple paths of exactly d hops: (src, dst, seen) with
+    // seen = [src, intermediates...]; extending bans revisits, so dst is
+    // never src or a prior intermediate — path semantics, not walks
+    var paths = we.select(col("src"), col("dst"), array(col("src")).as("seen"))
+    val entailed = (2 to maxHops).map { _ =>
+      paths = paths
+        .select(col("src"), col("dst").as("mid"),
+          array_union(col("seen"), array(col("dst"))).as("seen"))
+        .join(we.select(col("src").as("mid"), col("dst")), "mid")
+        .filter(!array_contains(col("seen"), col("dst")))
+        .select(col("src"), col("dst"), col("seen"))
+      paths.select("src", "dst")
     }
+    val multi = entailed.reduce(_ unionByName _).distinct()
     e.join(multi.withColumn("__r", lit(true)), Seq("src", "dst"), "left")
       .select(col("src").as("subj"), lit(pred).as("pred"),
         col("dst").as("obj"), coalesce(col("__r"), lit(false)).as("redundant"))

@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   * (`\d{1,3}(,\d{3})+`), optionally space-separated from a unit in
   * {km, m, kg, g, ms, s}; comma-grouped decimals stay unrecognized (rare
   * in web text, and ambiguous against European decimal commas — the
-  * judgment call surfaced here rather than guessed). Alternation order
-  * puts two-letter units first so `km`/`kg`/`ms` win over their
-  * one-letter suffixes under the leftmost-first preference BOTH regex
-  * engines share (Java's backtracker and DuckDB's RE2 agree on this
-  * pattern family, which is what lets the oracle replay extraction
-  * verbatim).
+  * judgment call surfaced here rather than guessed). "Unrecognized"
+  * must mean NO mention, not a truncated one: without a left guard,
+  * `"3,500.25 m"` fails the comma-grouped alternative at the dot, then
+  * re-matches mid-number as `"500.25 m"` — a corrupted literal written
+  * into the KG as an exact fact. Neither regex engine has lookbehind
+  * (RE2 rejects it), so the guard is a consumed one-char non-capturing
+  * prefix `(?:^|[^\d,.])`: a match can start only at the text start or
+  * after a char that cannot be the tail of a number — a digit, comma,
+  * or dot to the left kills the match instead of shifting it. (A side
+  * effect surfaced deliberately: bare-dot decimals like `".5 m"` stay
+  * out too.) Alternation order puts two-letter units first so
+  * `km`/`kg`/`ms` win over their one-letter suffixes under the
+  * leftmost-first preference BOTH regex engines share (Java's
+  * backtracker and DuckDB's RE2 agree on this pattern family, which is
+  * what lets the oracle replay extraction verbatim).
   *
   * Scale shape: extraction is one codegen'd `regexp_extract_all` pair
   * plus a posexplode — narrow, no shuffle, no UDF; normalization is a
@@ -39,9 +48,11 @@ object Literals {
     ("ms", "s", 1000L),
     ("s", "s", 1000000L))
 
-  /** Two-letter units before their one-letter suffixes (see class doc). */
+  /** Two-letter units before their one-letter suffixes; the consumed
+    * left-context guard keeps a failed comma-grouped-decimal from
+    * re-matching mid-number (see class doc). */
   val Pattern: String =
-    "(\\d{1,3}(?:,\\d{3})+|\\d+(?:\\.\\d+)?)\\s?(km|kg|ms|m|g|s)\\b"
+    "(?:^|[^\\d,.])(\\d{1,3}(?:,\\d{3})+|\\d+(?:\\.\\d+)?)\\s?(km|kg|ms|m|g|s)\\b"
 
   /** Extract and normalize every measurement mention in `textCol`:
     * `(<idCol>, m_idx, raw_value, unit, si_unit, value_si_micro)` with

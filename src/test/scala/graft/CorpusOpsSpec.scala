@@ -652,6 +652,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(at2(("a", "c")) && !at2(("p", "s")))
   }
 
+  test("transitiveReduction is cycle-safe: no edge is entailed by itself") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    // a 2-cycle, a self-loop, and a genuine shortcut over a cycle edge:
+    // walk-based flagging would delete the whole 2-cycle via walks that
+    // traverse the audited edge; simple-path semantics flags only g→i
+    // (entailed by g→h→i), leaves the cycle and the self-loop intact,
+    // and ignores the edge-under-audit walk m→n→m→n
+    val tr = Seq(("a", "p", "b"), ("b", "p", "a"), ("u", "p", "u"),
+      ("g", "p", "h"), ("h", "p", "i"), ("g", "p", "i"), ("i", "p", "g"),
+      ("m", "p", "n"), ("n", "p", "m"), ("n", "p", "z"))
+      .toDF("subj", "pred", "obj")
+    val got = TriplePatterns.transitiveReduction(tr, "p", 3).collect()
+      .map(r => (r.getString(0), r.getString(2)) -> r.getBoolean(3)).toMap
+    assert(got == Map(
+      ("a", "b") -> false, ("b", "a") -> false, ("u", "u") -> false,
+      ("g", "h") -> false, ("h", "i") -> false, ("g", "i") -> true,
+      ("i", "g") -> false,
+      ("m", "n") -> false, ("n", "m") -> false, ("n", "z") -> false))
+  }
+
   test("schemaGraph collapses instances onto types with an untyped bucket") {
     import spark.implicits._
     import graft.kg.Summarize
@@ -708,5 +729,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, "1.5", "kg", "g", 1500000000L),
       (4L, "3", "g", "g", 3000000L),
       (5L, "45", "s", "s", 45000000L)))
+  }
+
+  test("measurements leaves comma-grouped decimals fully unrecognized") {
+    import spark.implicits._
+    import graft.text.Literals
+    // the documented judgment call: a comma-grouped DECIMAL must produce
+    // NO mention — without the left-context guard the failed match
+    // re-anchors mid-number and emits a corrupted "500.25 m" /
+    // "042.5 km"; bare-dot decimals stay out for the same reason
+    val df = Seq(
+      (1L, "ran 3,500.25 m uphill"),
+      (2L, "total 1,042.5 km logged"),
+      (3L, "about .5 m short"),
+      (4L, "exactly 7.25 m and 2,000 m")).toDF("doc_id", "text")
+    val got = Literals.measurements(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3))).sortBy(identity)
+    assert(got.toSeq == Seq((4L, "2,000", "m"), (4L, "7.25", "m")))
   }
 }
