@@ -338,6 +338,23 @@ object SparkEntry {
     .map { case (c, p) => s"('$c','$p')" }
     .mkString("(VALUES ", ", ", ")")
 
+  /** q123's declared cardinality shapes `(type, pred, min, max)`. Chosen
+    * so every violation path fires on the synthetic corpora: tight max
+    * bounds on the doc-grounded predicates (frequent entities overflow),
+    * a min bound on `cooccurs_with` (lonely entities underflow), and one
+    * shape on a predicate its type NEVER carries (ACTOR × uses_tool) so
+    * the n_obj = 0 left-join default is exercised, not just declared. */
+  private val ShapeDecls: Seq[(String, String, Long, Long)] = Seq(
+    ("TOOL", "uses_tool", 1L, 5L),
+    ("OPERATION", "cooccurs_with", 3L, 6L),
+    ("ACTOR", "involves", 1L, 10L),
+    ("ACTOR", "uses_tool", 1L, 5L),
+    ("DATA", "consumes", 2L, 1000000L))
+
+  private val ShapeValues = ShapeDecls
+    .map { case (t, p, lo, hi) => s"('$t','$p',${lo}::BIGINT,${hi}::BIGINT)" }
+    .mkString("(VALUES ", ", ", ")")
+
   /** q83's inter-mention character gap: 40 chars keeps contexts at
     * phrase length (the distant-supervision window) while the synthetic
     * docs still produce a real pattern vocabulary. */
@@ -1683,6 +1700,35 @@ object SparkEntry {
       graft.kg.LinkPredict.evalRanking(canon,
         LinkPredEvalMod, LinkPredEvalBucket, cap, LinkPredMinCommon)
     }),
+    // SHACL-lite cardinality-shape validation: every typed entity checked
+    // against its type's declared (pred, min, max) shapes over the
+    // doc-grounded + co-occurrence KG — min violations anchor on the
+    // typed-entity table so ABSENT facts surface as n_obj = 0 (see
+    // kg.Ontology.shapeViolations)
+    "q123_shape_violations" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      graft.kg.Ontology.shapeViolations(s,
+        Kg.triples(linked, NerSpark.Predicates).select("subj", "pred", "obj")
+          .unionByName(cooccurFacts(linked)),
+        linked.select(col("entity_id"), col("category").as("type")).distinct(),
+        ShapeDecls)
+    }),
+    // dictionary-growth safety audit: per unresolved surface, the Shannon
+    // entropy of its grounding distribution over q107's co-occurrence
+    // evidence — low entropy surfaces are safe to append, high entropy
+    // ones stay on the context path (see kg.Kg.aliasAmbiguity)
+    "q124_alias_ambiguity" -> ((s, dir) => {
+      import s.implicits._
+      val reduced = graft.kg.Kg.Aliases
+        .filterNot { case (a, _, _) => MinedSurfaces(a) }
+        .toDF("alias", "entity_id", "score")
+      val cand = Kg.candidates(kgMentions(s, dir), reduced)
+      graft.kg.Kg.aliasAmbiguity(
+        cand.filter(col("entity_id").isNull)
+          .select(col("doc_id"), col("surface")),
+        Kg.disambiguate(cand).select(col("doc_id"), col("entity_id")))
+    }),
     // usage-based type inference (SDType): the UsageHeldOut entities are
     // stripped from the typed table and re-typed from predicate-usage
     // votes; `cooccurs_with` facts (per-doc entity pairs) supply the
@@ -2840,6 +2886,55 @@ object SparkEntry {
          | WHERE nb.n_docs_both >= $MineMinSupport
          |  AND round(nb.n_docs_both / ns.n_docs_surface, 4) >= $MineMinConf"""
         .stripMargin.replaceAll("\n", " "),
+    // q123: typed entities × their type's shapes LEFT-join the distinct
+    // (subj, pred) object counts, so absent facts check as n_obj = 0;
+    // facts = doc-grounded triples + cooccurs_with (the q109 usage union)
+    "q123_shape_violations" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | shp(subj_type, pred, min_count, max_count) AS $ShapeValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men
+         |  UNION
+         |  SELECT DISTINCT a.entity_id, 'cooccurs_with', b.entity_id
+         |  FROM men a JOIN men b ON a.doc_id = b.doc_id
+         |   AND a.entity_id <> b.entity_id),
+         | cnt AS (SELECT subj, pred, count(*) AS n_obj FROM tr GROUP BY 1, 2),
+         | ty AS (SELECT DISTINCT entity_id AS subj, category AS subj_type
+         |  FROM men)
+         | SELECT ty.subj, ty.subj_type, shp.pred,
+         |  coalesce(cnt.n_obj, 0)::BIGINT AS n_obj,
+         |  shp.min_count, shp.max_count,
+         |  CASE WHEN coalesce(cnt.n_obj, 0) < shp.min_count THEN 'min'
+         |   ELSE 'max' END AS kind
+         | FROM ty JOIN shp ON shp.subj_type = ty.subj_type
+         | LEFT JOIN cnt ON cnt.subj = ty.subj AND cnt.pred = shp.pred
+         | WHERE coalesce(cnt.n_obj, 0) < shp.min_count
+         |  OR coalesce(cnt.n_obj, 0) > shp.max_count"""
+        .stripMargin.replaceAll("\n", " "),
+    // q124: q107's evidence CTEs aggregated per surface — entropy folds
+    // as ln(T) - sum(n*ln(n))/T over the per-entity doc counts, rounded
+    // to 4 like every cross-engine transcendental (q66/q90 discipline)
+    "q124_alias_ambiguity" ->
+      s"""WITH dict(category, surface) AS $DictValues,
+         | red(alias, entity_id) AS $ReducedAliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, v.surface
+         |  FROM documents d CROSS JOIN dict v
+         |  WHERE position(v.surface in d.text) > 0),
+         | unl AS MATERIALIZED (SELECT m.doc_id, m.surface FROM men m
+         |  LEFT JOIN red r ON m.surface = r.alias WHERE r.alias IS NULL),
+         | lnk AS MATERIALIZED (SELECT DISTINCT m.doc_id, r.entity_id
+         |  FROM men m JOIN red r ON m.surface = r.alias),
+         | nb AS (SELECT u.surface, l.entity_id, count(*) AS n
+         |  FROM unl u JOIN lnk l ON u.doc_id = l.doc_id GROUP BY 1, 2)
+         | SELECT surface, count(*)::BIGINT AS n_entities,
+         |  CAST(sum(n) AS BIGINT) AS n_docs_total,
+         |  round(max(n) / sum(n), 4) AS top_share,
+         |  round(ln(CAST(sum(n) AS DOUBLE))
+         |    - sum(n * ln(n)) / sum(n), 4) AS entropy
+         | FROM nb GROUP BY 1""".stripMargin.replaceAll("\n", " "),
     // q108: chain legs — KG triples filtered to 'performs' joined on
     // mid = the doc URI against the doc-metadata 'from_source' triples
     "q108_chain_bgp" ->

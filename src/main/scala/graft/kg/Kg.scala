@@ -99,6 +99,52 @@ object Kg {
         col("n_docs_surface"), col("confidence"))
   }
 
+  /** Grounding-ambiguity audit over [[mineAliases]]' co-occurrence
+    * evidence — the read that decides which mined aliases are SAFE to
+    * append to the dictionary. [[mineAliases]] thresholds each
+    * `(surface, entity)` pair independently; this aggregates the same
+    * evidence PER SURFACE into the Shannon entropy of its grounding
+    * distribution `P(entity | surface)` (the anchor-dictionary ambiguity
+    * measure of Spitkovsky & Chang, LREC 2012): entropy ≈ 0 means the
+    * surface grounds one entity and auto-appending is safe; high entropy
+    * means the surface is genuinely ambiguous and belongs to the
+    * context-disambiguation path, not the dictionary.
+    *
+    * @param unlinked `(doc_id, surface)` mentions the dictionary missed
+    * @param linked   `(doc_id, entity_id)` confidently-linked entities
+    * @return one row per unresolved surface that co-occurs with at least
+    *         one linked entity: `(surface, n_entities, n_docs_total,
+    *         top_share, entropy)` — `n_docs_total` sums the per-entity
+    *         co-occurrence doc counts, `top_share` is the majority
+    *         entity's share, entropy is natural-log, both rounded to 4
+    *         (the q66/q90 cross-engine float discipline: identical
+    *         integer operands through ln/divide, compared post-round).
+    *
+    * Scale shape: the evidence lineage is [[mineAliases]]' (per-doc
+    * presence collapses, one doc-keyed join); the new work is ONE
+    * map-side-combined aggregate keyed by surface whose per-key width is
+    * the entity vocabulary — `H = ln(T) − Σ n·ln(n) / T` folds in a
+    * single pass, no per-surface explode or window. */
+  def aliasAmbiguity(unlinked: DataFrame, linked: DataFrame): DataFrame = {
+    val ds = unlinked
+      .select(col("doc_id"), lower(trim(col("surface"))).as("surface"))
+      .distinct()
+    val de = linked.select(col("doc_id"), col("entity_id")).distinct()
+    ds.join(de, "doc_id")
+      .groupBy(col("surface"), col("entity_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("surface")
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(col("n")).as("n_docs_total"),
+        max(col("n")).as("n_top"),
+        sum(col("n") * log(col("n"))).as("__sl"))
+      .select(col("surface"), col("n_entities"), col("n_docs_total"),
+        round(col("n_top") / col("n_docs_total"), 4).as("top_share"),
+        round(log(col("n_docs_total")) - col("__sl") / col("n_docs_total"), 4)
+          .as("entropy"))
+  }
+
   /** Generic salted equi-join for skewed keys: the big (probe) side gets a
     * deterministic salt in `[0, saltFactor)`, the small (build) side is
     * exploded over every salt value, and the join key becomes

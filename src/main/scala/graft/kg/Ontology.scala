@@ -71,6 +71,57 @@ object Ontology {
       .select(col("subj"), col("pred"), col("required_type"), col("n_triples"))
   }
 
+  /** SHACL-lite cardinality-shape validation — the general-`k` form of
+    * [[functionalViolations]]' `maxCount 1` special case (SHACL
+    * `sh:minCount`/`sh:maxCount` on a property shape, W3C SHACL §4.2):
+    * for every entity of a shaped type, the distinct-object count of
+    * each shaped predicate must land in `[min_count, max_count]`.
+    * Unlike the functional audit, a MIN violation is visible only from
+    * the ABSENCE of facts — an entity with zero facts of a required
+    * predicate never appears in the triple stream at all — so the check
+    * anchors on the typed-entity table and LEFT-joins the fact counts,
+    * defaulting the missing count to 0 (the "every person needs a birth
+    * date" completeness gate that a triple-side scan cannot express).
+    *
+    * @param triples `(subj, pred, obj)` facts (duplicates fine —
+    *                multiplicity counts DISTINCT objects, matching
+    *                [[functionalViolations]])
+    * @param types   functional `(entity_id, type)` map of shaped
+    *                entities
+    * @param shapes  declared `(type, pred, min_count, max_count)` rows —
+    *                schema-sized metadata, always broadcast
+    * @return violations only:
+    *         `(subj, subj_type, pred, n_obj, min_count, max_count,
+    *         kind)` with `kind ∈ {min, max}`
+    *
+    * Scale shape: ONE distinct-fact collapse feeds a map-side-combined
+    * `(subj, pred)` count; the shape table broadcasts onto the
+    * entity-vocabulary-sized type table (per-entity fan-out = shapes
+    * declared on its type, schema-bounded); the candidate×count meet is
+    * a subject-keyed left equi-join AQE broadcasts when the surviving
+    * side measures small. Output is violation-bounded, never
+    * triple-bounded. */
+  def shapeViolations(spark: SparkSession, triples: DataFrame,
+      types: DataFrame, shapes: Seq[(String, String, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    require(shapes.forall { case (_, _, lo, hi) => lo >= 0 && lo <= hi },
+      "each shape needs 0 <= min_count <= max_count")
+    val sh = shapes.toDF("subj_type", "pred", "min_count", "max_count")
+    val counts = triples.select("subj", "pred", "obj").distinct()
+      .groupBy("subj", "pred")
+      .agg(count(lit(1)).as("n_obj"))
+    types.select(col("entity_id").as("subj"), col("type").as("subj_type"))
+      .join(broadcast(sh), "subj_type")
+      .join(counts, Seq("subj", "pred"), "left")
+      .withColumn("n_obj", coalesce(col("n_obj"), lit(0L)))
+      .withColumn("kind",
+        when(col("n_obj") < col("min_count"), "min")
+          .when(col("n_obj") > col("max_count"), "max"))
+      .filter(col("kind").isNotNull)
+      .select(col("subj"), col("subj_type"), col("pred"), col("n_obj"),
+        col("min_count"), col("max_count"), col("kind"))
+  }
+
   /** PARIS-style predicate alignment between two extractor vocabularies
     * (Suchanek/Abiteboul/Senellart, VLDB 2012 — the probabilistic
     * ontology-alignment system; we compute its set-overlap evidence in

@@ -673,6 +673,45 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("m", "n") -> false, ("n", "m") -> false, ("n", "z") -> false))
   }
 
+  test("shapeViolations checks min/max cardinality, absent facts as zero") {
+    import spark.implicits._
+    import graft.kg.Ontology
+    // shapes: T needs p in [2, 3]; T needs q in [1, 9] (absence check)
+    val shapes = Seq(("T", "p", 2L, 3L), ("T", "q", 1L, 9L))
+    val types = Seq(("a", "T"), ("b", "T"), ("c", "T"), ("d", "U"))
+      .toDF("entity_id", "type")
+    // a: p×1 (min), no q (min at 0); b: p×4 (max), q×1 (ok);
+    // c: p×2 dup'd (ok — distinct objects), q×1 (ok); d: untyped-shape U
+    val tr = Seq(
+      ("a", "p", "o1"),
+      ("b", "p", "o1"), ("b", "p", "o2"), ("b", "p", "o3"), ("b", "p", "o4"),
+      ("b", "q", "x"),
+      ("c", "p", "o1"), ("c", "p", "o1"), ("c", "p", "o2"), ("c", "q", "x"),
+      ("d", "p", "o1")).toDF("subj", "pred", "obj")
+    val got = Ontology.shapeViolations(spark, tr, types, shapes).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3), r.getString(6)))
+      .toSet
+    assert(got == Set(
+      ("a", "p", 1L, "min"), ("a", "q", 0L, "min"), ("b", "p", 4L, "max")))
+  }
+
+  test("aliasAmbiguity folds grounding entropy per unresolved surface") {
+    import spark.implicits._
+    import graft.kg.Kg
+    // surface "x": 3 docs ground e1, 1 doc grounds e2 →
+    // H = ln(4) - (3·ln3 + 1·ln1)/4 = 0.5623; "y": one entity → H = 0
+    val unl = Seq((1L, "X"), (2L, "x "), (3L, "x"), (4L, "x"),
+      (1L, "y"), (2L, "y")).toDF("doc_id", "surface")
+    val lnk = Seq((1L, "e1"), (2L, "e1"), (3L, "e1"), (4L, "e2"))
+      .toDF("doc_id", "entity_id")
+    val got = Kg.aliasAmbiguity(unl, lnk).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("x", 2L, 4L, 0.75, 0.5623),
+      ("y", 1L, 2L, 1.0, 0.0)))
+  }
+
   test("schemaGraph collapses instances onto types with an untyped bucket") {
     import spark.implicits._
     import graft.kg.Summarize
