@@ -338,6 +338,12 @@ object SparkEntry {
     .map { case (c, p) => s"('$c','$p')" }
     .mkString("(VALUES ", ", ", ")")
 
+  /** q126's per-(subj, pred) object cap: small enough that the hub
+    * entities' doc-grounded fact lists truncate at EVERY sf (visible
+    * `,…` path) while the ≤ 7-entity co-occurrence lists never do —
+    * both linearization branches exercised on every corpus. */
+  private val LinearizeCap = 8
+
   /** q123's declared cardinality shapes `(type, pred, min, max)`. Chosen
     * so every violation path fires on the synthetic corpora: tight max
     * bounds on the doc-grounded predicates (frequent entities overflow),
@@ -442,6 +448,22 @@ object SparkEntry {
         col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
     graft.kg.Triangles.canonicalEdges(pairs, "u", "v")
+  }
+
+  /** q79/q125's ER record set: clean customer names + a deterministic
+    * 1-edit dirty twin per record (trailing space for even keys, doubled
+    * last character for odd — SUFFIX dirt, so each dirty record sorts
+    * within a rank or two of its clean twin). ONE definition so the
+    * matcher (q79) and its evaluation (q125) read the same records. */
+  private def erRecords(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val clean = c.select((col("c_custkey") * 2).as("rec_id"),
+      col("c_name").as("key"))
+    val dirty = c.select((col("c_custkey") * 2 + 1).as("rec_id"),
+      when(col("c_custkey") % 2 === 0, concat(col("c_name"), lit(" ")))
+        .otherwise(concat(col("c_name"), substring(col("c_name"), -1, 1)))
+        .as("key"))
+    clean.union(dirty)
   }
 
   /** q73's engine-measured peel depth per sf dir, recorded when the query
@@ -1247,17 +1269,9 @@ object SparkEntry {
     // must re-pair through rank-banded neighbor comparison + edit
     // distance; a skew-proof alternative to blocking (every name shares
     // one prefix, so prefix blocking would be one quadratic block)
-    "q79_er_match" -> ((s, dir) => {
-      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-      val clean = c.select((col("c_custkey") * 2).as("rec_id"),
-        col("c_name").as("key"))
-      val dirty = c.select((col("c_custkey") * 2 + 1).as("rec_id"),
-        when(col("c_custkey") % 2 === 0, concat(col("c_name"), lit(" ")))
-          .otherwise(concat(col("c_name"), substring(col("c_name"), -1, 1)))
-          .as("key"))
-      graft.text.ErMatch.sortedNeighborhood(clean.union(dirty),
-        ErWindow, ErMaxDist)
-    }),
+    "q79_er_match" -> ((s, dir) =>
+      graft.text.ErMatch.sortedNeighborhood(erRecords(s, dir),
+        ErWindow, ErMaxDist)),
     // RDFS materialized type inference: linked entities carry their
     // direct category plus every superclass from the declared hierarchy's
     // transitive closure (closure is driver-computed METADATA — see
@@ -1728,6 +1742,33 @@ object SparkEntry {
         cand.filter(col("entity_id").isNull)
           .select(col("doc_id"), col("surface")),
         Kg.disambiguate(cand).select(col("doc_id"), col("entity_id")))
+    }),
+    // blocking/matching evaluation over q79's sorted-neighborhood run:
+    // pairs completeness, pairs quality, reduction ratio against the
+    // known clean↔dirty twin gold — the Christen TKDE'12 triple that
+    // justifies (or indicts) a blocking strategy before it ships (see
+    // text.ErMatch.evalBlocking)
+    "q125_er_blocking_eval" -> ((s, dir) => {
+      val records = erRecords(s, dir)
+      val gold = t(s, dir, "customer").select(
+        (col("c_custkey") * 2).as("id_a"),
+        (col("c_custkey") * 2 + 1).as("id_b"))
+      graft.text.ErMatch.evalBlocking(
+        graft.text.ErMatch.sortedNeighborhood(records, ErWindow, ErMaxDist)
+          .select("id_a", "id_b"),
+        gold, records)
+    }),
+    // KG → text linearization (the KELM corpus shape): each entity's
+    // facts serialized into one byte-reproducible training document,
+    // hub-capped per predicate with visible truncation (see
+    // kg.Summarize.linearize)
+    "q126_kg_linearize" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      graft.kg.Summarize.linearize(
+        Kg.triples(linked, NerSpark.Predicates).select("subj", "pred", "obj")
+          .unionByName(cooccurFacts(linked)),
+        LinearizeCap)
     }),
     // usage-based type inference (SDType): the UsageHeldOut entities are
     // stripped from the typed table and re-typed from predicate-usage
@@ -2935,6 +2976,62 @@ object SparkEntry {
          |  round(ln(CAST(sum(n) AS DOUBLE))
          |    - sum(n * ln(n)) / sum(n), 4) AS entropy
          | FROM nb GROUP BY 1""".stripMargin.replaceAll("\n", " "),
+    // q125: the q79 candidate replay + the twin gold, folded to the
+    // Christen blocking triple; C(n,2) anchors the reduction ratio
+    "q125_er_blocking_eval" ->
+      s"""WITH recs AS (
+         |  SELECT c_custkey * 2 AS rec_id, c_name AS key FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey * 2 + 1 AS rec_id,
+         |   CASE WHEN c_custkey % 2 = 0 THEN c_name || ' '
+         |        ELSE c_name || right(c_name, 1) END AS key FROM customer),
+         | rnk AS (SELECT rec_id, key,
+         |   row_number() OVER (ORDER BY key, rec_id) AS rnk FROM recs),
+         | cand AS (SELECT DISTINCT least(a.rec_id, b.rec_id) AS id_a,
+         |   greatest(a.rec_id, b.rec_id) AS id_b
+         |  FROM rnk a CROSS JOIN generate_series(1, $ErWindow) g(j)
+         |  JOIN rnk b ON b.rnk = a.rnk + g.j
+         |  WHERE levenshtein(a.key, b.key) <= $ErMaxDist),
+         | gold AS (SELECT c_custkey * 2 AS id_a, c_custkey * 2 + 1 AS id_b
+         |  FROM customer),
+         | m AS (SELECT
+         |   (SELECT count(*) FROM recs) AS n_records,
+         |   (SELECT count(*) FROM cand) AS n_candidates,
+         |   (SELECT count(*) FROM gold) AS n_gold,
+         |   (SELECT count(*) FROM cand JOIN gold USING (id_a, id_b))
+         |     AS n_tp)
+         | SELECT n_records, n_candidates, n_gold, n_tp,
+         |  round(n_tp / n_gold, 4) AS pairs_completeness,
+         |  round(n_tp / n_candidates, 4) AS pairs_quality,
+         |  round(1 - n_candidates /
+         |    (n_records * (n_records - 1) / 2.0), 4) AS reduction_ratio
+         | FROM m""".stripMargin.replaceAll("\n", " "),
+    // q126: the usage union linearized — per-(subj, pred) objects rank-
+    // capped at $LinearizeCap with a visible ',…', string_agg pinned by
+    // ORDER BY on both levels (byte-reproducibility is the contract)
+    "q126_kg_linearize" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men
+         |  UNION
+         |  SELECT DISTINCT a.entity_id, 'cooccurs_with', b.entity_id
+         |  FROM men a JOIN men b ON a.doc_id = b.doc_id
+         |   AND a.entity_id <> b.entity_id),
+         | r AS (SELECT subj, pred, obj, row_number() OVER
+         |   (PARTITION BY subj, pred ORDER BY obj) AS rn FROM tr),
+         | pp AS (SELECT subj, pred || '=' ||
+         |   string_agg(CASE WHEN rn <= $LinearizeCap THEN obj END,
+         |     ',' ORDER BY obj) ||
+         |   CASE WHEN max(rn) > $LinearizeCap THEN ',…' ELSE '' END AS pp
+         |  FROM r WHERE rn <= $LinearizeCap + 1 GROUP BY subj, pred),
+         | cnt AS (SELECT subj, count(*) AS n_facts FROM tr GROUP BY 1)
+         | SELECT pp.subj, cnt.n_facts,
+         |  string_agg(pp.pp, '|' ORDER BY pp.pp) AS doc
+         | FROM pp JOIN cnt USING (subj) GROUP BY 1, 2"""
+        .stripMargin.replaceAll("\n", " "),
     // q108: chain legs — KG triples filtered to 'performs' joined on
     // mid = the doc URI against the doc-metadata 'from_source' triples
     "q108_chain_bgp" ->

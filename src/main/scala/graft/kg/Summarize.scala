@@ -101,4 +101,54 @@ object Summarize {
         countDistinct(col("subj")).as("n_subj"),
         countDistinct(col("obj")).as("n_obj"))
   }
+
+  /** KG → text linearization: serialize each subject's facts into ONE
+    * canonical training document
+    * `pred1=obj_a,obj_b|pred2=obj_c` — the KG-verbalization input step
+    * (the corpus shape of KELM: Agarwal et al., "Knowledge Graph Based
+    * Synthetic Corpus Generation for Knowledge-Enhanced Language Model
+    * Pre-training", NAACL 2021 — we produce the deterministic
+    * linearization; the paper's seq2seq verbalizer consumes it). Every
+    * ordering is pinned (objects ascending within a predicate,
+    * predicate groups ascending) so the document is byte-reproducible —
+    * a training corpus that changes bytes across identical runs poisons
+    * dedup and caching downstream.
+    *
+    * Hub safety: a celebrity entity carries unbounded facts, so each
+    * `(subj, pred)` group keeps only its `maxObjsPerPred` FIRST objects
+    * (ascending — deterministic, not sampled) in the document, while
+    * `n_facts` still counts everything; the cap bounds both the row
+    * width and the per-group state at scale. Truncation is visible:
+    * capped groups end with `,…`.
+    *
+    * @return `(subj, n_facts, doc)` — one row per subject
+    *
+    * Scale shape: one distinct-fact collapse, a per-`(subj, pred)` rank
+    * window that bounds state BEFORE anything collects (rows beyond the
+    * cap never enter an array buffer), then two map-side-combined
+    * aggregates keyed `(subj, pred)` and `subj`; per-key payload is
+    * cap-bounded, so a hub key costs bandwidth, never memory. */
+  def linearize(triples: DataFrame, maxObjsPerPred: Int): DataFrame = {
+    require(maxObjsPerPred >= 1, "cap must keep at least one object")
+    val d = triples.select("subj", "pred", "obj").distinct()
+    val byObj = Window.partitionBy("subj", "pred").orderBy("obj")
+    val pp = d.withColumn("__rn", row_number().over(byObj))
+      .filter(col("__rn") <= maxObjsPerPred + 1)
+      .groupBy("subj", "pred")
+      .agg(
+        max(col("__rn")).as("__seen"),
+        sort_array(collect_list(
+          when(col("__rn") <= maxObjsPerPred, col("obj")))).as("__objs"))
+      .select(col("subj"),
+        concat(col("pred"), lit("="), concat_ws(",", col("__objs")),
+          when(col("__seen") > maxObjsPerPred, ",…").otherwise(""))
+          .as("pp"))
+    val counts = d.groupBy("subj", "pred").agg(count(lit(1)).as("n"))
+      .groupBy("subj").agg(sum(col("n")).as("n_facts"))
+    pp.groupBy("subj")
+      .agg(sort_array(collect_list(col("pp"))).as("__pps"))
+      .join(counts, "subj")
+      .select(col("subj"), col("n_facts"),
+        concat_ws("|", col("__pps")).as("doc"))
+  }
 }

@@ -47,6 +47,55 @@ object ErMatch {
       .select(col("rec_id"), col("key"), (col("lrnk") + col("off")).as("rnk"))
   }
 
+  /** Blocking/matching evaluation — the three standard indexing metrics
+    * (Christen, "A Survey of Indexing Techniques for Scalable Record
+    * Linkage and Deduplication", TKDE 2012): pairs completeness
+    * `TP / |gold|` (the recall blocking must not sacrifice), pairs
+    * quality `TP / |candidates|` (precision of the emitted pairs), and
+    * reduction ratio `1 − |candidates| / C(n, 2)` (how much of the naive
+    * quadratic comparison space the method avoided — the reason
+    * [[sortedNeighborhood]] exists). One row out.
+    *
+    * @param candidates `(id_a, id_b)` pairs the method emitted
+    *                   (canonical `id_a < id_b`)
+    * @param gold       `(id_a, id_b)` true duplicate pairs, same
+    *                   canonical order
+    * @param records    the full record set (its COUNT anchors the
+    *                   reduction ratio's quadratic denominator)
+    * @return `(n_records, n_candidates, n_gold, n_tp,
+    *         pairs_completeness, pairs_quality, reduction_ratio)` —
+    *         ratios rounded to 4
+    *
+    * Scale shape: candidate∩gold overlap is ONE full-outer equi-join on
+    * the pair key; the three pair counts and the record count then fold
+    * in ONE map-side-combined aggregate over a tagged union — scalars
+    * never meet through a nested-loop join (the q94 single-aggregate
+    * discipline). */
+  def evalBlocking(candidates: DataFrame, gold: DataFrame,
+      records: DataFrame): DataFrame = {
+    val cand = candidates.select("id_a", "id_b").distinct()
+    val g = gold.select("id_a", "id_b").distinct()
+    val paired = cand.withColumn("in_c", lit(1L))
+      .join(g.withColumn("in_g", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+      .select(coalesce(col("in_c"), lit(0L)).as("in_c"),
+        coalesce(col("in_g"), lit(0L)).as("in_g"), lit(0L).as("is_rec"))
+    paired
+      .unionByName(records.select(lit(0L).as("in_c"), lit(0L).as("in_g"),
+        lit(1L).as("is_rec")))
+      .agg(
+        sum(col("is_rec")).as("n_records"),
+        sum(col("in_c")).as("n_candidates"),
+        sum(col("in_g")).as("n_gold"),
+        sum(col("in_c") * col("in_g")).as("n_tp"))
+      .select(col("n_records"), col("n_candidates"), col("n_gold"),
+        col("n_tp"),
+        round(col("n_tp") / col("n_gold"), 4).as("pairs_completeness"),
+        round(col("n_tp") / col("n_candidates"), 4).as("pairs_quality"),
+        round(lit(1.0) - col("n_candidates") /
+          (col("n_records") * (col("n_records") - 1) / 2.0), 4)
+          .as("reduction_ratio"))
+  }
+
   /** Match pairs `(id_a, id_b, key_a, key_b, dist)` between records whose
     * sort ranks differ by ≤ `windowSize` and whose keys sit within
     * `maxDist` edits; `id_a < id_b` canonically.

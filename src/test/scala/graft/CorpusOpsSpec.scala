@@ -712,6 +712,39 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("y", 1L, 2L, 1.0, 0.0)))
   }
 
+  test("evalBlocking folds the Christen triple in one aggregate") {
+    import spark.implicits._
+    import graft.text.ErMatch
+    val records = (1L to 6L).map(i => (i, s"r$i")).toDF("rec_id", "key")
+    val gold = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    // one true pair found, one missed, two false candidates (one dup'd —
+    // the distinct guard); C(6,2) = 15 comparisons avoided down to 3
+    val cand = Seq((1L, 2L), (1L, 3L), (5L, 6L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val r = ErMatch.evalBlocking(cand, gold, records).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 3L, 2L, 1L)))
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6)) ==
+      ((0.5, 0.3333, 0.8)))
+  }
+
+  test("linearize emits byte-pinned per-entity docs with visible caps") {
+    import spark.implicits._
+    import graft.kg.Summarize
+    // s1's p-list truncates at cap 2 (c dropped, ',…' shown) while
+    // n_facts still counts all 4 distinct facts; duplicates collapse
+    val tr = Seq(
+      ("s1", "p", "c"), ("s1", "p", "a"), ("s1", "p", "b"),
+      ("s1", "p", "a"), ("s1", "q", "x"),
+      ("s2", "p", "a")).toDF("subj", "pred", "obj")
+    val got = Summarize.linearize(tr, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("s1", 4L, "p=a,b,…|q=x"),
+      ("s2", 1L, "p=a")))
+  }
+
   test("schemaGraph collapses instances onto types with an untyped bucket") {
     import spark.implicits._
     import graft.kg.Summarize
