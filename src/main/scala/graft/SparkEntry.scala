@@ -1758,6 +1758,30 @@ object SparkEntry {
           .select("id_a", "id_b"),
         gold, records)
     }),
+    // SPARQL FILTER + VALUES over the generic BGP compiler: a 3-pattern
+    // provenance query narrowed by an inline VALUES binding (compiles to
+    // a scan-pushable IN), a variable-variable comparison, and a
+    // variable-constant one (see kg.TriplePatterns.bgpWhere)
+    "q127_bgp_filter_values" -> ((s, dir) => {
+      val meta = t(s, dir, "documents").select(
+        concat(lit("doc://"), col("doc_id").cast("string")).as("subj"),
+        lit("from_source").as("pred"),
+        col("source").as("obj"))
+      graft.kg.TriplePatterns.bgpWhere(
+        kgTriples(s, dir).unionByName(meta),
+        Seq(("?a", "performs", "?d"), ("?b", "consumes", "?d"),
+          ("?d", "from_source", "?src")),
+        Seq(("?a", "<", "?b"), ("?src", "!=", "src7")),
+        Map("?a" -> Seq("ent:merge", "ent:sort", "ent:table_scan")))
+    }),
+    // non-recursive SPARQL property path `(performs|uses_tool) /
+    // ^(consumes|involves)`: OPERATION∪TOOL entities to the DATA∪ACTOR
+    // entities grounded in the same page — sequence, inverse, and
+    // alternation in one path, set semantics (see
+    // kg.TriplePatterns.pathSequence)
+    "q128_property_paths" -> ((s, dir) =>
+      graft.kg.TriplePatterns.pathSequence(kgTriples(s, dir),
+        Seq("performs|uses_tool", "^consumes|^involves"))),
     // KG → text linearization (the KELM corpus shape): each entity's
     // facts serialized into one byte-reproducible training document,
     // hub-capped per predicate with visible truncation (see
@@ -3006,6 +3030,42 @@ object SparkEntry {
          |  round(1 - n_candidates /
          |    (n_records * (n_records - 1) / 2.0), 4) AS reduction_ratio
          | FROM m""".stripMargin.replaceAll("\n", " "),
+    // q127: the 3-pattern provenance BGP with the VALUES IN-list, the
+    // var-var and the var-const FILTER replayed as plain predicates;
+    // string comparison is codepoint order in both engines
+    "q127_bgp_filter_values" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men),
+         | meta AS (SELECT 'doc://' || doc_id AS subj, source AS obj
+         |  FROM documents)
+         | SELECT p.subj AS a, p.obj AS d, c.subj AS b, m.obj AS src
+         | FROM tr p
+         | JOIN tr c ON c.obj = p.obj AND c.pred = 'consumes'
+         | JOIN meta m ON m.subj = p.obj
+         | WHERE p.pred = 'performs'
+         |  AND p.subj IN ('ent:merge', 'ent:sort', 'ent:table_scan')
+         |  AND p.subj < c.subj AND m.obj != 'src7'"""
+        .stripMargin.replaceAll("\n", " "),
+    // q128: each leg replayed as an IN-filtered (inverse: column-swapped)
+    // scan union, sequenced by one join, DISTINCT for path set semantics
+    "q128_property_paths" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men),
+         | l1 AS (SELECT subj AS s, obj AS o FROM tr
+         |  WHERE pred IN ('performs', 'uses_tool')),
+         | l2 AS (SELECT obj AS s, subj AS o FROM tr
+         |  WHERE pred IN ('consumes', 'involves'))
+         | SELECT DISTINCT l1.s AS subj, l2.o AS obj
+         | FROM l1 JOIN l2 ON l1.o = l2.s"""
+        .stripMargin.replaceAll("\n", " "),
     // q126: the usage union linearized — per-(subj, pred) objects rank-
     // capped at $LinearizeCap with a visible ',…', string_agg pinned by
     // ORDER BY on both levels (byte-reproducibility is the contract)

@@ -128,6 +128,91 @@ object TriplePatterns {
     acc.select(vars.map(col): _*)
   }
 
+  /** [[bgp]] with SPARQL FILTER comparisons and single-variable VALUES
+    * blocks — the solution-modifier surface that turns the compiler
+    * into a usable query layer (SPARQL 1.1 §17.4.1 comparison operators
+    * over plain literals; §10.2 VALUES as inline data). Each filter is
+    * `(?lhs, op, rhs)` with `op ∈ {=, !=, <, <=, >, >=}` and `rhs`
+    * either a second variable (`?`-prefixed) or a constant; comparisons
+    * are the codepoint string order BOTH engines share on the KG's
+    * ASCII terms. Each VALUES entry binds one variable to an explicit
+    * term list.
+    *
+    * Scale shape: VALUES compiles to an `IN`-list predicate and filters
+    * compile to plain comparison predicates on the compiled solution
+    * relation — Catalyst pushes both THROUGH the BGP's equi-joins down
+    * to the pattern scan leaves (an `In` on a leaf reaches the parquet
+    * scan as a pushed filter, the same file-pruning story as the
+    * pattern constants), so a selective VALUES block prunes before the
+    * first join rather than after the last. Nothing new shuffles. */
+  def bgpWhere(triples: DataFrame,
+      patterns: Seq[(String, String, String)],
+      filters: Seq[(String, String, String)] = Nil,
+      values: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val (df, vars) = compileGroup(triples, patterns)
+    def varName(t: String, what: String): String = {
+      require(t.startsWith("?") && vars.contains(t.drop(1)),
+        s"$what $t must be a bound variable of the BGP")
+      t.drop(1)
+    }
+    val withVals = values.foldLeft(df) { case (d, (v, terms)) =>
+      require(terms.nonEmpty, s"VALUES $v needs at least one term")
+      d.filter(col(varName(v, "VALUES variable")).isin(terms: _*))
+    }
+    val out = filters.foldLeft(withVals) { case (d, (l, op, r)) =>
+      val lhs = col(varName(l, "FILTER lhs"))
+      val rhs = if (r.startsWith("?")) col(varName(r, "FILTER rhs"))
+        else lit(r)
+      d.filter(op match {
+        case "=" => lhs === rhs
+        case "!=" => lhs =!= rhs
+        case "<" => lhs < rhs
+        case "<=" => lhs <= rhs
+        case ">" => lhs > rhs
+        case ">=" => lhs >= rhs
+        case other => throw new IllegalArgumentException(
+          s"unsupported FILTER operator '$other'")
+      })
+    }
+    out.select(vars.map(col): _*)
+  }
+
+  /** Non-recursive SPARQL 1.1 property-path evaluation: a SEQUENCE of
+    * legs, each leg a predicate, an INVERSE predicate (`^p`), or an
+    * ALTERNATION of either (`a|^b|c`) — the `/`, `^`, `|` operators of
+    * §9.1, the fragments that compose with [[closure]]'s bounded `p+`
+    * to cover the paths KG consumers actually write. Path semantics per
+    * the spec are SET semantics: `(subj, obj)` pairs, distinct,
+    * regardless of how many distinct walks connect them.
+    *
+    * Scale shape: each leg is a union of predicate-filtered scans (the
+    * pred equality pushes to parquet; inverse legs are a projection
+    * swap, free), collapsed distinct per leg so alternation can't
+    * double-count; sequencing is one equi-join per leg on the meeting
+    * node with a per-round distinct that stops fan-out compounding (the
+    * [[closure]] discipline). Per-node fan-out is the [[chain]]
+    * exposure — AQE-covered moderate, q08-salted pathological. */
+  def pathSequence(triples: DataFrame, legs: Seq[String]): DataFrame = {
+    require(legs.nonEmpty, "property path needs at least one leg")
+    def leg(spec: String): DataFrame = {
+      val alts = spec.split("\\|", -1).toSeq
+      require(alts.forall(_.nonEmpty), s"empty alternative in '$spec'")
+      alts.map { a =>
+        if (a.startsWith("^"))
+          triples.filter(col("pred") === a.drop(1))
+            .select(col("obj").as("s"), col("subj").as("o"))
+        else
+          triples.filter(col("pred") === a)
+            .select(col("subj").as("s"), col("obj").as("o"))
+      }.reduce(_ unionByName _).distinct()
+    }
+    legs.tail.foldLeft(leg(legs.head)) { (acc, l) =>
+      acc.select(col("s"), col("o").as("m"))
+        .join(leg(l).select(col("s").as("m"), col("o")), "m")
+        .select("s", "o").distinct()
+    }.select(col("s").as("subj"), col("o").as("obj"))
+  }
+
   /** Compile one conjunctive pattern group to a DataFrame plus its
     * variable names in first-appearance order (shared by [[bgp]] and
     * [[bgpOptional]]). */

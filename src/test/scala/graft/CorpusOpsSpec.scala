@@ -439,6 +439,50 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("s", "o", "u", "v"))
   }
 
+  test("bgpWhere applies VALUES and FILTER comparisons to solutions") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("a1", "p", "m"), ("a2", "p", "m"), ("a3", "p", "m"),
+      ("b1", "q", "m"), ("zz", "q", "m"))
+      .toDF("subj", "pred", "obj")
+    // VALUES prunes ?a to {a1, a2}; ?a < ?b keeps var-var order pairs;
+    // ?b != zz is the var-const comparison
+    val got = TriplePatterns.bgpWhere(tr,
+      Seq(("?a", "p", "?m"), ("?b", "q", "?m")),
+      Seq(("?a", "<", "?b"), ("?b", "!=", "zz")),
+      Map("?a" -> Seq("a1", "a2")))
+    assert(got.columns.toSeq == Seq("a", "m", "b"))
+    assert(got.collect().map(r => (r.getString(0), r.getString(2))).toSet ==
+      Set(("a1", "b1"), ("a2", "b1")))
+    // an unbound variable in a filter or VALUES is a caller bug
+    intercept[IllegalArgumentException] {
+      TriplePatterns.bgpWhere(tr, Seq(("?a", "p", "?m")),
+        Seq(("?nope", "=", "x")))
+    }
+  }
+
+  test("pathSequence composes inverse and alternation legs, set semantics") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("o1", "performs", "d1"), ("t1", "uses_tool", "d1"),
+      ("x1", "consumes", "d1"), ("x2", "involves", "d1"),
+      ("o2", "performs", "d2"),
+      // a duplicate walk: o1 reaches x1 via both its legs' alternatives?
+      // no — via d1 only, but t1→d1→x1 and t1→d1→x2 are distinct pairs
+      ("o1", "performs", "d3"), ("x1", "consumes", "d3"))
+      .toDF("subj", "pred", "obj")
+    // (performs|uses_tool) / ^(consumes|involves): o1 reaches x1 through
+    // BOTH d1 and d3 yet appears once (set semantics); o2's page grounds
+    // no consumer, so o2 vanishes
+    val got = TriplePatterns.pathSequence(tr,
+      Seq("performs|uses_tool", "^consumes|^involves")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("o1", "x1"), ("o1", "x2"), ("t1", "x1"), ("t1", "x2")))
+  }
+
   test("bgpOptional keeps unmatched solutions with nulls (SPARQL OPTIONAL)") {
     import spark.implicits._
     import graft.kg.TriplePatterns
