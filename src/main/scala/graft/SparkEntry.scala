@@ -1774,6 +1774,20 @@ object SparkEntry {
         Seq(("?a", "<", "?b"), ("?src", "!=", "src7")),
         Map("?a" -> Seq("ent:merge", "ent:sort", "ent:table_scan")))
     }),
+    // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
+    // involvement — the correlated-negation half of the q119 MINUS pair
+    // (they coincide here; they diverge on no-shared-variable groups,
+    // which the spec suite pins — see kg.TriplePatterns.bgpExists)
+    "q129_bgp_not_exists" -> ((s, dir) =>
+      graft.kg.TriplePatterns.bgpExists(kgTriples(s, dir),
+        Seq(("?e", "performs", "?d")),
+        Seq(("?x", "involves", "?d")), negate = true)),
+    // SPARQL FILTER EXISTS: tools on pages that also ground DATA — one
+    // left-semi equi-join on the shared variable
+    "q130_bgp_exists" -> ((s, dir) =>
+      graft.kg.TriplePatterns.bgpExists(kgTriples(s, dir),
+        Seq(("?e", "uses_tool", "?d")),
+        Seq(("?b", "consumes", "?d")), negate = false)),
     // non-recursive SPARQL property path `(performs|uses_tool) /
     // ^(consumes|involves)`: OPERATION∪TOOL entities to the DATA∪ACTOR
     // entities grounded in the same page — sequence, inverse, and
@@ -3049,6 +3063,32 @@ object SparkEntry {
          | WHERE p.pred = 'performs'
          |  AND p.subj IN ('ent:merge', 'ent:sort', 'ent:table_scan')
          |  AND p.subj < c.subj AND m.obj != 'src7'"""
+        .stripMargin.replaceAll("\n", " "),
+    // q129/q130: the correlated filter-subquery pair replayed as native
+    // NOT EXISTS / EXISTS over the same KG derivation
+    "q129_bgp_not_exists" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men)
+         | SELECT p.subj AS e, p.obj AS d FROM tr p
+         | WHERE p.pred = 'performs'
+         |  AND NOT EXISTS (SELECT 1 FROM tr x
+         |   WHERE x.pred = 'involves' AND x.obj = p.obj)"""
+        .stripMargin.replaceAll("\n", " "),
+    "q130_bgp_exists" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men)
+         | SELECT p.subj AS e, p.obj AS d FROM tr p
+         | WHERE p.pred = 'uses_tool'
+         |  AND EXISTS (SELECT 1 FROM tr b
+         |   WHERE b.pred = 'consumes' AND b.obj = p.obj)"""
         .stripMargin.replaceAll("\n", " "),
     // q128: each leg replayed as an IN-filtered (inverse: column-swapped)
     // scan union, sequenced by one join, DISTINCT for path set semantics

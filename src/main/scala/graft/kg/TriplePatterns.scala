@@ -351,6 +351,45 @@ object TriplePatterns {
     out.select(reqVars.map(col): _*)
   }
 
+  /** [[bgp]] with a SPARQL `FILTER EXISTS` / `FILTER NOT EXISTS` group —
+    * the correlated-subquery half of the negation surface, distinct
+    * from [[bgpMinus]] exactly where the two diverge in the spec
+    * (SPARQL 1.1 §8.3): when the group shares NO variable with the
+    * required patterns, MINUS removes nothing (disjoint domains are
+    * never compatible) while NOT EXISTS evaluates the group ONCE as an
+    * un-correlated existence test and removes EVERY solution if it
+    * matches at all (and EXISTS keeps every solution under the same
+    * condition). With shared variables the two coincide on this
+    * engine's null-free solutions, and the plan is the same single
+    * semi/anti equi-join.
+    *
+    * Scale shape: identical to [[bgpMinus]] — the group compiles once,
+    * projects to the shared variables, and gates solutions through ONE
+    * left-semi (EXISTS) or left-anti (NOT EXISTS) equi-join; the
+    * no-shared-variable case degenerates to a broadcast one-row gate
+    * (the EXISTS-gate cross join on a `limit(1)` relation — bounded by
+    * construction, never corpus-sized). */
+  def bgpExists(triples: DataFrame,
+      patterns: Seq[(String, String, String)],
+      existsGroup: Seq[(String, String, String)],
+      negate: Boolean): DataFrame = {
+    val (req, reqVars) = compileGroup(triples, patterns)
+    val (g, gVars) = compileGroup(triples, existsGroup)
+    val shared = gVars.filter(reqVars.contains)
+    val out =
+      if (shared.nonEmpty)
+        req.join(g.select(shared.map(col): _*).distinct(), shared,
+          if (negate) "left_anti" else "left_semi")
+      else {
+        // un-correlated existence: ONE gate row (empty iff the group has
+        // no match), broadcast; semi keeps all-or-none, anti the inverse
+        val gate = g.limit(1).select(lit(true).as("__hit"))
+        req.join(broadcast(gate), lit(true),
+          if (negate) "left_anti" else "left_semi")
+      }
+    out.select(reqVars.map(col): _*)
+  }
+
   /** Bounded transitive reduction audit over one predicate's edge set:
     * flag each asserted edge `(u, v)` as `redundant` when a SIMPLE
     * directed path of length 2..`maxHops` (distinct nodes — no node

@@ -483,6 +483,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("o1", "x1"), ("o1", "x2"), ("t1", "x1"), ("t1", "x2")))
   }
 
+  test("bgpExists gates solutions; diverges from MINUS when uncorrelated") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("e1", "p", "d1"), ("e2", "p", "d2"),
+      ("a1", "q", "d1"),
+      ("z1", "r", "w1")).toDF("subj", "pred", "obj")
+    val req = Seq(("?e", "p", "?d"))
+    def es(g: Seq[(String, String, String)], neg: Boolean) =
+      TriplePatterns.bgpExists(tr, req, g, neg).collect()
+        .map(_.getString(0)).toSet
+    // shared variable ?d: semi keeps the q-grounded page, anti drops it
+    assert(es(Seq(("?x", "q", "?d")), neg = false) == Set("e1"))
+    assert(es(Seq(("?x", "q", "?d")), neg = true) == Set("e2"))
+    // NO shared variable, group matches: EXISTS keeps ALL, NOT EXISTS
+    // removes ALL — while SPARQL MINUS removes NOTHING (§8.3 divergence)
+    val disjoint = Seq(("?u", "r", "?v"))
+    assert(es(disjoint, neg = false) == Set("e1", "e2"))
+    assert(es(disjoint, neg = true) == Set.empty[String])
+    assert(TriplePatterns.bgpMinus(tr, req, disjoint).count() == 2L)
+    // NO shared variable, group empty: the gates invert
+    val empty = Seq(("?u", "missing", "?v"))
+    assert(es(empty, neg = false) == Set.empty[String])
+    assert(es(empty, neg = true) == Set("e1", "e2"))
+  }
+
   test("bgpOptional keeps unmatched solutions with nulls (SPARQL OPTIONAL)") {
     import spark.implicits._
     import graft.kg.TriplePatterns
