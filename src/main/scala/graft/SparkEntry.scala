@@ -338,6 +338,10 @@ object SparkEntry {
     .map { case (c, p) => s"('$c','$p')" }
     .mkString("(VALUES ", ", ", ")")
 
+  /** q132's per-label audit worklist size: 5 of each synthetic label's
+    * 50–200 vectors — a review queue, not a re-clustering. */
+  private val OutlierK = 5
+
   /** q126's per-(subj, pred) object cap: small enough that the hub
     * entities' doc-grounded fact lists truncate at EVERY sf (visible
     * `,…` path) while the ≤ 7-entity co-occurrence lists never do —
@@ -1774,6 +1778,24 @@ object SparkEntry {
         Seq(("?a", "<", "?b"), ("?src", "!=", "src7")),
         Map("?a" -> Seq("ent:merge", "ent:sort", "ent:table_scan")))
     }),
+    // cardinality-shape induction: the observed (type, pred) envelope
+    // [cnt_min, cnt_max] + exact-micro mean over the same usage union
+    // q123 audits — mine the shapes, then declare them (see
+    // kg.Ontology.induceShapes)
+    "q131_shape_induction" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      graft.kg.Ontology.induceShapes(
+        Kg.triples(linked, NerSpark.Predicates).select("subj", "pred", "obj")
+          .unionByName(cooccurFacts(linked)),
+        linked.select(col("entity_id"), col("category").as("type")).distinct())
+    }),
+    // labeled-embedding coherence audit: per label, the 5 vectors least
+    // cosine-similar to their label centroid — the mislabeled-candidate
+    // worklist a labeling pass hands back for review (see
+    // sim.LabelCoherence)
+    "q132_label_outliers" -> ((s, dir) =>
+      graft.sim.LabelCoherence.outliers(t(s, dir, "embeddings"), OutlierK)),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3064,6 +3086,49 @@ object SparkEntry {
          |  AND p.subj IN ('ent:merge', 'ent:sort', 'ent:table_scan')
          |  AND p.subj < c.subj AND m.obj != 'src7'"""
         .stripMargin.replaceAll("\n", " "),
+    // q131: the q123 usage union profiled per (type, pred); the mean is
+    // exact integer micros (// is DuckDB integer division)
+    "q131_shape_induction" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men
+         |  UNION
+         |  SELECT DISTINCT a.entity_id, 'cooccurs_with', b.entity_id
+         |  FROM men a JOIN men b ON a.doc_id = b.doc_id
+         |   AND a.entity_id <> b.entity_id),
+         | cnt AS (SELECT subj, pred, count(*) AS n_obj FROM tr
+         |  GROUP BY 1, 2),
+         | ty AS (SELECT DISTINCT entity_id AS subj, category AS subj_type
+         |  FROM men)
+         | SELECT ty.subj_type, cnt.pred, count(*)::BIGINT AS n_subjects,
+         |  min(cnt.n_obj) AS cnt_min, max(cnt.n_obj) AS cnt_max,
+         |  CAST((sum(cnt.n_obj) * 1000000) // count(*) AS BIGINT)
+         |   AS mean_cnt_micro
+         | FROM cnt JOIN ty ON ty.subj = cnt.subj
+         | GROUP BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    // q132: cells via the q87 fixed-bound series, centroids rounded to 4
+    // BEFORE the cosine (identical operands cross-engine), bottom-k per
+    // label with the vec_id tie-break
+    "q132_label_outliers" ->
+      s"""WITH cells AS (SELECT vec_id, label, g.j - 1 AS j,
+         |   e.embedding[g.j]::double AS v
+         |  FROM embeddings e CROSS JOIN generate_series(1, 64) g(j)),
+         | cent AS (SELECT label, j, round(avg(v), 4) AS c
+         |  FROM cells GROUP BY 1, 2),
+         | sc AS (SELECT vec_id, cells.label,
+         |   round(sum(v * c) / (sqrt(sum(v * v)) * sqrt(sum(c * c))), 4)
+         |    AS cos_sim
+         |  FROM cells JOIN cent ON cent.label = cells.label
+         |   AND cent.j = cells.j
+         |  GROUP BY 1, 2),
+         | rk AS (SELECT label, vec_id, cos_sim, row_number() OVER
+         |   (PARTITION BY label ORDER BY cos_sim ASC, vec_id ASC) AS rnk
+         |  FROM sc)
+         | SELECT label, rnk::int AS rnk, vec_id, cos_sim FROM rk
+         | WHERE rnk <= $OutlierK""".stripMargin.replaceAll("\n", " "),
     // q129/q130: the correlated filter-subquery pair replayed as native
     // NOT EXISTS / EXISTS over the same KG derivation
     "q129_bgp_not_exists" ->

@@ -122,6 +122,43 @@ object Ontology {
         col("min_count"), col("max_count"), col("kind"))
   }
 
+  /** Cardinality-shape INDUCTION — the discovery complement of
+    * [[shapeViolations]]' declared audit (SHACL shape mining: learn the
+    * `sh:minCount`/`sh:maxCount` a curator would declare from what the
+    * data already exhibits — the per-(class, property) cardinality
+    * profiling step of shape-induction systems like SheXer/shaclgen).
+    * Per `(type, pred)` observed on typed subjects: how many subjects
+    * carry the predicate, the min/max/mean distinct-object count — the
+    * observed envelope `[cnt_min, cnt_max]` IS the candidate shape, and
+    * the mean (an exact scaled-integer micro, the q104 determinism
+    * pattern) says where in the envelope the mass sits. Read next to
+    * [[completenessProfile]] (how many subjects LACK the predicate
+    * entirely) these two decide whether the induced minCount should be
+    * 0 or the observed floor.
+    *
+    * @param triples `(subj, pred, obj)` facts (duplicates fine —
+    *                distinct objects counted, matching the audit)
+    * @param types   functional `(entity_id, type)` map
+    * @return `(subj_type, pred, n_subjects, cnt_min, cnt_max,
+    *         mean_cnt_micro)`
+    *
+    * Scale shape: ONE distinct-fact collapse feeds a map-side-combined
+    * `(subj, pred)` count; the type table joins on subject
+    * (entity-vocabulary-sized, AQE broadcasts when small) and the final
+    * aggregate is schema-sized — |types| × |preds| rows out. */
+  def induceShapes(triples: DataFrame, types: DataFrame): DataFrame =
+    triples.select("subj", "pred", "obj").distinct()
+      .groupBy("subj", "pred")
+      .agg(count(lit(1)).as("n_obj"))
+      .join(types.select(col("entity_id").as("subj"),
+        col("type").as("subj_type")), "subj")
+      .groupBy("subj_type", "pred")
+      .agg(
+        count(lit(1)).as("n_subjects"),
+        min(col("n_obj")).as("cnt_min"),
+        max(col("n_obj")).as("cnt_max"),
+        expr("(sum(n_obj) * 1000000L) div count(1)").as("mean_cnt_micro"))
+
   /** PARIS-style predicate alignment between two extractor vocabularies
     * (Suchanek/Abiteboul/Senellart, VLDB 2012 — the probabilistic
     * ontology-alignment system; we compute its set-overlap evidence in

@@ -815,6 +815,41 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("s2", 1L, "p=a")))
   }
 
+  test("induceShapes profiles the observed (type, pred) envelope exactly") {
+    import spark.implicits._
+    import graft.kg.Ontology
+    val types = Seq(("a", "T"), ("b", "T"), ("c", "U"))
+      .toDF("entity_id", "type")
+    val tr = Seq(
+      ("a", "p", "o1"), ("a", "p", "o2"), ("a", "p", "o2"), // dup collapses
+      ("b", "p", "o1"), ("a", "q", "x"),
+      ("c", "p", "o5"), ("c", "p", "o6"), ("c", "p", "o7"))
+      .toDF("subj", "pred", "obj")
+    val got = Ontology.induceShapes(tr, types).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      ("T", "p", 2L, 1L, 2L, 1500000L),
+      ("T", "q", 1L, 1L, 1L, 1000000L),
+      ("U", "p", 1L, 3L, 3L, 3000000L)))
+  }
+
+  test("label outliers rank the least-coherent vectors, ties on vec_id") {
+    import spark.implicits._
+    import graft.sim.LabelCoherence
+    // label 0: two aligned vectors + one orthogonal → the orthogonal one
+    // is the rank-1 outlier; label 1: parallel vectors tie at cos 1.0 →
+    // the smaller vec_id wins the tie
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0), (3L, Array(0f, 1f), 0),
+      (10L, Array(0f, 2f), 1), (11L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = LabelCoherence.outliers(emb, 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0, 1, 3L, 0.4472), (1, 1, 10L, 1.0)))
+  }
+
   test("schemaGraph collapses instances onto types with an untyped bucket") {
     import spark.implicits._
     import graft.kg.Summarize
