@@ -342,6 +342,12 @@ object SparkEntry {
     * 50–200 vectors — a review queue, not a re-clustering. */
   private val OutlierK = 5
 
+  /** q135's HITS rounds: 3 full (authority, hub) updates — enough for
+    * the bipartite grounding graph's scores to separate (the 2-hop
+    * co-grounding signal propagates once each way per round) while the
+    * unrolled oracle CTE chain stays readable. */
+  private val HitsIters = 3
+
   /** q126's per-(subj, pred) object cap: small enough that the hub
     * entities' doc-grounded fact lists truncate at EVERY sf (visible
     * `,…` path) while the ≤ 7-entity co-occurrence lists never do —
@@ -1796,6 +1802,42 @@ object SparkEntry {
     // sim.LabelCoherence)
     "q132_label_outliers" -> ((s, dir) =>
       graft.sim.LabelCoherence.outliers(t(s, dir, "embeddings"), OutlierK)),
+    // SPARQL UNION: heterogeneous branches — performs-groundings beside
+    // consumes-groundings carrying their page source; the unshared ?src
+    // null-pads in branch 1 per the spec's bag-union disjunction (see
+    // kg.TriplePatterns.bgpUnion)
+    "q133_bgp_union" -> ((s, dir) => {
+      val meta = t(s, dir, "documents").select(
+        concat(lit("doc://"), col("doc_id").cast("string")).as("subj"),
+        lit("from_source").as("pred"),
+        col("source").as("obj"))
+      graft.kg.TriplePatterns.bgpUnion(
+        kgTriples(s, dir).unionByName(meta),
+        Seq(
+          Seq(("?e", "performs", "?d")),
+          Seq(("?e", "consumes", "?d"), ("?d", "from_source", "?src"))))
+    }),
+    // SPARQL GROUP BY + HAVING + ORDER/LIMIT: the busiest performers by
+    // distinct grounded page, with the page range — one hash-aggregate
+    // over the BGP, top-10 planned as TakeOrderedAndProject (see
+    // kg.TriplePatterns.bgpAggregate)
+    "q134_bgp_aggregate" -> ((s, dir) =>
+      graft.kg.TriplePatterns.bgpAggregate(kgTriples(s, dir),
+        Seq(("?e", "performs", "?d")),
+        groupBy = Seq("?e"),
+        aggs = Seq(("count", "?d", "n_pages"),
+          ("min", "?d", "first_page"), ("max", "?d", "last_page")),
+        having = Seq(("n_pages", ">=", 2L)),
+        orderBy = Seq("-n_pages", "e"),
+        limit = Some(10))),
+    // HITS hubs & authorities on the directed entity→page grounding
+    // graph — Kleinberg's bipartite setting verbatim: hub entities
+    // ground many authoritative pages. Exact BIGINT-micro arithmetic
+    // with max-normalization, 3 full rounds (see kg.Hits)
+    "q135_hits" -> ((s, dir) =>
+      graft.kg.Hits.run(
+        kgTriples(s, dir).select(col("subj").as("src"), col("obj").as("dst")),
+        HitsIters)),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3129,6 +3171,46 @@ object SparkEntry {
          |  FROM sc)
          | SELECT label, rnk::int AS rnk, vec_id, cos_sim FROM rk
          | WHERE rnk <= $OutlierK""".stripMargin.replaceAll("\n", " "),
+    // q133: bag union with NULL padding on the unshared variable — the
+    // branches replay as UNION ALL over the same KG + meta derivation
+    "q133_bgp_union" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men),
+         | meta AS (SELECT 'doc://' || doc_id AS subj, source AS obj
+         |  FROM documents)
+         | SELECT subj AS e, obj AS d, CAST(NULL AS VARCHAR) AS src
+         | FROM tr WHERE pred = 'performs'
+         | UNION ALL
+         | SELECT c.subj, c.obj, m.obj FROM tr c
+         | JOIN meta m ON m.subj = c.obj
+         | WHERE c.pred = 'consumes'""".stripMargin.replaceAll("\n", " "),
+    // q134: the same derivation aggregated per entity; the (n_pages
+    // DESC, e) order is total, so the LIMIT cut is deterministic
+    "q134_bgp_aggregate" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men)
+         | SELECT subj AS e, count(obj) AS n_pages, min(obj) AS first_page,
+         |  max(obj) AS last_page
+         | FROM tr WHERE pred = 'performs' GROUP BY 1
+         | HAVING count(obj) >= 2
+         | ORDER BY n_pages DESC, e LIMIT 10"""
+        .stripMargin.replaceAll("\n", " "),
+    // q135: the integer HITS rounds unrolled as CTEs over the same
+    // entity→page grounding edges (pred-independent, so no PredCase)
+    "q135_hits" -> graft.kg.Hits.oracleSql(
+      s"""SELECT entity_id AS src, 'doc://' || d.doc_id AS dst
+         | FROM documents d
+         |  CROSS JOIN $AliasValues AS dict(category, surface, entity_id)
+         | WHERE position(surface in d.text) > 0"""
+        .stripMargin.replaceAll("\n", " "), HitsIters),
     // q129/q130: the correlated filter-subquery pair replayed as native
     // NOT EXISTS / EXISTS over the same KG derivation
     "q129_bgp_not_exists" ->

@@ -177,6 +177,109 @@ object TriplePatterns {
     out.select(vars.map(col): _*)
   }
 
+  /** SPARQL UNION of group graph patterns (SPARQL 1.1 §7): each branch
+    * is a BGP compiled like [[bgp]]; the result is the BAG union of the
+    * branches' solution mappings over the union of their variables in
+    * first-appearance order, with a variable a branch does not bind left
+    * UNBOUND (null) — the spec's disjunction, where heterogeneous
+    * branches pad rather than fail. No dedup: UNION is multiset union
+    * per the algebra (REDUCED/DISTINCT are separate modifiers), and each
+    * branch's solutions are already distinct tuples over its own
+    * variables when the KG snapshot is distinct.
+    *
+    * Scale shape: each branch plans exactly as [[bgp]] (pattern
+    * constants push to the scans, equi-joins Catalyst-ordered); the
+    * union is a zero-shuffle `unionByName` — partitions concatenate,
+    * nothing moves. Null-padding is a literal projection, free. */
+  def bgpUnion(triples: DataFrame,
+      branches: Seq[Seq[(String, String, String)]]): DataFrame = {
+    require(branches.sizeIs >= 2, "UNION needs at least two branches")
+    val compiled = branches.map(compileGroup(triples, _))
+    val allVars = compiled.flatMap(_._2).distinct
+    compiled.map { case (df, vars) =>
+      df.select(allVars.map(v =>
+        if (vars.contains(v)) col(v)
+        else lit(null).cast("string").as(v)): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** SPARQL aggregate projection with solution modifiers (SPARQL 1.1
+    * §11 aggregates, §15 ORDER BY / LIMIT): GROUP BY over a compiled
+    * BGP's solutions, aggregate the remaining variables, filter groups
+    * with HAVING, then order and cut. Aggregates are `(fn, ?var,
+    * alias)` with `fn ∈ {count, count_distinct, min, max}` — the
+    * term-domain aggregates (KG terms are strings; numeric SUM/AVG
+    * belongs to the measurement layer, q118). HAVING compares an
+    * aggregate alias to a constant with the [[bgpWhere]] operator set.
+    * `orderBy` names are variables or aliases, `-`-prefixed for
+    * descending; callers wanting a deterministic LIMIT must make the
+    * order total (the q06 window discipline) — with NULLS FIRST for
+    * ascending (Spark and DuckDB's shared default).
+    *
+    * Scale shape: the BGP plans as [[bgp]]; the aggregate is ONE
+    * hash-aggregate with map-side partials (count/min/max all fold),
+    * HAVING prunes post-agg group-count-sized data, and ORDER+LIMIT
+    * plans as `TakeOrderedAndProject` — a per-partition top-k plus one
+    * k-sized merge, never a global sort of the groups. */
+  def bgpAggregate(triples: DataFrame,
+      patterns: Seq[(String, String, String)],
+      groupBy: Seq[String],
+      aggs: Seq[(String, String, String)],
+      having: Seq[(String, String, Long)] = Nil,
+      orderBy: Seq[String] = Nil,
+      limit: Option[Int] = None): DataFrame = {
+    val (df, vars) = compileGroup(triples, patterns)
+    def varName(t: String, what: String): String = {
+      require(t.startsWith("?") && vars.contains(t.drop(1)),
+        s"$what $t must be a bound variable of the BGP")
+      t.drop(1)
+    }
+    require(groupBy.nonEmpty, "GROUP BY needs at least one variable")
+    val keys = groupBy.map(varName(_, "GROUP BY variable"))
+    require(aggs.nonEmpty, "aggregate projection needs at least one aggregate")
+    val aggCols = aggs.map { case (fn, v, alias) =>
+      val c = col(varName(v, s"$fn argument"))
+      (fn match {
+        case "count" => count(c)
+        case "count_distinct" => countDistinct(c)
+        case "min" => min(c)
+        case "max" => max(c)
+        case other => throw new IllegalArgumentException(
+          s"unsupported aggregate '$other'")
+      }).as(alias)
+    }
+    val aliases = aggs.map(_._3)
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val filtered = having.foldLeft(grouped) { case (d, (alias, op, k)) =>
+      require(aliases.contains(alias),
+        s"HAVING $alias must name an aggregate alias")
+      val lhs = col(alias)
+      d.filter(op match {
+        case "=" => lhs === k
+        case "!=" => lhs =!= k
+        case "<" => lhs < k
+        case "<=" => lhs <= k
+        case ">" => lhs > k
+        case ">=" => lhs >= k
+        case other => throw new IllegalArgumentException(
+          s"unsupported HAVING operator '$other'")
+      })
+    }
+    val known = keys ++ aliases
+    val ordered =
+      if (orderBy.isEmpty) filtered
+      else filtered.orderBy(orderBy.map { o =>
+        val (name, desc) =
+          if (o.startsWith("-")) (o.drop(1), true) else (o, false)
+        require(known.contains(name),
+          s"ORDER BY $name must be a group key or aggregate alias")
+        if (desc) col(name).desc else col(name).asc
+      }: _*)
+    limit.fold(ordered)(n => { require(n >= 1, s"LIMIT must be >= 1, got $n")
+      ordered.limit(n) })
+  }
+
   /** Non-recursive SPARQL 1.1 property-path evaluation: a SEQUENCE of
     * legs, each leg a predicate, an INVERSE predicate (`^p`), or an
     * ALTERNATION of either (`a|^b|c`) — the `/`, `^`, `|` operators of

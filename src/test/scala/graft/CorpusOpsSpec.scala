@@ -538,6 +538,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bgpUnion bag-unions branches, null-padding unshared variables") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("e1", "performs", "doc://1"), ("e2", "consumes", "doc://2"),
+      ("doc://2", "from_source", "cc"),
+      // e3 consumes a page with no source meta → branch 2 drops it
+      ("e3", "consumes", "doc://9"))
+      .toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgpUnion(tr, Seq(
+      Seq(("?e", "performs", "?d")),
+      Seq(("?e", "consumes", "?d"), ("?d", "from_source", "?src"))))
+    assert(got.columns.toSeq == Seq("e", "d", "src"))
+    assert(got.collect().map(r => (r.getString(0), r.getString(1),
+      Option(r.getString(2)))).toSet == Set(
+      ("e1", "doc://1", None),
+      ("e2", "doc://2", Some("cc"))))
+    // duplicates across branches survive: bag union, not set union
+    val dup = TriplePatterns.bgpUnion(tr, Seq(
+      Seq(("?e", "performs", "?d")), Seq(("?e", "performs", "?d"))))
+    assert(dup.count() == 2L)
+  }
+
+  test("bgpAggregate groups, filters with HAVING, orders and cuts") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("e1", "performs", "d1"), ("e1", "performs", "d2"),
+      ("e1", "performs", "d3"),
+      ("e2", "performs", "d1"), ("e2", "performs", "d2"),
+      ("e3", "performs", "d1"), // HAVING drops the singleton
+      ("e4", "performs", "d1"), ("e4", "performs", "d2"))
+      .toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgpAggregate(tr,
+      Seq(("?e", "performs", "?d")),
+      groupBy = Seq("?e"),
+      aggs = Seq(("count", "?d", "n"), ("min", "?d", "lo"),
+        ("max", "?d", "hi")),
+      having = Seq(("n", ">=", 2L)),
+      orderBy = Seq("-n", "e"),
+      limit = Some(2))
+    assert(got.columns.toSeq == Seq("e", "n", "lo", "hi"))
+    // e1 (3) leads; e2 beats e4 on the ascending tie-break; LIMIT 2 cuts
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getString(2), r.getString(3))).toSeq == Seq(
+      ("e1", 3L, "d1", "d3"), ("e2", 2L, "d1", "d2")))
+    intercept[IllegalArgumentException] {
+      TriplePatterns.bgpAggregate(tr, Seq(("?e", "performs", "?d")),
+        Seq("?e"), Seq(("count", "?d", "n")), having = Seq(("bad", ">=", 1L)))
+    }
+  }
+
   test("entity summarization ranks rarest (pred, obj) values first") {
     import spark.implicits._
     import graft.kg.Summarize

@@ -98,6 +98,24 @@ class GraphLmOpsSpec extends AnyFunSuite {
     assert(both == Map("1" -> 0.5, "2" -> 0.5)) // symmetric fixpoint
   }
 
+  test("HITS: exact integer micros, max-normalized, bipartite separation") {
+    import spark.implicits._
+    // h1 grounds both pages, h2 only the shared one → h1 is the stronger
+    // hub, a1 the stronger authority
+    val e = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1")).toDF("src", "dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // one round: auth a1=1e6, a2 = 1e12 div 2e6 = 500000;
+    // hub h1=1e6, h2 = 1e12 div 1.5e6 = 666666 (integer floor)
+    assert(asMap(kg.Hits.run(e, 1)) == Map(
+      "h1" -> ((1000000L, 0L)), "h2" -> ((666666L, 0L)),
+      "a1" -> ((0L, 1000000L)), "a2" -> ((0L, 500000L))))
+    // three rounds pin the full integer-division chain
+    val r3 = asMap(kg.Hits.run(e, 3))
+    assert(r3("h2") == ((619047L, 0L)) && r3("a2") == ((0L, 615384L)))
+    assert(r3("h1") == ((1000000L, 0L)) && r3("a1") == ((0L, 1000000L)))
+  }
+
   test("predicate profile counts triples, distincts, and fanout") {
     import spark.implicits._
     val tr = Seq(("s1", "p", "o1"), ("s1", "p", "o2"), ("s2", "p", "o1"),
