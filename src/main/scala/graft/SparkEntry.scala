@@ -1838,6 +1838,26 @@ object SparkEntry {
       graft.kg.Hits.run(
         kgTriples(s, dir).select(col("subj").as("src"), col("obj").as("dst")),
         HitsIters)),
+    // SPARQL CONSTRUCT: the derived-predicate rewrite — operations
+    // co-grounded with data on the same page become first-class
+    // `processes`/`processed_by` facts plus a provenance edge, emitted
+    // as an RDF graph (set semantics) ready to union back into the
+    // snapshot (see kg.TriplePatterns.bgpConstruct)
+    "q136_bgp_construct" -> ((s, dir) =>
+      graft.kg.TriplePatterns.bgpConstruct(kgTriples(s, dir),
+        Seq(("?a", "performs", "?d"), ("?b", "consumes", "?d")),
+        Seq(("?a", "processes", "?b"), ("?b", "processed_by", "?a"),
+          ("?a", "grounded_in", "?d")))),
+    // SPARQL GROUP_CONCAT: per data entity, the `|`-joined sorted set of
+    // pages grounding it beside the count — the spec leaves concat order
+    // undefined, this engine pins DISTINCT+sorted so the cell is
+    // byte-reproducible (see kg.TriplePatterns.bgpAggregate)
+    "q137_bgp_group_concat" -> ((s, dir) =>
+      graft.kg.TriplePatterns.bgpAggregate(kgTriples(s, dir),
+        Seq(("?e", "consumes", "?d")),
+        groupBy = Seq("?e"),
+        aggs = Seq(("group_concat", "?d", "pages"),
+          ("count", "?d", "n_pages")))),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3211,6 +3231,38 @@ object SparkEntry {
          |  CROSS JOIN $AliasValues AS dict(category, surface, entity_id)
          | WHERE position(surface in d.text) > 0"""
         .stripMargin.replaceAll("\n", " "), HitsIters),
+    // q136: the CONSTRUCT templates replayed as a UNION ALL of projected
+    // selects over the star-join solutions, DISTINCT for graph set
+    // semantics
+    "q136_bgp_construct" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men),
+         | sol AS (SELECT p.subj AS a, c.subj AS b, p.obj AS d
+         |  FROM tr p JOIN tr c ON c.obj = p.obj
+         |  WHERE p.pred = 'performs' AND c.pred = 'consumes')
+         | SELECT DISTINCT subj, pred, obj FROM (
+         |  SELECT a AS subj, 'processes' AS pred, b AS obj FROM sol
+         |  UNION ALL SELECT b, 'processed_by', a FROM sol
+         |  UNION ALL SELECT a, 'grounded_in', d FROM sol)"""
+        .stripMargin.replaceAll("\n", " "),
+    // q137: GROUP_CONCAT pinned to DISTINCT+sorted on both engines
+    // (string_agg with DISTINCT and ORDER BY replays the array_sort)
+    "q137_bgp_group_concat" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men)
+         | SELECT subj AS e,
+         |  string_agg(DISTINCT obj, '|' ORDER BY obj) AS pages,
+         |  count(obj) AS n_pages
+         | FROM tr WHERE pred = 'consumes' GROUP BY 1"""
+        .stripMargin.replaceAll("\n", " "),
     // q129/q130: the correlated filter-subquery pair replayed as native
     // NOT EXISTS / EXISTS over the same KG derivation
     "q129_bgp_not_exists" ->

@@ -203,13 +203,48 @@ object TriplePatterns {
     }.reduce(_ unionByName _)
   }
 
+  /** SPARQL CONSTRUCT (1.1 §16.2): instantiate `(subj, pred, obj)`
+    * templates — `?`-prefixed terms substitute the solution's binding,
+    * anything else is a constant — once per solution of the WHERE BGP,
+    * and return the resulting RDF GRAPH: a SET of triples, deduplicated
+    * across templates and solutions per the spec. Template variables
+    * must be bound by the patterns (BGP solutions bind every variable
+    * non-null here, so the spec's drop-incomplete-instantiation rule
+    * never fires). This is the KG-rewrite operator: derived predicates
+    * (`?a processes ?b` from co-grounded extraction triples) land back
+    * in the snapshot as first-class facts.
+    *
+    * Scale shape: the BGP plans as [[bgp]]; each template is a
+    * zero-shuffle projection of the solution frame, the union is a
+    * concatenation, and the single final distinct is the only exchange
+    * added — one hash-aggregate over (subj, pred, obj), map-side
+    * partials collapsing the per-solution duplicates early. */
+  def bgpConstruct(triples: DataFrame,
+      patterns: Seq[(String, String, String)],
+      templates: Seq[(String, String, String)]): DataFrame = {
+    require(templates.nonEmpty, "CONSTRUCT needs at least one template")
+    val (df, vars) = compileGroup(triples, patterns)
+    def term(t: String) =
+      if (t.startsWith("?")) {
+        require(vars.contains(t.drop(1)),
+          s"CONSTRUCT template term $t is not bound by the WHERE patterns")
+        col(t.drop(1))
+      } else lit(t)
+    templates.map { case (s, p, o) =>
+      df.select(term(s).as("subj"), term(p).as("pred"), term(o).as("obj"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
   /** SPARQL aggregate projection with solution modifiers (SPARQL 1.1
     * §11 aggregates, §15 ORDER BY / LIMIT): GROUP BY over a compiled
     * BGP's solutions, aggregate the remaining variables, filter groups
     * with HAVING, then order and cut. Aggregates are `(fn, ?var,
     * alias)` with `fn ∈ {count, count_distinct, min, max}` — the
     * term-domain aggregates (KG terms are strings; numeric SUM/AVG
-    * belongs to the measurement layer, q118). HAVING compares an
+    * belongs to the measurement layer, q118) — plus `group_concat`,
+    * which the spec leaves order-undefined and this engine pins to
+    * DISTINCT values sorted ascending, `|`-separated, so the output is
+    * byte-reproducible across runs and engines. HAVING compares an
     * aggregate alias to a constant with the [[bgpWhere]] operator set.
     * `orderBy` names are variables or aliases, `-`-prefixed for
     * descending; callers wanting a deterministic LIMIT must make the
@@ -244,6 +279,9 @@ object TriplePatterns {
         case "count_distinct" => countDistinct(c)
         case "min" => min(c)
         case "max" => max(c)
+        // deterministic GROUP_CONCAT: distinct + sorted (collect_set's
+        // arrival order is run-dependent; array_sort pins it)
+        case "group_concat" => array_join(array_sort(collect_set(c)), "|")
         case other => throw new IllegalArgumentException(
           s"unsupported aggregate '$other'")
       }).as(alias)

@@ -590,6 +590,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bgpAggregate group_concat is distinct, sorted, byte-stable") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("e1", "p", "d2"), ("e1", "p", "d1"), ("e1", "p", "d3"),
+      ("e2", "p", "d9")).toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgpAggregate(tr, Seq(("?e", "p", "?d")),
+      groupBy = Seq("?e"),
+      aggs = Seq(("group_concat", "?d", "ds"), ("count", "?d", "n")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // arrival order d2,d1,d3 must not leak: sorted ascending, |-joined
+    assert(got == Set(("e1", "d1|d2|d3", 3L), ("e2", "d9", 1L)))
+  }
+
+  test("bgpConstruct instantiates templates per solution, set semantics") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("a1", "performs", "d1"), ("a2", "performs", "d1"),
+      ("b1", "consumes", "d1"),
+      ("a1", "performs", "d2"), ("b1", "consumes", "d2"),
+      ("z1", "other", "d3")).toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgpConstruct(tr,
+      Seq(("?a", "performs", "?d"), ("?b", "consumes", "?d")),
+      Seq(("?a", "processes", "?b"), ("?a", "grounded_in", "?d")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    // (a1, processes, b1) arises from BOTH d1 and d2 solutions but the
+    // graph is a set — exactly one triple survives
+    assert(got == Set(
+      ("a1", "processes", "b1"), ("a2", "processes", "b1"),
+      ("a1", "grounded_in", "d1"), ("a2", "grounded_in", "d1"),
+      ("a1", "grounded_in", "d2")))
+    // a template variable the WHERE never binds is a compile error
+    intercept[IllegalArgumentException] {
+      TriplePatterns.bgpConstruct(tr, Seq(("?a", "performs", "?d")),
+        Seq(("?a", "p", "?nope")))
+    }
+  }
+
   test("entity summarization ranks rarest (pred, obj) values first") {
     import spark.implicits._
     import graft.kg.Summarize
