@@ -460,6 +460,28 @@ object SparkEntry {
     graft.kg.Triangles.canonicalEdges(pairs, "u", "v")
   }
 
+  /** q138's directed cycle graph: parts co-occurrence pairs restricted to
+    * partkeys ≡ 0 (mod 5), thinned to the 2-in-10 md5 edge bucket, and
+    * oriented by that bucket's parity — gate and orientation both on the
+    * shared [[graft.core.Buckets]] primitive so the DuckDB twin
+    * re-derives the identical graph. The thinning is what makes SCC
+    * structure RICH at verify scale (giant knot + small cycles + DAG
+    * fringe — 99 SCCs over 395 nodes at sf0.01) instead of one trivial
+    * all-mutual ball, and keeps the oracle's transitive closure small. */
+  private def sccEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 5 === 0)
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val h = graft.core.Buckets.md5Bucket(concat_ws("|", col("u"), col("v")), 10)
+    pairs.filter(h < 2).select(
+      when(h % 2 === 0, col("u")).otherwise(col("v")).as("src"),
+      when(h % 2 === 0, col("v")).otherwise(col("u")).as("dst"))
+  }
+
   /** q79/q125's ER record set: clean customer names + a deterministic
     * 1-edit dirty twin per record (trailing space for even keys, doubled
     * last character for odd — SUFFIX dirt, so each dirty record sorts
@@ -1858,6 +1880,21 @@ object SparkEntry {
         groupBy = Seq("?e"),
         aggs = Seq(("group_concat", "?d", "pages"),
           ("count", "?d", "n_pages")))),
+    // strongly connected components over the md5-oriented, md5-thinned
+    // parts subgraph (the q47 bucket primitive supplies BOTH the edge
+    // keep-gate and the orientation, so the oracle re-derives the exact
+    // graph): cycle knots + DAG fringe — one giant SCC, small cycles,
+    // and trim-path singletons all present at verify scale (see kg.Scc)
+    "q138_scc" -> ((s, dir) =>
+      graft.kg.Scc.run(s, sccEdges(s, dir))),
+    // critical-path layering of the repeat co-purchase DAG: layer(v) =
+    // longest incoming path, the topological level order per-layer
+    // passes schedule by; non-convergence IS the cycle detector (see
+    // kg.Dag.longestPathLayers)
+    "q139_dag_layers" -> ((s, dir) =>
+      graft.kg.Dag.longestPathLayers(s,
+        copurchaseEdges(s, dir)
+          .select(col("subj").as("src"), col("obj").as("dst")))),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3262,6 +3299,39 @@ object SparkEntry {
          |  string_agg(DISTINCT obj, '|' ORDER BY obj) AS pages,
          |  count(obj) AS n_pages
          | FROM tr WHERE pred = 'consumes' GROUP BY 1"""
+        .stripMargin.replaceAll("\n", " "),
+    // q138: SCC by definition — full directed transitive closure over
+    // the same md5-gated/oriented graph, scc(v) = min u with mutual
+    // reachability (v itself when none)
+    "q138_scc" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 5 = 0),
+        | pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        | ed AS MATERIALIZED (SELECT
+        |   CASE WHEN h % 2 = 0 THEN u ELSE v END AS src,
+        |   CASE WHEN h % 2 = 0 THEN v ELSE u END AS dst
+        |  FROM (SELECT u, v, ('0x' || substr(md5(u::varchar || '|' ||
+        |    v::varchar), 1, 8))::BIGINT % 10 AS h FROM pairs)
+        |  WHERE h < 2),
+        | reach(src, dst) AS (SELECT src, dst FROM ed
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN ed e ON e.src = r.dst),
+        | nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        | mut AS (SELECT r1.src AS v, r1.dst AS u FROM reach r1
+        |  JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src)
+        | SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc
+        | FROM nodes n LEFT JOIN mut m ON m.v = n.node GROUP BY n.node"""
+        .stripMargin.replaceAll("\n", " "),
+    // q139: longest incoming path per node via the recursive path-depth
+    // CTE over the same co-purchase DAG (u < v, so it terminates)
+    "q139_dag_layers" ->
+      s"""WITH RECURSIVE $CopurchaseEdgesCtes,
+         | lvl(node, d) AS (SELECT v, 1::BIGINT FROM e
+         |  UNION SELECT e2.v, l.d + 1 FROM lvl l JOIN e e2 ON e2.u = l.node),
+         | nd AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+         | SELECT nd.node, coalesce(max(l.d), 0)::BIGINT AS layer
+         | FROM nd LEFT JOIN lvl l ON l.node = nd.node GROUP BY nd.node"""
         .stripMargin.replaceAll("\n", " "),
     // q129/q130: the correlated filter-subquery pair replayed as native
     // NOT EXISTS / EXISTS over the same KG derivation

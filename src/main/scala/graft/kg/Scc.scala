@@ -1,0 +1,142 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components over a DIRECTED edge list — the cycle
+  * structure of a KG: mutual-entailment knots in predicate graphs,
+  * redirect/sameAs loops in url graphs, feedback sets in dependency
+  * edges. [[ConnectedComponents]] answers "touches, in either
+  * direction"; this answers "reaches AND is reached", which is the
+  * grouping canonicalization needs before it can pick one
+  * representative per cycle (a DAG condensation).
+  *
+  * Algorithm: iterative trimming + forward coloring + backward carve —
+  * the FW-BW/coloring family (Orzan'04; McLendon et al. JPDC'05), the
+  * published distributed-SCC recipe, expressed entirely as DataFrame
+  * joins/aggregates so Catalyst plans every step and AQE handles skew:
+  *
+  *   1. TRIM to fixpoint: a node with no in-edge or no out-edge in the
+  *      remaining subgraph cannot sit on a directed cycle — it is its
+  *      own singleton SCC. Iterated trimming alone dissolves the entire
+  *      DAG part of the graph (one layer per round).
+  *   2. COLOR: f(v) = min id over {v} ∪ ancestors(v), by forward
+  *      min-label propagation to fixpoint ([[ConnectedComponents.run]]'s
+  *      loop, directed).
+  *   3. CARVE: within each color class, grow the set S backward from
+  *      the root r (f(r) = r) along edges whose endpoints share the
+  *      color. v ∈ S means v reaches r through its own color class and
+  *      r reaches v (r is an ancestor by definition of f), so
+  *      SCC(v) = SCC(r), and r is that SCC's minimum — label v with r.
+  *      (Membership needs BOTH directions: step 2's f alone cannot
+  *      split sibling branches of a common ancestor.)
+  *   4. Peel S off, repeat from 1 on the residue.
+  *
+  * Every step is a key-partitioned join + map-side-combinable aggregate
+  * — no driver-side data, no RDDs. `localCheckpoint` truncates lineage
+  * each round (the [[ConnectedComponents]] discipline). Convergence:
+  * trimming pays one round per DAG layer, coloring one per ancestor-
+  * chain hop, carving one per in-tree depth; web-shaped graphs (one big
+  * knot + shallow tendrils) finish in a few outer rounds — the regime
+  * the FW-BW literature targets — while an adversarial long chain of
+  * 2-cycles degenerates linearly, the known worst case of the whole
+  * family. `maxRounds` bounds the pathology explicitly rather than
+  * hiding it.
+  */
+object Scc {
+
+  /** @param edges (src, dst) directed edge list, any key type
+    * @return (node, scc) — scc = the minimum node id of the component */
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 300): DataFrame = {
+    val empty = {
+      val e = edges.select(col("src").as("node"), col("src").as("scc"))
+      e.filter(lit(false)).localCheckpoint()
+    }
+    // self-loops make a node cyclic but never enlarge its SCC — drop them
+    var rem = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    var nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var out = empty
+    var rounds = 0
+
+    def spent(): Unit = {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"SCC did not converge within $maxRounds fixpoint rounds — " +
+          "adversarial chain-of-cycles topology; raise maxRounds")
+    }
+
+    while (nodes.limit(1).count() > 0) {
+      // ---- 1. TRIM to fixpoint ------------------------------------
+      var trimming = true
+      while (trimming) {
+        spent()
+        val cyclicCandidates = rem.select(col("src").as("node")).distinct()
+          .join(rem.select(col("dst").as("node")).distinct(), "node")
+          .localCheckpoint()
+        val trivial = nodes.join(cyclicCandidates, Seq("node"), "left_anti")
+          .localCheckpoint()
+        if (trivial.limit(1).count() > 0) {
+          out = out.union(trivial.select(col("node"), col("node").as("scc")))
+            .localCheckpoint()
+          // rem is already confined to `nodes`, so its two-sided survivors
+          // ARE the next node set: nodes \ trivial
+          nodes = cyclicCandidates
+          rem = rem.join(nodes.withColumnRenamed("node", "src"), "src")
+            .join(nodes.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst").localCheckpoint()
+        } else trimming = false
+      }
+      if (nodes.limit(1).count() == 0) return out
+
+      // ---- 2. COLOR: f = min over self ∪ ancestors ------------------
+      var f = nodes.withColumn("f", col("node")).localCheckpoint()
+      var coloring = true
+      while (coloring) {
+        spent()
+        val next = rem.join(f.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), col("f"), lit(0).as("is_old"))
+          .union(f.select(col("node"), col("f"), lit(1).as("is_old")))
+          .groupBy("node")
+          .agg(min("f").as("f"),
+            min(when(col("is_old") === 1, col("f"))).as("old_f"))
+          .localCheckpoint()
+        coloring = next.filter(col("f") =!= col("old_f")).limit(1).count() > 0
+        f = next.select("node", "f")
+      }
+
+      // ---- 3. CARVE: backward closure of the root within its color --
+      // edges whose endpoints share a color, reversed for backward growth
+      val colorEdges = rem
+        .join(f.select(col("node").as("src"), col("f").as("f_src")), "src")
+        .join(f.select(col("node").as("dst"), col("f").as("f_dst")), "dst")
+        .filter(col("f_src") === col("f_dst"))
+        .select(col("dst").as("from"), col("src").as("to"))
+        .localCheckpoint()
+      var carved = f.filter(col("f") === col("node")).select("node")
+        .localCheckpoint()
+      var growing = true
+      while (growing) {
+        spent()
+        val grown = colorEdges
+          .join(carved.withColumnRenamed("node", "from"), "from")
+          .select(col("to").as("node")).distinct()
+          .join(carved, Seq("node"), "left_anti").localCheckpoint()
+        if (grown.limit(1).count() > 0)
+          carved = carved.union(grown).localCheckpoint()
+        else growing = false
+      }
+
+      // ---- 4. PEEL ---------------------------------------------------
+      out = out.union(
+        f.join(carved, "node").select(col("node"), col("f").as("scc")))
+        .localCheckpoint()
+      nodes = nodes.join(carved, Seq("node"), "left_anti").localCheckpoint()
+      rem = rem.join(nodes.withColumnRenamed("node", "src"), "src")
+        .join(nodes.withColumnRenamed("node", "dst"), "dst")
+        .select("src", "dst").localCheckpoint()
+    }
+    out
+  }
+}

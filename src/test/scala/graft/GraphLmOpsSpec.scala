@@ -661,4 +661,47 @@ class GraphLmOpsSpec extends AnyFunSuite {
       LinkPredict.evalRanking(e, 5, 5, 100L, 1L)
     }
   }
+
+  private def directed(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  test("SCC: cycles, bridge node between cycles, DAG fringe, self-loop") {
+    import graft.kg.Scc
+    // cycle {1,2,3}; bridge 1→7→4 (7 has in AND out but sits on no
+    // cycle — survives trimming, must resolve via carve+peel);
+    // cycle {4,5}; tail 5→8; isolated self-loop 9→9
+    val got = Scc.run(spark, directed(
+      1L -> 2L, 2L -> 3L, 3L -> 1L,
+      1L -> 7L, 7L -> 4L,
+      4L -> 5L, 5L -> 4L,
+      5L -> 8L, 9L -> 9L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 4L -> 4L, 5L -> 4L, 8L -> 8L, 9L -> 9L))
+    // pure DAG: every node is its own singleton SCC (all via trimming)
+    val dag = Scc.run(spark, directed(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dag == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // the round budget is a hard audit, not a silent truncation
+    intercept[IllegalArgumentException] {
+      Scc.run(spark, directed(1L -> 2L, 2L -> 1L), maxRounds = 1)
+    }
+  }
+
+  test("DAG layers: longest path wins; a cycle refuses, not truncates") {
+    import graft.kg.Dag
+    // diamond with a long arm: 1→2→3→5, 1→4→5 — 5 sits at layer 3 (the
+    // LONGEST incoming path), not 2; 6→5 adds a source at layer 0
+    val got = Dag.longestPathLayers(spark, directed(
+      1L -> 2L, 2L -> 3L, 3L -> 5L, 1L -> 4L, 4L -> 5L, 6L -> 5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L,
+      5L -> 3L, 6L -> 0L))
+    intercept[IllegalArgumentException] {
+      Dag.longestPathLayers(spark,
+        directed(1L -> 2L, 2L -> 3L, 3L -> 1L), maxDepth = 20)
+    }
+  }
 }
