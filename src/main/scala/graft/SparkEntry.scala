@@ -1895,6 +1895,30 @@ object SparkEntry {
       graft.kg.Dag.longestPathLayers(s,
         copurchaseEdges(s, dir)
           .select(col("subj").as("src"), col("obj").as("dst")))),
+    // Zipf rank-frequency head + the fitted log-log slope — the corpus
+    // distribution health check next to q91's Heaps β (see quality.Zipf)
+    "q140_zipf" -> ((s, dir) =>
+      graft.quality.Zipf.rankFrequency(s, t(s, dir, "documents"), 100)),
+    // TextRank keyword centrality: q41's PageRank loop over the distinct
+    // word-adjacency graph — the graph-based twin of q54's TF-IDF; the
+    // oracle unrolls the identical arithmetic via PageRank.oracleSql
+    "q141_textrank" -> ((s, dir) =>
+      graft.quality.TextRank.run(s, t(s, dir, "documents"), 10)),
+    // SCD type-2 validity intervals over the customer order-status
+    // change log: gaps-and-islands, every window partitioned by entity
+    // (see kg.Scd2.history) — the batch twin of q85's fact scoping
+    "q142_scd2_history" -> ((s, dir) =>
+      graft.kg.Scd2.history(t(s, dir, "orders"),
+        col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("date"), col("o_orderkey"))),
+    // two-sample KS drift between the doc-length distributions of the
+    // two md5-bucket snapshot halves (the q47 split primitive chooses
+    // sides, so the oracle re-derives them): the refresh-over-refresh
+    // distribution monitor (see quality.Drift.ks)
+    "q143_ks_drift" -> ((s, dir) =>
+      graft.quality.Drift.ks(t(s, dir, "documents"),
+        graft.core.Buckets.md5Bucket(col("doc_id"), 2),
+        length(col("text")).cast("long"))),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3333,6 +3357,50 @@ object SparkEntry {
          | SELECT nd.node, coalesce(max(l.d), 0)::BIGINT AS layer
          | FROM nd LEFT JOIN lvl l ON l.node = nd.node GROUP BY nd.node"""
         .stripMargin.replaceAll("\n", " "),
+    // q140: same head (freq desc, tok) and the same regr_slope fit
+    "q140_zipf" -> graft.quality.Zipf.oracleSql(100),
+    // q141: PageRank unrolled over the same distinct-adjacency edges
+    // (static token bound; oracleSqlFor swaps in the measured one)
+    "q141_textrank" -> graft.kg.PageRank.oracleSql(
+      graft.quality.TextRank.edgesSql(4096), 10),
+    // q142: the identical gaps-and-islands windows per entity
+    "q142_scd2_history" ->
+      """WITH ch AS (SELECT o_custkey AS entity, o_orderstatus AS value,
+        |   o_orderdate::DATE AS ts, o_orderkey AS tie FROM orders),
+        | f AS (SELECT entity, value, ts, tie,
+        |   CASE WHEN value IS DISTINCT FROM lag(value) OVER
+        |     (PARTITION BY entity ORDER BY ts, tie) THEN 1 ELSE 0 END AS chg
+        |  FROM ch),
+        | v AS (SELECT entity, value, ts, (sum(chg) OVER
+        |    (PARTITION BY entity ORDER BY ts, tie
+        |     ROWS UNBOUNDED PRECEDING))::BIGINT AS version FROM f),
+        | runs AS (SELECT entity, version, min(value) AS value,
+        |   min(ts) AS valid_from, count(*) AS n_rows FROM v GROUP BY 1, 2)
+        | SELECT entity, value, version, valid_from,
+        |  coalesce(lead(valid_from) OVER w, DATE '9999-12-31') AS valid_to,
+        |  n_rows,
+        |  (lead(valid_from) OVER w IS NULL) AS is_current
+        | FROM runs WINDOW w AS (PARTITION BY entity ORDER BY version)"""
+        .stripMargin.replaceAll("\n", " "),
+    // q143: per-length side counts, the same CDF prefix windows, the
+    // same IEEE double division — max gap, ties to the smallest length
+    "q143_ks_drift" ->
+      """WITH d AS (SELECT
+        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 AS side,
+        |   length(text)::BIGINT AS x FROM documents),
+        | pv AS (SELECT x, count(*) FILTER (WHERE side = 0) AS c_left,
+        |   count(*) FILTER (WHERE side = 1) AS c_right FROM d GROUP BY x),
+        | n AS (SELECT sum(c_left)::BIGINT AS nl, sum(c_right)::BIGINT AS nr
+        |       FROM pv),
+        | cdf AS (SELECT x,
+        |   abs((sum(c_left) OVER w)::DOUBLE / n.nl -
+        |       (sum(c_right) OVER w)::DOUBLE / n.nr) AS gap
+        |  FROM pv CROSS JOIN n
+        |  WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING))
+        | SELECT cdf.x AS ks_at, round(cdf.gap, 6) AS ks_stat,
+        |  n.nl AS n_left, n.nr AS n_right
+        | FROM cdf CROSS JOIN n ORDER BY cdf.gap DESC, cdf.x LIMIT 1"""
+        .stripMargin.replaceAll("\n", " "),
     // q129/q130: the correlated filter-subquery pair replayed as native
     // NOT EXISTS / EXISTS over the same KG derivation
     "q129_bgp_not_exists" ->
@@ -3973,6 +4041,8 @@ object SparkEntry {
           graft.kg.LinkPredict.measuredHubCap(
             partsCooccurEdges(spark, sfDir), LinkPredHubPct))),
       "q90_bigram_logprob" -> bigramSql(maxToks + 1),
+      "q141_textrank" -> graft.kg.PageRank.oracleSql(
+        graft.quality.TextRank.edgesSql(maxToks + 1), 10),
       // q95's bucket cutpoints are the engine's own percentile output,
       // inlined as literals — the q42 trained-centroids pattern; the memo
       // guarantees these are the exact values the query run binned with

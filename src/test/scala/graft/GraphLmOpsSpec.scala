@@ -690,6 +690,88 @@ class GraphLmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Zipf head: rank order, tie-break, and the closed-form slope") {
+    import graft.quality.Zipf
+    import spark.implicits._
+    val docs = Seq((0L, "a a b a c"), (1L, "a b  ")).toDF("doc_id", "text")
+    // freqs: a=4, b=2, c=1 → ranks 1,2,3 (no ties here); slope is the
+    // least-squares fit over (ln r, ln f), computed closed-form below
+    val rows = Zipf.rankFrequency(spark, docs, 100).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, "a", 4L), (2L, "b", 2L), (3L, "c", 1L)))
+    val pts = Seq((1.0, 4.0), (2.0, 2.0), (3.0, 1.0))
+      .map { case (r, f) => (math.log(r), math.log(f)) }
+    val (mx, my) = (pts.map(_._1).sum / 3, pts.map(_._2).sum / 3)
+    val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+      pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val rounded = BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(rows.forall(t => BigDecimal(t._4) == rounded))
+    // rank ties break on the token codepoint order
+    val tied = Zipf.rankFrequency(spark,
+      Seq((0L, "z q z q")).toDF("doc_id", "text"), 100)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(tied == Seq((1L, "q"), (2L, "z")))
+  }
+
+  test("TextRank: adjacency edges only, self-pairs and singletons out") {
+    import graft.quality.TextRank
+    import spark.implicits._
+    // "a b a": one undirected edge a—b; "c c": self-pair dropped;
+    // "x": no pair at all — c and x never reach the graph
+    val docs = Seq((0L, "a b a"), (1L, "c c"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextRank.run(spark, docs, 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // symmetric 2-node graph: rank stays exactly 0.15 + 0.85·1 = 1.0
+    assert(got == Map("a" -> 1.0, "b" -> 1.0))
+  }
+
+  test("SCD2: runs collapse, reverted value reopens, current flag") {
+    import graft.kg.Scd2
+    import spark.implicits._
+    import java.sql.Date
+    val d = (s: String) => Date.valueOf(s)
+    val log = Seq(
+      (1L, "A", d("2024-01-01"), 10L), (1L, "A", d("2024-02-01"), 11L),
+      (1L, "B", d("2024-03-01"), 12L), (1L, "A", d("2024-04-01"), 13L),
+      (2L, "P", d("2024-01-15"), 20L))
+      .toDF("e", "v", "ts", "k")
+    val got = Scd2.history(log, col("e"), col("v"), col("ts"), col("k"))
+      .collect().map(r => ((r.getLong(0), r.getLong(2)),
+        (r.getString(1), r.getDate(3).toString, r.getDate(4).toString,
+          r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got((1L, 1L)) == (("A", "2024-01-01", "2024-03-01", 2L, false)))
+    assert(got((1L, 2L)) == (("B", "2024-03-01", "2024-04-01", 1L, false)))
+    // the revert to A is a NEW run, not a merge with run 1; the open
+    // interval carries the 9999-12-31 sentinel, not NULL
+    assert(got((1L, 3L)) == (("A", "2024-04-01", "9999-12-31", 1L, true)))
+    assert(got((2L, 1L)) == (("P", "2024-01-15", "9999-12-31", 1L, true)))
+    assert(got.size == 4)
+    // same-timestamp ties order on the tie column: B(k=2) then A(k=3)
+    val tie = Scd2.history(Seq(
+        (9L, "B", d("2024-05-01"), 2L), (9L, "A", d("2024-05-01"), 3L))
+        .toDF("e", "v", "ts", "k"),
+        col("e"), col("v"), col("ts"), col("k"))
+      .collect().map(r => r.getLong(2) -> r.getString(1)).toMap
+    assert(tie == Map(1L -> "B", 2L -> "A"))
+  }
+
+  test("KS drift: max CDF gap, smallest-x tie-break, empty side refused") {
+    import graft.quality.Drift
+    import spark.implicits._
+    // left {1,2}, right {2,3}: gaps 0.5 at x=1, 0.5 at x=2, 0 at x=3 —
+    // the tie on 0.5 resolves to the smallest x
+    val df = Seq((0, 1L), (0, 2L), (1, 2L), (1, 3L)).toDF("s", "x")
+    val row = Drift.ks(df, col("s"), col("x")).head()
+    assert((row.getLong(0), row.getDouble(1), row.getLong(2), row.getLong(3))
+      == ((1L, 0.5, 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      Drift.ks(Seq((0, 1L)).toDF("s", "x"), col("s"), col("x")).head()
+    }
+  }
+
   test("DAG layers: longest path wins; a cycle refuses, not truncates") {
     import graft.kg.Dag
     // diamond with a long arm: 1→2→3→5, 1→4→5 — 5 sits at layer 3 (the
