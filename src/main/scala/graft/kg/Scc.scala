@@ -33,21 +33,36 @@ import org.apache.spark.sql.functions._
   *   4. Peel S off, repeat from 1 on the residue.
   *
   * Every step is a key-partitioned join + map-side-combinable aggregate
-  * — no driver-side data, no RDDs. `localCheckpoint` truncates lineage
-  * each round (the [[ConnectedComponents]] discipline). Convergence:
-  * trimming pays one round per DAG layer, coloring one per ancestor-
-  * chain hop, carving one per in-tree depth; web-shaped graphs (one big
-  * knot + shallow tendrils) finish in a few outer rounds — the regime
-  * the FW-BW literature targets — while an adversarial long chain of
-  * 2-cycles degenerates linearly, the known worst case of the whole
-  * family. `maxRounds` bounds the pathology explicitly rather than
-  * hiding it.
+  * — no driver-side data in the distributed phases, no RDDs.
+  * `localCheckpoint` truncates lineage each round (the
+  * [[ConnectedComponents]] discipline). Convergence: trimming pays one
+  * round per DAG layer, coloring one per ancestor-chain hop, carving
+  * one per in-tree depth; web-shaped graphs (one big knot + shallow
+  * tendrils) finish in a few outer rounds — the regime the FW-BW
+  * literature targets — while an adversarial long chain of 2-cycles
+  * degenerates linearly, the known worst case of the whole family.
+  * `maxRounds` bounds the pathology explicitly rather than hiding it.
+  *
+  * Residue cutover: the same FW-BW papers finish small remainders with
+  * a sequential SCC pass, because past the first trim+peel the residue
+  * of a web-shaped graph is orders of magnitude below the input and the
+  * fixpoint rounds' scheduling latency dominates actual work. When the
+  * MEASURED remaining edge count drops under `localCutoff`, the residue
+  * collects to the driver (bounded by the gate — the q42 IVF
+  * sample-collect discipline) and iterative Tarjan labels it in
+  * O(V+E); the answer is identical by construction (scc = min node of
+  * the mutual-reachability class, either way). Set `localCutoff = 0`
+  * to force the pure-distributed path (the spec does, pinning the two
+  * paths against each other).
   */
 object Scc {
 
   /** @param edges (src, dst) directed edge list, any key type
+    * @param localCutoff residue edge count at or under which the
+    *        remaining subgraph is solved driver-side (Tarjan)
     * @return (node, scc) — scc = the minimum node id of the component */
-  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 300): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 300,
+      localCutoff: Long = 2000000L): DataFrame = {
     val empty = {
       val e = edges.select(col("src").as("node"), col("src").as("scc"))
       e.filter(lit(false)).localCheckpoint()
@@ -68,6 +83,25 @@ object Scc {
     }
 
     while (nodes.limit(1).count() > 0) {
+      // ---- residue cutover: measured gate, then driver-side Tarjan --
+      // (checked BEFORE trimming: when the whole remainder already fits
+      // the gate, the trim fixpoint's per-layer rounds cost more than
+      // the sequential pass solves). Nodes with no remaining non-self
+      // edge are singleton SCCs — labeled distributedly, they never
+      // ride the collect.
+      if (rem.count() <= localCutoff) {
+        val ends = rem.select(col("src").as("node"))
+          .union(rem.select(col("dst").as("node"))).distinct()
+        val lonely = nodes.join(ends, Seq("node"), "left_anti")
+        out = out.union(lonely.select(col("node"), col("node").as("scc")))
+        val local = tarjan(rem.collect().map(r => (r.get(0), r.get(1))))
+        if (local.isEmpty) return out
+        val rows = local.map { case (n, s) =>
+          org.apache.spark.sql.Row(n, s) }
+        return out.union(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), out.schema))
+      }
+
       // ---- 1. TRIM to fixpoint ------------------------------------
       var trimming = true
       while (trimming) {
@@ -138,5 +172,74 @@ object Scc {
         .select("src", "dst").localCheckpoint()
     }
     out
+  }
+
+  /** Iterative (explicit-stack) Tarjan over the collected residue —
+    * after trim-to-fixpoint every residue node has both an in- and an
+    * out-edge, so the edge endpoints ARE the node set. Returns
+    * `(node, min node of its SCC)`; node ids compare by their natural
+    * (`Comparable`) order, matching the column `min` the distributed
+    * carve uses. */
+  private def tarjan(edges: Array[(Any, Any)]): Array[(Any, Any)] = {
+    import scala.collection.mutable
+    val adj = mutable.LinkedHashMap.empty[Any, mutable.ArrayBuffer[Any]]
+    edges.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty)
+    }
+    val index = mutable.HashMap.empty[Any, Int]
+    val low = mutable.HashMap.empty[Any, Int]
+    val onStack = mutable.HashSet.empty[Any]
+    val stack = mutable.ArrayDeque.empty[Any]
+    val result = mutable.ArrayBuffer.empty[(Any, Any)]
+    var counter = 0
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // explicit DFS frames (node, next child offset) — residues can be a
+    // single million-node knot; the JVM call stack cannot hold that
+    val frames = mutable.ArrayDeque.empty[(Any, Int)]
+    adj.keys.foreach { root =>
+      if (!index.contains(root)) {
+        frames.prepend((root, 0))
+        while (frames.nonEmpty) {
+          val (v, ci) = frames.removeHead()
+          if (ci == 0) {
+            index(v) = counter; low(v) = counter; counter += 1
+            stack.prepend(v); onStack += v
+          }
+          val kids = adj(v)
+          var i = ci
+          var descended = false
+          while (i < kids.length && !descended) {
+            val w = kids(i)
+            if (!index.contains(w)) {
+              frames.prepend((v, i + 1)); frames.prepend((w, 0))
+              descended = true
+            } else {
+              if (onStack(w) && low(v) > index(w)) low(v) = index(w)
+              i += 1
+            }
+          }
+          if (!descended) {
+            if (low(v) == index(v)) {
+              // pop the component, label with its minimum node
+              val comp = mutable.ArrayBuffer.empty[Any]
+              var done = false
+              while (!done) {
+                val w = stack.removeHead(); onStack -= w; comp += w
+                done = w == v
+              }
+              val minN = comp.reduceLeft((a, b) => if (lt(b, a)) b else a)
+              comp.foreach(n => result += ((n, minN)))
+            }
+            // propagate lowlink to the parent frame, if any
+            frames.headOption.foreach { case (p, _) =>
+              if (low(p) > low(v)) low(p) = low(v)
+            }
+          }
+        }
+      }
+    }
+    result.toArray
   }
 }

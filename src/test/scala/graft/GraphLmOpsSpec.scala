@@ -671,22 +671,30 @@ class GraphLmOpsSpec extends AnyFunSuite {
     import graft.kg.Scc
     // cycle {1,2,3}; bridge 1→7→4 (7 has in AND out but sits on no
     // cycle — survives trimming, must resolve via carve+peel);
-    // cycle {4,5}; tail 5→8; isolated self-loop 9→9
-    val got = Scc.run(spark, directed(
-      1L -> 2L, 2L -> 3L, 3L -> 1L,
-      1L -> 7L, 7L -> 4L,
-      4L -> 5L, 5L -> 4L,
-      5L -> 8L, 9L -> 9L))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      7L -> 7L, 4L -> 4L, 5L -> 4L, 8L -> 8L, 9L -> 9L))
-    // pure DAG: every node is its own singleton SCC (all via trimming)
+    // cycle {4,5}; tail 5→8; isolated self-loop 9→9.
+    // BOTH paths — the distributed carve (localCutoff = 0) and the
+    // default trim→Tarjan cutover — must produce the identical labeling
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 4L -> 4L, 5L -> 4L, 8L -> 8L, 9L -> 9L)
+    for (cutoff <- Seq(0L, 2000000L)) {
+      val got = Scc.run(spark, directed(
+        1L -> 2L, 2L -> 3L, 3L -> 1L,
+        1L -> 7L, 7L -> 4L,
+        4L -> 5L, 5L -> 4L,
+        5L -> 8L, 9L -> 9L), localCutoff = cutoff)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"localCutoff=$cutoff")
+    }
+    // pure DAG: every node is its own singleton SCC (all via trimming —
+    // the residue is empty, so the cutover contributes nothing)
     val dag = Scc.run(spark, directed(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(dag == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
     // the round budget is a hard audit, not a silent truncation
+    // (distributed path — the cutover would solve this instantly)
     intercept[IllegalArgumentException] {
-      Scc.run(spark, directed(1L -> 2L, 2L -> 1L), maxRounds = 1)
+      Scc.run(spark, directed(1L -> 2L, 2L -> 1L),
+        maxRounds = 1, localCutoff = 0L)
     }
   }
 
