@@ -284,6 +284,20 @@ object SparkEntry {
     * so retuning q102 cannot silently desynchronize q104's oracle. */
   private val Q104Sources = 3
 
+  /** The q104 claim stream as a SQL body (columns subj, pred, obj,
+    * source) — shared by q104's inline oracle and q147's static
+    * truth-discovery oracle so the two replays read ONE derivation. */
+  private lazy val FusionClaimsBodySql =
+    s"""SELECT 's_' || s_suppkey AS subj, 'in_nation' AS pred,
+       | 'n_' || (CASE WHEN g.k <= 1 AND s_suppkey % $Q104PairMod = 0
+       |   THEN (s_nationkey + 1) % 25
+       |  WHEN g.k = 2 AND s_suppkey % $Q104SoloMod = 0
+       |   THEN (s_nationkey + 2) % 25
+       |  ELSE s_nationkey END) AS obj,
+       | g.k AS source
+       | FROM supplier CROSS JOIN generate_series(0, ${Q104Sources - 1}) g(k)"""
+      .stripMargin.replaceAll("\n", " ")
+
   /** q104's claim stream: per-source corruption per the constants above.
     * Shared by the query, the weight calibration, and (via the same
     * constants) the oracle SQL, so the three cannot drift. */
@@ -394,6 +408,32 @@ object SparkEntry {
       | ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** q144/q145 shared oracle CTEs: the [[landmarkEdges]] derivation
+    * (thinned undirected graph), the 4-smallest-node seed set, and the
+    * seed-keyed bounded-BFS recursion down to `mind (seed, node, dist)`
+    * — min hop count per pair, the multi-source frame both aggregates
+    * read. One definition so the two replays cannot drift. */
+  private val LandmarkBfsCtes =
+    """li AS (SELECT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_partkey % 5 = 0),
+      | pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey),
+      | canon AS MATERIALIZED (SELECT u, v FROM (SELECT u, v,
+      |   ('0x' || substr(md5(u::varchar || '|' ||
+      |    v::varchar), 1, 8))::BIGINT % 10 AS h FROM pairs)
+      |  WHERE h < 2),
+      | edges AS (SELECT u, v FROM canon
+      |  UNION ALL SELECT v AS u, u AS v FROM canon),
+      | seeds AS (SELECT node FROM (SELECT u AS node FROM canon
+      |  UNION SELECT v FROM canon) ORDER BY node LIMIT 4),
+      | bfs(seed, node, dist) AS (SELECT node, node, 0::BIGINT FROM seeds
+      |  UNION SELECT b.seed, e.v, b.dist + 1 FROM bfs b
+      |   JOIN edges e ON e.u = b.node WHERE b.dist < 6),
+      | mind AS (SELECT seed, node, min(dist) AS dist FROM bfs
+      |  GROUP BY seed, node)"""
+      .stripMargin.replaceAll("\n", " ")
+
   /** q43/q72 shared hashed-TF replay: the full featurization pipeline
     * (tokenize → term counts → md5 scatter with ±1 sign → dense 64-dim →
     * L2 norm) as CTEs; q43 emits the cells, q72 dots them with the
@@ -469,6 +509,54 @@ object SparkEntry {
     * fringe — 99 SCCs over 395 nodes at sf0.01) instead of one trivial
     * all-mutual ball, and keeps the oracle's transitive closure small. */
   private def sccEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = mod5CooccurPairs(s, dir)
+    val h = graft.core.Buckets.md5Bucket(concat_ws("|", col("u"), col("v")), 10)
+    pairs.filter(h < 2).select(
+      when(h % 2 === 0, col("u")).otherwise(col("v")).as("src"),
+      when(h % 2 === 0, col("v")).otherwise(col("u")).as("dst"))
+  }
+
+  /** The mod-5-restricted parts co-occurrence graph (canonical u < v,
+    * distinct) — [[sccEdges]]' base before thinning, and q148's truss
+    * input: 25× fewer wedge-join rows than the full graph while keeping
+    * real triangle structure (support up to ~9 at verify scale). SQL
+    * twin inlined in [[Mod5CooccurSql]]. */
+  private def mod5CooccurPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 5 === 0)
+    li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
+  private val Mod5CooccurSql =
+    """SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      | FROM (SELECT l_orderkey, l_partkey FROM lineitem
+      |   WHERE l_partkey % 5 = 0) a
+      | JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+      |   WHERE l_partkey % 5 = 0) b
+      | ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** q148's truss tightness: support ≥ 2 (k−2) — deep enough to peel a
+    * real cascade at verify scale, shallow enough that the truss keeps
+    * a majority backbone. */
+  private val KTrussK = 4
+
+  /** q148's engine-measured peel depth per sf dir — the [[KCoreRoundsMemo]]
+    * contract for the truss. */
+  private val KTrussRoundsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** q144/q145's landmark graph: [[sccEdges]]' thinned derivation kept
+    * UNDIRECTED (canonical u < v, no parity orientation) — the same
+    * mod-5 + 2-in-10 md5 thinning that gives the graph long paths and a
+    * DAG fringe instead of one dense ball, so bounded distances carry
+    * information at verify scale. ONE derivation shared by both queries
+    * and mirrored verbatim in their oracle CTEs. */
+  private def landmarkEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
       .filter(col("l_partkey") % 5 === 0)
     val pairs = li.as("a")
@@ -476,11 +564,16 @@ object SparkEntry {
         col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-    val h = graft.core.Buckets.md5Bucket(concat_ws("|", col("u"), col("v")), 10)
-    pairs.filter(h < 2).select(
-      when(h % 2 === 0, col("u")).otherwise(col("v")).as("src"),
-      when(h % 2 === 0, col("v")).otherwise(col("u")).as("dst"))
+    pairs.filter(
+      graft.core.Buckets.md5Bucket(concat_ws("|", col("u"), col("v")), 10) < 2)
   }
+
+  /** The 4 smallest nodes of the landmark graph — a k-sized TakeOrdered,
+    * deterministic, oracle-rederivable. */
+  private def landmarkSeeds(canon: DataFrame): DataFrame =
+    canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .distinct().orderBy(col("node")).limit(4)
 
   /** q79/q125's ER record set: clean customer names + a deterministic
     * 1-edit dirty twin per record (trailing space for even keys, doubled
@@ -1919,6 +2012,47 @@ object SparkEntry {
       graft.quality.Drift.ks(t(s, dir, "documents"),
         graft.core.Buckets.md5Bucket(col("doc_id"), 2),
         length(col("text")).cast("long"))),
+    // landmark eccentricity over the thinned co-occurrence graph (q138's
+    // derivation, undirected): the 4 smallest nodes BFS in ONE
+    // synchronized frontier loop; max ecc lower-bounds the diameter
+    // (see kg.Landmarks for the k-loops→one-loop collapse)
+    "q144_eccentricity" -> ((s, dir) => {
+      val canon = landmarkEdges(s, dir)
+      graft.kg.Landmarks.eccentricity(s, canon,
+        landmarkSeeds(canon), 6)
+    }),
+    // landmark harmonic centrality (Boldi–Vigna axioms; HyperBall's
+    // estimator from a seed sample) with exact integer-micro reciprocals
+    // so the per-node sum is order-independent — the q135 discipline
+    "q145_harmonic" -> ((s, dir) => {
+      val canon = landmarkEdges(s, dir)
+      graft.kg.Landmarks.harmonic(s, canon,
+        landmarkSeeds(canon), 6)
+    }),
+    // deterministic weighted systematic (PPS) sampling by n_chars: the
+    // RNG-free fixed-size corpus subsample — interval-crossing picks over
+    // the distributed prefix sum (see core.WeightedSample; shares
+    // SequencePack.prefixOffsets with q30's packer)
+    "q146_weighted_sample" -> ((s, dir) =>
+      graft.core.WeightedSample.systematic(s,
+        t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").as("w")), 100)),
+    // UNSUPERVISED truth discovery (Sums/TruthFinder family): q104's
+    // claim stream resolved with NO gold — source trust and claim
+    // confidence iterated to round 3 as exact integer micros (the q135
+    // HITS discipline; see kg.Fusion.iterativeTruthMicro)
+    "q147_truth_discovery" -> ((s, dir) =>
+      graft.kg.Fusion.iterativeTruthMicro(weightedFusionClaims(s, dir), 3)),
+    // k-truss backbone of the mod-5 co-occurrence graph: the EDGE peel
+    // (support >= k-2 triangles) that a star's hub survives but its
+    // edges don't — strictly stronger corroboration than q73's k-core
+    // (see kg.KTruss; oracle unrolls the engine-measured round count)
+    "q148_ktruss" -> ((s, dir) => {
+      val (truss, rounds) = graft.kg.KTruss.trussWithRounds(
+        s, mod5CooccurPairs(s, dir), KTrussK)
+      KTrussRoundsMemo.put(dir, rounds)
+      truss
+    }),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3401,6 +3535,38 @@ object SparkEntry {
         |  n.nl AS n_left, n.nr AS n_right
         | FROM cdf CROSS JOIN n ORDER BY cdf.gap DESC, cdf.x LIMIT 1"""
         .stripMargin.replaceAll("\n", " "),
+    // q144/q145: landmark BFS replayed as a seed-keyed recursive CTE over
+    // the same thinned undirected graph; min dist per (seed, node), then
+    // the ecc / harmonic aggregates. Same derivation as q138's edges
+    // minus the orientation.
+    "q144_eccentricity" ->
+      s"""WITH RECURSIVE $LandmarkBfsCtes
+         | SELECT seed, max(dist) AS ecc, count(*) AS n_reached
+         | FROM mind GROUP BY seed"""
+        .stripMargin.replaceAll("\n", " "),
+    "q145_harmonic" ->
+      s"""WITH RECURSIVE $LandmarkBfsCtes
+         | SELECT node, count(*) AS n_seeds,
+         |  sum(1000000 // dist)::BIGINT AS harmonic_micro
+         | FROM mind WHERE dist > 0 GROUP BY node"""
+        .stripMargin.replaceAll("\n", " "),
+    // q146: the identical integer systematic-PPS arithmetic over a plain
+    // window prefix sum (the oracle needs no bucketing — DuckDB sorts)
+    "q146_weighted_sample" ->
+      """WITH wt AS (SELECT doc_id, n_chars AS w FROM documents),
+        | tot AS (SELECT greatest(sum(w) // 100, 1)::BIGINT AS step FROM wt),
+        | off AS (SELECT doc_id, w, coalesce(sum(w) OVER
+        |   (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0)::BIGINT AS start_offset FROM wt)
+        | SELECT doc_id, w, start_offset,
+        |  ((start_offset + w) // tot.step > start_offset // tot.step)
+        |    AS picked
+        | FROM off CROSS JOIN tot"""
+        .stripMargin.replaceAll("\n", " "),
+    // q147: the Sums iteration unrolled 3 rounds over the shared q104
+    // claims body — fixed iteration count, so the oracle is static
+    "q147_truth_discovery" ->
+      graft.kg.Fusion.iterativeTruthOracleSql(FusionClaimsBodySql, 3),
     // q129/q130: the correlated filter-subquery pair replayed as native
     // NOT EXISTS / EXISTS over the same KG derivation
     "q129_bgp_not_exists" ->
@@ -4027,6 +4193,14 @@ object SparkEntry {
           graft.kg.KCore.coreWithRounds(spark,
             partsCooccurEdges(spark, sfDir), KCoreK)._2)
         graft.kg.KCore.oracleSql(KCoreEdgesSql, KCoreK, rounds + 1)
+      },
+      // q148: the truss peel is data-dependent like q73 — unroll the
+      // engine-measured round count (+1 idempotent slack)
+      "q148_ktruss" -> {
+        val rounds = KTrussRoundsMemo.getOrElseUpdate(sfDir,
+          graft.kg.KTruss.trussWithRounds(spark,
+            mod5CooccurPairs(spark, sfDir), KTrussK)._2)
+        graft.kg.KTruss.oracleSql(Mod5CooccurSql, KTrussK, rounds + 1)
       },
       // q75's cap is the engine-measured p75 degree percentile — reuse the
       // query run's memo, or measure here if the oracle is generated first

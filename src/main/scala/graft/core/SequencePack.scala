@@ -23,31 +23,42 @@ import org.apache.spark.sql.functions._
   */
 object SequencePack {
 
-  /** `(doc_id, n_tokens, start_offset, pack_id)` for every document
-    * (token-free docs occupy zero width but keep their position). */
-  def pack(spark: SparkSession, docs: DataFrame, window: Int,
+  /** The distributed exclusive prefix sum itself, shared with
+    * [[WeightedSample]] so the two offset consumers cannot drift: input
+    * `(doc_id: long, w: long)`, output adds `start_offset` = Σ w over all
+    * rows with smaller doc_id. Bucket totals (≤ `nBuckets` rows) are the
+    * only driver-side data. */
+  def prefixOffsets(spark: SparkSession, weighted: DataFrame,
       nBuckets: Int = 256): DataFrame = {
     import spark.implicits._
-    require(window >= 1, s"window must be >= 1, got $window")
-    val counts = docs.select(col("doc_id").cast("long").as("doc_id"),
-      size(filter(split(trim(col("text")), "\\s+"), t => t =!= lit("")))
-        .cast("long").as("n_tokens"))
     // contiguous doc_id ranges ⇒ (bucket asc, doc_id asc) == global order;
     // the range width is measured from the data, not assumed
-    val maxId = counts.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0)
+    val maxId = weighted.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0)
     val span = maxId / nBuckets + 1
-    val bucketed = counts.withColumn("b", (col("doc_id") / span).cast("int"))
-    val totals = bucketed.groupBy("b").agg(sum("n_tokens").as("t"))
+    val bucketed = weighted.withColumn("b", (col("doc_id") / span).cast("int"))
+    val totals = bucketed.groupBy("b").agg(sum("w").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     var acc = 0L
     val offsets = totals.keys.toSeq.sorted.map { b =>
       val row = (b, acc); acc += totals(b); row
     }.toDF("b", "bucket_offset")
-    val w = Window.partitionBy("b").orderBy("doc_id")
+    val win = Window.partitionBy("b").orderBy("doc_id")
     bucketed.join(broadcast(offsets), "b")
       .withColumn("start_offset",
-        col("bucket_offset") + sum("n_tokens").over(w) - col("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("bucket_offset") + sum("w").over(win) - col("w"))
+      .drop("b", "bucket_offset")
+  }
+
+  /** `(doc_id, n_tokens, start_offset, pack_id)` for every document
+    * (token-free docs occupy zero width but keep their position). */
+  def pack(spark: SparkSession, docs: DataFrame, window: Int,
+      nBuckets: Int = 256): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val counts = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(filter(split(trim(col("text")), "\\s+"), t => t =!= lit("")))
+        .cast("long").as("n_tokens"))
+    prefixOffsets(spark, counts.withColumnRenamed("n_tokens", "w"), nBuckets)
+      .select(col("doc_id"), col("w").as("n_tokens"), col("start_offset"),
         // integer div, not floor(double /): offsets at 100 TB exceed the
         // 53-bit exactness of a double quotient
         expr(s"start_offset div $window").as("pack_id"))

@@ -111,6 +111,101 @@ object Fusion {
     * item, and an item carries at most one row per (source, object)
     * pair — source-count-bounded, never corpus-bounded.
     */
+  /** UNSUPERVISED iterative truth discovery — the no-gold counterpart of
+    * [[weightedVote]]: when no calibration subset exists, source trust
+    * and claim confidence are solved for jointly by fixpoint iteration —
+    * a claim is believable if trusted sources assert it, a source is
+    * trustworthy if it asserts believable claims. This mutual recursion
+    * on the source↔claim bipartite graph is exactly Hubs-and-Authorities,
+    * which is how the truth-discovery literature frames its baseline
+    * (Pasternack & Roth COLING'10 "Sums"; Yin et al.'s TruthFinder and
+    * the Li et al. VLDB'13 survey iterate the same two half-steps), so
+    * the implementation carries [[Hits]]' determinism contract verbatim:
+    * ALL score arithmetic is exact BIGINT micros with per-half-step
+    * GLOBAL max-normalization via integer division — every operand is
+    * order-independent, so the result is hash-comparable across runs,
+    * partitionings, and engines, and an oracle can replay the unrolled
+    * rounds bit-for-bit. (Exact while no source asserts more than ~9.2e6
+    * distinct claims — the `raw × 1e6` headroom of a BIGINT; beyond
+    * that, pre-partition sources or rescale `One`, same bound as q135.)
+    *
+    * Scale shape per round: one broadcast-sized join (trust table =
+    * one row per SOURCE) against the claim list, one map-side-combined
+    * aggregate keyed by claim, one aggregate keyed by source (collapses
+    * to the source count), two single-row max aggregates for the
+    * normalizers. Claim-confidence state is `localCheckpoint`ed per
+    * round ([[Hits]]/[[KCore]] lineage discipline); the trust table is
+    * source-count-bounded and needs none.
+    *
+    * Output one winner row per `(subj, pred)` item:
+    * `(subj, pred, obj, n_sources, conf_micro)`, ties broken by the
+    * smallest object — [[majorityVote]]'s tie rule.
+    */
+  def iterativeTruthMicro(claims: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val One = 1000000L
+    val c = claims.select(col("subj"), col("pred"), col("obj"),
+      col("source").cast("string").as("source")).distinct().localCheckpoint()
+    var trust = c.select("source").distinct()
+      .select(col("source"), lit(One).as("trust"))
+    var conf: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val cRaw = c.join(trust, "source")
+        .groupBy("subj", "pred", "obj").agg(sum("trust").as("raw"))
+      conf = cRaw.crossJoin(cRaw.agg(max("raw").as("mx")))
+        .select(col("subj"), col("pred"), col("obj"),
+          expr(s"(raw * ${One}L) div mx").as("conf"))
+        .localCheckpoint()
+      val tRaw = c.join(conf, Seq("subj", "pred", "obj"))
+        .groupBy("source").agg(sum("conf").as("raw"))
+      trust = tRaw.crossJoin(tRaw.agg(max("raw").as("mx")))
+        .select(col("source"), expr(s"(raw * ${One}L) div mx").as("trust"))
+    }
+    val ns = c.groupBy("subj", "pred", "obj")
+      .agg(count(lit(1)).as("n_sources"))
+    val rank = Window.partitionBy("subj", "pred")
+      .orderBy(col("conf").desc, col("obj").asc)
+    conf.join(ns, Seq("subj", "pred", "obj"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("subj"), col("pred"), col("obj"), col("n_sources"),
+        col("conf").as("conf_micro"))
+  }
+
+  /** DuckDB oracle: [[iterativeTruthMicro]] unrolled `rounds` times over
+    * a caller-supplied claims CTE body (columns subj, pred, obj, source).
+    * MATERIALIZED per round — the [[KCore.oracleSql]] inlining-blowup
+    * defense. */
+  def iterativeTruthOracleSql(claimsSql: String, rounds: Int): String = {
+    val One = 1000000L
+    val steps = (1 to rounds).map { i =>
+      s"""cr$i AS MATERIALIZED (SELECT c.subj, c.pred, c.obj,
+         |  sum(t.trust) AS raw FROM claims c
+         |  JOIN t${i - 1} t ON t.source = c.source GROUP BY 1, 2, 3),
+         | c$i AS MATERIALIZED (SELECT subj, pred, obj,
+         |  raw * $One // (SELECT max(raw) FROM cr$i) AS conf FROM cr$i),
+         | tr$i AS (SELECT c.source, sum(f.conf) AS raw FROM claims c
+         |  JOIN c$i f ON f.subj = c.subj AND f.pred = c.pred
+         |   AND f.obj = c.obj GROUP BY 1),
+         | t$i AS (SELECT source,
+         |  raw * $One // (SELECT max(raw) FROM tr$i) AS trust FROM tr$i)"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(", ")
+    s"""WITH claims AS MATERIALIZED (SELECT DISTINCT subj, pred, obj,
+       |  source::VARCHAR AS source FROM ($claimsSql)),
+       | t0 AS (SELECT DISTINCT source, $One AS trust FROM claims),
+       | $steps,
+       | ns AS (SELECT subj, pred, obj, count(*) AS n_sources
+       |  FROM claims GROUP BY 1, 2, 3)
+       | SELECT subj, pred, obj, n_sources, conf::BIGINT AS conf_micro FROM (
+       |  SELECT f.subj, f.pred, f.obj, ns.n_sources, f.conf,
+       |   row_number() OVER (PARTITION BY f.subj, f.pred
+       |    ORDER BY f.conf DESC, f.obj) AS rn
+       |  FROM c$rounds f JOIN ns ON ns.subj = f.subj
+       |   AND ns.pred = f.pred AND ns.obj = f.obj)
+       | WHERE rn = 1""".stripMargin.replaceAll("\n", " ")
+  }
+
   def majorityVote(facts: DataFrame): DataFrame = {
     val votes = facts.select("subj", "pred", "obj", "source").distinct()
       .groupBy("subj", "pred", "obj")

@@ -104,6 +104,31 @@ class DeltaHygieneSpec extends AnyFunSuite {
     assert(m(9L) == ((9L, 1L, 9L, 2L)))
   }
 
+  test("WeightedSample: closed-form systematic picks, invariant to the bucket count") {
+    import spark.implicits._
+    import graft.core.WeightedSample
+    // weights 3,0,2,4,1 → total 10, n=5 → step 2; stripes end at 2,4,6,8,10
+    val wt = Seq((0L, 3L), (1L, 0L), (2L, 2L), (5L, 4L), (9L, 1L))
+      .toDF("doc_id", "w")
+    def run(buckets: Int) = WeightedSample.systematic(spark, wt, 5,
+      nBuckets = buckets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val one = run(1)
+    assert(one == run(3)) // distributed prefix sum == single-bucket scan
+    assert(one == Set(
+      (0L, 3L, 0L, true),   // [0,3) crosses 2
+      (1L, 0L, 3L, false),  // empty interval: zero weight never picked
+      (2L, 2L, 3L, true),   // [3,5) crosses 4
+      (5L, 4L, 5L, true),   // [5,9) crosses 6 AND 8 — picked once
+      (9L, 1L, 9L, true)))  // [9,10) crosses 10
+    // n >= total floors step at 1: every positive-weight row is picked
+    val all = WeightedSample.systematic(spark, wt, 100).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(all == Map(0L -> true, 1L -> false, 2L -> true,
+      5L -> true, 9L -> true))
+  }
+
   test("unigramLogProb broadcast gate: identical result above and below the vocab cap") {
     import spark.implicits._
     val docs = (1L to 30L).map(i => (i, s"tok$i shared common tok${i % 7}"))

@@ -794,4 +794,82 @@ class GraphLmOpsSpec extends AnyFunSuite {
         directed(1L -> 2L, 2L -> 3L, 3L -> 1L), maxDepth = 20)
     }
   }
+
+  test("KTruss: clique survives, pendant and star peel, cascade empties") {
+    import graft.kg.KTruss
+    def run(k: Int, pairs: (Long, Long)*): Set[(Long, Long, Long)] = {
+      val canon = graft.kg.Triangles.canonicalEdges(
+        edges(pairs: _*), "u", "v")
+      KTruss.trussWithRounds(spark, canon, k)._1.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // two triangles sharing edge (2,3), plus pendant (4,5): the 3-truss
+    // keeps both triangles (every edge closes >= 1), peels the pendant
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    assert(run(3, bowtie: _*) == Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L), (2L, 4L, 1L), (3L, 4L, 1L)))
+    // the 4-truss cascade: only (2,3) has support 2, but alone it closes
+    // nothing — the peel cascades to empty
+    assert(run(4, bowtie: _*) == Set.empty)
+    // a 4-clique IS a 4-truss: every edge closes exactly 2 triangles
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(run(4, k4: _*).map(_._3) == Set(2L) && run(4, k4: _*).size == 6)
+    // a star has no triangles at all: the 3-truss is empty
+    assert(run(3, (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)) == Set.empty)
+    intercept[IllegalArgumentException] {
+      KTruss.trussWithRounds(spark,
+        graft.kg.Triangles.canonicalEdges(edges((1L, 2L)), "u", "v"), 2)
+    }
+  }
+
+  test("iterativeTruthMicro: winners, tie rule, and max-claim invariant") {
+    import spark.implicits._
+    val claims = Seq(
+      // item1: sources a+b assert x, c asserts y — x must win with 2 backers
+      ("i1", "p", "x", "a"), ("i1", "p", "x", "b"), ("i1", "p", "y", "c"),
+      // item2: unanimous — its claim rides at the global max every round
+      ("i2", "p", "v", "a"), ("i2", "p", "v", "b"), ("i2", "p", "v", "c"),
+      // re-assertion by the same source collapses before any vote
+      ("i1", "p", "x", "a"))
+      .toDF("subj", "pred", "obj", "source")
+    val all = kg.Fusion.iterativeTruthMicro(claims, 3).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getLong(3), r.getLong(4))))
+    assert(all.length == all.map(_._1).distinct.length) // one winner per item
+    val rows = all.toMap
+    assert(rows("i1")._1 == "x" && rows("i1")._2 == 2L)
+    // the unanimous claim is the global max claim: conf_micro stays 1e6
+    assert(rows("i2") == (("v", 3L, 1000000L)))
+    // a two-way tie on identical backing breaks to the smaller object
+    val tied = Seq(("t", "p", "b", "a"), ("t", "p", "a", "b"))
+      .toDF("subj", "pred", "obj", "source")
+    assert(kg.Fusion.iterativeTruthMicro(tied, 2).head().getString(2) == "a")
+    // determinism: identical run, identical micros
+    val again = kg.Fusion.iterativeTruthMicro(claims, 3).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(4))).toSet
+    assert(again == rows.map { case (s, (o, _, c)) => (s, o, c) }.toSet)
+  }
+
+  test("Landmarks: chain closed forms — ecc, harmonic micros, hop bound") {
+    import spark.implicits._
+    import graft.kg.Landmarks
+    // chain 1-2-3-4-5; disconnected 8-9 is never reached by these seeds
+    val canon = graft.kg.Triangles.canonicalEdges(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)).toDF("u", "v"),
+      "u", "v")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val ecc = Landmarks.eccentricity(spark, canon, seeds, 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ecc == Map(1L -> ((4L, 5L)), 5L -> ((4L, 5L))))
+    // hop horizon caps both the ecc and the reached set
+    val capped = Landmarks.eccentricity(spark, canon, seeds, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(capped == Map(1L -> ((2L, 3L)), 5L -> ((2L, 3L))))
+    // harmonic: per-term 1000000 div dist, self (dist 0) excluded
+    val h = Landmarks.harmonic(spark, canon, seeds, 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(h(3L) == ((2L, 1000000L)))          // 2 + 2 hops
+    assert(h(1L) == ((1L, 250000L)))           // only seed 5, 4 hops
+    assert(h(2L) == ((2L, 1000000L + 333333L)))// 1 hop + 3 hops
+    assert(!h.contains(8L) && !h.contains(9L)) // unreached component
+  }
 }
