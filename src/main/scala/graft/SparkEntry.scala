@@ -434,6 +434,32 @@ object SparkEntry {
       |  GROUP BY seed, node)"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** q138/q150 shared oracle CTEs: the [[sccEdges]] derivation, the
+    * bounded transitive-closure recursion, and the mutual-reachability
+    * labeling down to `scc (node, scc)` — one definition so the SCC
+    * query and its condensation replay the identical labels. */
+  private val SccOracleCtes =
+    """li AS (SELECT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_partkey % 5 = 0),
+      | pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey),
+      | ed AS MATERIALIZED (SELECT
+      |   CASE WHEN h % 2 = 0 THEN u ELSE v END AS src,
+      |   CASE WHEN h % 2 = 0 THEN v ELSE u END AS dst
+      |  FROM (SELECT u, v, ('0x' || substr(md5(u::varchar || '|' ||
+      |    v::varchar), 1, 8))::BIGINT % 10 AS h FROM pairs)
+      |  WHERE h < 2),
+      | reach(src, dst) AS (SELECT src, dst FROM ed
+      |  UNION SELECT r.src, e.dst FROM reach r JOIN ed e ON e.src = r.dst),
+      | nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+      | mut AS (SELECT r1.src AS v, r1.dst AS u FROM reach r1
+      |  JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src),
+      | scc AS (SELECT n.node,
+      |   least(n.node, coalesce(min(m.u), n.node)) AS scc
+      |  FROM nodes n LEFT JOIN mut m ON m.v = n.node GROUP BY n.node)"""
+      .stripMargin.replaceAll("\n", " ")
+
   /** q43/q72 shared hashed-TF replay: the full featurization pipeline
     * (tokenize → term counts → md5 scatter with ±1 sign → dense 64-dim →
     * L2 norm) as CTEs; q43 emits the cells, q72 dots them with the
@@ -2053,6 +2079,19 @@ object SparkEntry {
       KTrussRoundsMemo.put(dir, rounds)
       truss
     }),
+    // landmark distance distribution + effective-diameter curve (the
+    // HyperANF headline statistic, exact over the q144 landmark frame):
+    // cumulative pair fraction per hop as integer micros
+    "q149_distance_distribution" -> ((s, dir) => {
+      val canon = landmarkEdges(s, dir)
+      graft.kg.Landmarks.distanceDistribution(s, canon,
+        landmarkSeeds(canon), 6)
+    }),
+    // SCC condensation DAG — the composition the q138 labeling exists
+    // for: cross-component edge groups with multiplicity; acyclic by
+    // construction, feeds q139's layering directly
+    "q150_condensation" -> ((s, dir) =>
+      graft.kg.Scc.condensation(s, sccEdges(s, dir))),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3462,24 +3501,29 @@ object SparkEntry {
     // the same md5-gated/oriented graph, scc(v) = min u with mutual
     // reachability (v itself when none)
     "q138_scc" ->
-      """WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_partkey % 5 = 0),
-        | pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |   AND a.l_partkey < b.l_partkey),
-        | ed AS MATERIALIZED (SELECT
-        |   CASE WHEN h % 2 = 0 THEN u ELSE v END AS src,
-        |   CASE WHEN h % 2 = 0 THEN v ELSE u END AS dst
-        |  FROM (SELECT u, v, ('0x' || substr(md5(u::varchar || '|' ||
-        |    v::varchar), 1, 8))::BIGINT % 10 AS h FROM pairs)
-        |  WHERE h < 2),
-        | reach(src, dst) AS (SELECT src, dst FROM ed
-        |  UNION SELECT r.src, e.dst FROM reach r JOIN ed e ON e.src = r.dst),
-        | nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
-        | mut AS (SELECT r1.src AS v, r1.dst AS u FROM reach r1
-        |  JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src)
-        | SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc
-        | FROM nodes n LEFT JOIN mut m ON m.v = n.node GROUP BY n.node"""
+      s"""WITH RECURSIVE $SccOracleCtes
+         | SELECT node, scc FROM scc""".stripMargin.replaceAll("\n", " "),
+    // q150: the condensation DAG replayed over the SAME scc labeling —
+    // cross-component edge groups with distinct-edge multiplicity
+    "q150_condensation" ->
+      s"""WITH RECURSIVE $SccOracleCtes
+         | SELECT s1.scc AS csrc, s2.scc AS cdst, count(*) AS n_edges
+         | FROM ed e JOIN scc s1 ON s1.node = e.src
+         |  JOIN scc s2 ON s2.node = e.dst
+         | WHERE s1.scc != s2.scc GROUP BY 1, 2"""
+        .stripMargin.replaceAll("\n", " "),
+    // q149: the landmark distance distribution + effective-diameter
+    // curve over the same multi-source frame as q144/q145
+    "q149_distance_distribution" ->
+      s"""WITH RECURSIVE $LandmarkBfsCtes,
+         | dd AS (SELECT dist, count(*) AS n_pairs FROM mind
+         |  WHERE dist > 0 GROUP BY dist),
+         | t AS (SELECT sum(n_pairs)::BIGINT AS tot FROM dd)
+         | SELECT dist, n_pairs,
+         |  (sum(n_pairs) OVER w)::BIGINT AS cum_pairs,
+         |  ((sum(n_pairs) OVER w) * 1000000 // t.tot)::BIGINT AS cum_micro
+         | FROM dd CROSS JOIN t
+         | WINDOW w AS (ORDER BY dist ROWS UNBOUNDED PRECEDING)"""
         .stripMargin.replaceAll("\n", " "),
     // q139: longest incoming path per node via the recursive path-depth
     // CTE over the same co-purchase DAG (u < v, so it terminates)

@@ -81,6 +81,33 @@ object Landmarks {
       .groupBy("seed")
       .agg(max("dist").as("ecc"), count(lit(1)).as("n_reached"))
 
+  /** The landmark distance DISTRIBUTION and effective-diameter curve:
+    * one row per hop distance `(dist, n_pairs, cum_pairs, cum_micro)`
+    * over reached (seed, node) pairs at dist > 0, where `cum_micro` is
+    * the cumulative fraction in exact integer micros
+    * (`cum × 1e6 div total`). The smallest dist with
+    * `cum_micro ≥ 900000` is the 90% effective-diameter estimate —
+    * HyperANF's headline statistic (Boldi–Rosa–Vigna WWW'11), here
+    * exact over the landmark sample rather than sketched. The running
+    * window is over the aggregated per-dist table — at most `maxHops`
+    * rows, bounded by construction, never the pair stream. */
+  def distanceDistribution(spark: SparkSession, canonical: DataFrame,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDist = multiSourceDistances(spark, canonical, seeds, maxHops)
+      .filter(col("dist") > 0)
+      .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = Window.orderBy("dist")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDist
+      .withColumn("cum_pairs", sum("n_pairs").over(cum))
+      .withColumn("total", sum("n_pairs").over(all))
+      .select(col("dist"), col("n_pairs"), col("cum_pairs"),
+        expr("(cum_pairs * 1000000L) div total").as("cum_micro"))
+  }
+
   /** Landmark harmonic centrality: `(node, n_seeds, harmonic_micro)` with
     * `harmonic_micro = Σ_seeds 1000000 div dist` over seeds that reach the
     * node at dist > 0 — integer division, so every operand (and therefore

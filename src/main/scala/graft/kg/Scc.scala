@@ -174,6 +174,30 @@ object Scc {
     out
   }
 
+  /** The condensation DAG — the composition the object doc promises:
+    * [[run]]'s labels collapse the directed graph onto its strongly
+    * connected components, and every cross-component edge group becomes
+    * one condensed edge `(csrc, cdst, n_edges)` with its distinct-edge
+    * multiplicity. The condensation is acyclic by construction (any
+    * cycle through two components would merge them), so its output
+    * feeds [[Dag.longestPathLayers]] directly — the SCC → DAG →
+    * layering chain canonicalization runs. Scale shape: two
+    * node-keyed label joins + one map-side-combinable aggregate on top
+    * of the [[run]] fixpoint; self-loops and intra-component edges
+    * drop before the aggregate. */
+  def condensation(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 300, localCutoff: Long = 2000000L): DataFrame = {
+    val labels = run(spark, edges, maxRounds, localCutoff)
+    val e = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct()
+    e.join(labels.withColumnRenamed("node", "src")
+        .withColumnRenamed("scc", "csrc"), "src")
+      .join(labels.withColumnRenamed("node", "dst")
+        .withColumnRenamed("scc", "cdst"), "dst")
+      .filter(col("csrc") =!= col("cdst"))
+      .groupBy("csrc", "cdst").agg(count(lit(1)).as("n_edges"))
+  }
+
   /** Iterative (explicit-stack) Tarjan over the collected residue —
     * after trim-to-fixpoint every residue node has both an in- and an
     * out-edge, so the edge endpoints ARE the node set. Returns

@@ -849,6 +849,43 @@ class GraphLmOpsSpec extends AnyFunSuite {
     assert(again == rows.map { case (s, (o, _, c)) => (s, o, c) }.toSet)
   }
 
+  test("Scc condensation: cycles collapse, cross-edges keep multiplicity") {
+    import graft.kg.Scc
+    // cycle {1,2,3} → component 1; cycle {4,5} → component 4; edges
+    // 2→4 and 3→5 both cross 1→4 (multiplicity 2); 5→6 gives 4→6
+    val got = Scc.condensation(spark, directed(
+      1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 4L,
+      2L -> 4L, 3L -> 5L, 5L -> 6L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 4L, 2L), (4L, 6L, 1L)))
+    // acyclicity: the condensation feeds the DAG layering without a
+    // cycle refusal
+    val layers = graft.kg.Dag.longestPathLayers(spark,
+      Scc.condensation(spark, directed(
+        1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 4L, 2L -> 4L))
+        .select(col("csrc").as("src"), col("cdst").as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(layers == Map(1L -> 0L, 4L -> 1L))
+  }
+
+  test("Landmarks distanceDistribution: chain cumulative micros") {
+    import spark.implicits._
+    import graft.kg.Landmarks
+    // chain 1-2-3-4-5, seeds {1,5}: dists 1,2,3,4 each appear twice
+    val canon = graft.kg.Triangles.canonicalEdges(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v"), "u", "v")
+    val got = Landmarks.distanceDistribution(spark, canon,
+      Seq(1L, 5L).toDF("node"), 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, 2L, 250000L),   // 2/8
+      (2L, 2L, 4L, 500000L),   // 4/8
+      (3L, 2L, 6L, 750000L),   // 6/8
+      (4L, 2L, 8L, 1000000L))) // 8/8 — 90% effective diameter = 4
+  }
+
   test("Landmarks: chain closed forms — ecc, harmonic micros, hop bound") {
     import spark.implicits._
     import graft.kg.Landmarks
