@@ -434,6 +434,18 @@ object SparkEntry {
       |  GROUP BY seed, node)"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** q151/q152 shared oracle CTEs appended after [[LandmarkBfsCtes]]:
+    * the [[weightedLandmarkEdges]] derivation (canonical edges + the
+    * md5-mod-9 weight) and its symmetric closure — one definition so
+    * the SSSP and MSF replays read the identical weighted graph. */
+  private val WeightedEdgeCtes =
+    """wcanon AS MATERIALIZED (SELECT u, v,
+      |  1 + ('0x' || substr(md5(u::varchar || '|' ||
+      |   v::varchar), 1, 8))::BIGINT % 9 AS w FROM canon),
+      | wsym AS (SELECT u, v, w FROM wcanon
+      |  UNION ALL SELECT v AS u, u AS v, w FROM wcanon)"""
+      .stripMargin.replaceAll("\n", " ")
+
   /** q138/q150 shared oracle CTEs: the [[sccEdges]] derivation, the
     * bounded transitive-closure recursion, and the mutual-reachability
     * labeling down to `scc (node, scc)` — one definition so the SCC
@@ -492,6 +504,19 @@ object SparkEntry {
 
   private def kgMentions(spark: SparkSession, dir: String): DataFrame =
     NerSpark.mentions(spark, t(spark, dir, "documents"))
+
+  /** q118/q157's measurement corpus: every document with four planted
+    * mixed-format quantities appended — ONE definition (mirrored in
+    * [[measurementsSql]]) so extraction and the SPARQL numeric
+    * aggregates read the same literals. */
+  private def plantedMeasurementDocs(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" dist 1,"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit(" km mass "), (col("doc_id") % 90).cast("string"),
+      lit(".5 kg took "), (col("doc_id") % 250).cast("string"),
+      lit("ms len "), (col("doc_id") % 40).cast("string"), lit(" m"))
+    t(s, dir, "documents").select(col("doc_id"), planted.as("text"))
+  }
 
   private def kgTriples(spark: SparkSession, dir: String): DataFrame = {
     val linked = Kg.disambiguate(Kg.candidates(kgMentions(spark, dir), Kg.aliasDf(spark)))
@@ -593,6 +618,16 @@ object SparkEntry {
     pairs.filter(
       graft.core.Buckets.md5Bucket(concat_ws("|", col("u"), col("v")), 10) < 2)
   }
+
+  /** q151/q152's weighted graph: [[landmarkEdges]] with a deterministic
+    * integer weight 1..9 from the shared md5 bucket of the canonical
+    * endpoint pair — the SAME primitive that thinned the graph, so the
+    * DuckDB twin re-derives identical weights. Totally ordered by
+    * `(w, u, v)` the edge set has a UNIQUE minimum spanning forest. */
+  private def weightedLandmarkEdges(s: SparkSession, dir: String): DataFrame =
+    landmarkEdges(s, dir).withColumn("w",
+      lit(1L) + graft.core.Buckets.md5Bucket(
+        concat_ws("|", col("u"), col("v")), 9))
 
   /** The 4 smallest nodes of the landmark graph — a k-sized TakeOrdered,
     * deterministic, oracle-rederivable. */
@@ -1810,16 +1845,9 @@ object SparkEntry {
     // regexp pass and normalized onto exact SI micro-integer BIGINTs (see
     // text.Literals; the q65 planted-input pattern — the synthetic corpus
     // asserts no quantities of its own)
-    "q118_measurements" -> ((s, dir) => {
-      val planted = concat(col("text"),
-        lit(" dist 1,"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-        lit(" km mass "), (col("doc_id") % 90).cast("string"),
-        lit(".5 kg took "), (col("doc_id") % 250).cast("string"),
-        lit("ms len "), (col("doc_id") % 40).cast("string"), lit(" m"))
+    "q118_measurements" -> ((s, dir) =>
       graft.text.Literals.measurements(
-        t(s, dir, "documents").select(col("doc_id"), planted.as("text")),
-        "doc_id", "text")
-    }),
+        plantedMeasurementDocs(s, dir), "doc_id", "text")),
     // SPARQL MINUS: every `?e performs ?d` solution whose page does NOT
     // carry a language annotation — the set-difference complement of
     // q114's OPTIONAL, compiled to one left-anti join (see
@@ -2092,6 +2120,74 @@ object SparkEntry {
     // construction, feeds q139's layering directly
     "q150_condensation" -> ((s, dir) =>
       graft.kg.Scc.condensation(s, sccEdges(s, dir))),
+    // bounded-hop weighted SSSP from the landmark seeds: cheapest seed
+    // per node under the lexicographic (dist, seed) path semiring —
+    // the nearest-facility / Voronoi partition of the weighted graph
+    "q151_weighted_sssp" -> ((s, dir) => {
+      val w = weightedLandmarkEdges(s, dir)
+      graft.kg.Sssp.nearestSeed(s, w, landmarkSeeds(w), 6)
+    }),
+    // Borůvka minimum spanning forest, unique under the (w, u, v) total
+    // order — the cheapest connectivity-preserving backbone
+    "q152_mst" -> ((s, dir) =>
+      graft.kg.Mst.forest(s, weightedLandmarkEdges(s, dir))),
+    // full directed reachability over the CYCLIC q138 graph via
+    // Purdom's factorization: SCC collapse → semi-naive fixpoint on
+    // the condensation DAG → expansion back to node pairs (SPARQL p+
+    // proper — unbounded, where q116's closure is hop-capped)
+    "q153_reachability" -> ((s, dir) =>
+      graft.kg.Scc.reachability(s, sccEdges(s, dir))),
+    // SPARQL DESCRIBE under symmetric CBD: all facts touching entities
+    // that use tools — the entity-card query, over the q123 usage union
+    "q154_bgp_describe" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      val store = Kg.triples(linked, NerSpark.Predicates)
+        .select("subj", "pred", "obj").unionByName(cooccurFacts(linked))
+      graft.kg.TriplePatterns.bgpDescribe(store,
+        Seq(("?e", "uses_tool", "?d")), "?e")
+    }),
+    // SPARQL ASK: one boolean per probe — a predicate that exists and
+    // one that cannot, both short-circuited via CollectLimit
+    "q155_bgp_ask" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      val store = Kg.triples(linked, NerSpark.Predicates)
+        .select("subj", "pred", "obj").unionByName(cooccurFacts(linked))
+      val probe = (p: String) =>
+        graft.kg.TriplePatterns.bgpAsk(store, Seq(("?e", p, "?d")))
+          .select(lit(p).as("q"), col("ask"))
+      probe("performs").unionByName(probe("defragments"))
+    }),
+    // Lloyd's k-means over the embedding table, exact-integer
+    // quantized cells, k smallest vec_ids as seeds, 2 rounds — topic
+    // bucketing / IVF coarse quantization (see sim.KMeans)
+    "q156_kmeans" -> ((s, dir) =>
+      graft.sim.KMeans.assign(s, t(s, dir, "embeddings"), 4, 2)),
+    // SPARQL §11 numeric aggregates (SUM / AVG as exact integers) over
+    // micro-encoded measurement literals joined to page provenance —
+    // per-source quantity totals through the BGP compiler
+    "q157_bgp_sum_avg" -> ((s, dir) => {
+      val meas = graft.text.Literals.measurements(
+        plantedMeasurementDocs(s, dir), "doc_id", "text")
+      val qty = meas.filter(col("si_unit") === "m").select(
+        concat(lit("doc://"), col("doc_id").cast("string")).as("subj"),
+        lit("qty_m").as("pred"),
+        col("value_si_micro").cast("string").as("obj")).distinct()
+      val src = t(s, dir, "documents").select(
+        concat(lit("doc://"), col("doc_id").cast("string")).as("subj"),
+        lit("from_source").as("pred"), col("source").as("obj"))
+      graft.kg.TriplePatterns.bgpAggregate(qty.unionByName(src),
+        Seq(("?d", "qty_m", "?v"), ("?d", "from_source", "?src")),
+        groupBy = Seq("?src"),
+        aggs = Seq(("count", "?v", "n_vals"),
+          ("sum", "?v", "total_micro"), ("avg", "?v", "avg_micro")))
+    }),
+    // HyperLogLog token-cardinality sketch: 64 integer-exact registers
+    // + the raw estimate in micros — the mergeable distinct-count
+    // primitive (see quality.Hll)
+    "q158_hll_tokens" -> ((s, dir) =>
+      graft.quality.Hll.tokenSketch(s, t(s, dir, "documents"))),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3525,6 +3621,148 @@ object SparkEntry {
          | FROM dd CROSS JOIN t
          | WINDOW w AS (ORDER BY dist ROWS UNBOUNDED PRECEDING)"""
         .stripMargin.replaceAll("\n", " "),
+    // q151: bounded weighted-path enumeration over the shared weighted
+    // graph; best dist per node, then min seed among paths achieving it
+    // — the (dist, seed) lexicographic semiring replayed set-wise
+    "q151_weighted_sssp" ->
+      s"""WITH RECURSIVE $LandmarkBfsCtes, $WeightedEdgeCtes,
+         | walk(seed, node, dist, hops) AS (
+         |  SELECT node, node, 0::BIGINT, 0 FROM seeds
+         |  UNION SELECT wa.seed, e.v, wa.dist + e.w, wa.hops + 1
+         |   FROM walk wa JOIN wsym e ON e.u = wa.node WHERE wa.hops < 6),
+         | best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+         | SELECT b.node, b.dist, min(wa.seed) AS seed FROM best b
+         |  JOIN walk wa ON wa.node = b.node AND wa.dist = b.dist
+         | GROUP BY b.node, b.dist"""
+        .stripMargin.replaceAll("\n", " "),
+    // q152: the round-free cut-property replay of the unique MSF — an
+    // edge is IN iff its endpoints are not connected by strictly
+    // (w, u, v)-smaller edges (Kruskal's invariant under the total
+    // order); reachability per candidate edge as a bounded recursion
+    "q152_mst" ->
+      s"""WITH RECURSIVE $LandmarkBfsCtes, $WeightedEdgeCtes,
+         | r(eu, ev, ew, node) AS (
+         |  SELECT u, v, w, u FROM wcanon
+         |  UNION SELECT r.eu, r.ev, r.ew, s.v FROM r
+         |   JOIN wsym s ON s.u = r.node
+         |   WHERE s.w < r.ew OR (s.w = r.ew AND
+         |    (least(s.u, s.v) < r.eu OR (least(s.u, s.v) = r.eu
+         |      AND greatest(s.u, s.v) < r.ev))))
+         | SELECT u, v, w FROM wcanon e WHERE NOT EXISTS (
+         |  SELECT 1 FROM r WHERE r.eu = e.u AND r.ev = e.v
+         |   AND r.node = e.v)"""
+        .stripMargin.replaceAll("\n", " "),
+    // q153: the full transitive closure IS the q138 CTEs' reach table —
+    // the oracle replays it directly; the engine factors through the
+    // condensation, the replay recurses over raw edges: same set
+    "q153_reachability" ->
+      s"""WITH RECURSIVE $SccOracleCtes
+         | SELECT src, dst FROM reach""".stripMargin.replaceAll("\n", " "),
+    // q154: DESCRIBE = triples whose subj OR obj binds ?e in
+    // { ?e uses_tool ?d }, over the q123 usage union
+    "q154_bgp_describe" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men
+         |  UNION
+         |  SELECT DISTINCT a.entity_id, 'cooccurs_with', b.entity_id
+         |  FROM men a JOIN men b ON a.doc_id = b.doc_id
+         |   AND a.entity_id <> b.entity_id),
+         | sols AS (SELECT DISTINCT subj AS node FROM tr
+         |  WHERE pred = 'uses_tool')
+         | SELECT DISTINCT t.subj, t.pred, t.obj FROM tr t
+         | WHERE t.subj IN (SELECT node FROM sols)
+         |  OR t.obj IN (SELECT node FROM sols)"""
+        .stripMargin.replaceAll("\n", " "),
+    // q155: ASK per probe — EXISTS over the same usage union
+    "q155_bgp_ask" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men
+         |  UNION
+         |  SELECT DISTINCT a.entity_id, 'cooccurs_with', b.entity_id
+         |  FROM men a JOIN men b ON a.doc_id = b.doc_id
+         |   AND a.entity_id <> b.entity_id)
+         | SELECT 'performs' AS q,
+         |  EXISTS(SELECT 1 FROM tr WHERE pred = 'performs') AS ask
+         | UNION ALL SELECT 'defragments' AS q,
+         |  EXISTS(SELECT 1 FROM tr WHERE pred = 'defragments') AS ask"""
+        .stripMargin.replaceAll("\n", " "),
+    // q156: 2 unrolled Lloyd rounds over offset-quantized integer
+    // cells — seeds = 4 smallest vec_ids, ties on (d2, cluster), empty
+    // clusters keep their centroid via the LEFT join; every sum cast
+    // back to BIGINT (DuckDB sums BIGINT into HUGEINT)
+    "q156_kmeans" ->
+      s"""WITH cells AS (SELECT vec_id, g.j - 1 AS j,
+         |   round(e.embedding[g.j]::DOUBLE * 10000)::BIGINT
+         |    + ${graft.sim.KMeans.Offset} AS vi
+         |  FROM embeddings e CROSS JOIN generate_series(1, 64) g(j)),
+         | sd AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id)::BIGINT
+         |   AS cluster
+         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+         | c0 AS (SELECT sd.cluster, c.j, c.vi AS ci FROM cells c
+         |  JOIN sd ON sd.vec_id = c.vec_id),
+         | d1 AS (SELECT c.vec_id, k.cluster,
+         |   sum((c.vi - k.ci) * (c.vi - k.ci))::BIGINT AS d2
+         |  FROM cells c JOIN c0 k ON k.j = c.j GROUP BY 1, 2),
+         | a1 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+         |    AS rn FROM d1) WHERE rn = 1),
+         | m1 AS (SELECT a.cluster, c.j,
+         |   (sum(c.vi) // count(*))::BIGINT AS mi
+         |  FROM cells c JOIN a1 a ON a.vec_id = c.vec_id GROUP BY 1, 2),
+         | c1 AS (SELECT k.cluster, k.j, coalesce(m.mi, k.ci) AS ci
+         |  FROM c0 k LEFT JOIN m1 m ON m.cluster = k.cluster
+         |   AND m.j = k.j),
+         | dt AS (SELECT c.vec_id, k.cluster,
+         |   sum((c.vi - k.ci) * (c.vi - k.ci))::BIGINT AS d2
+         |  FROM cells c JOIN c1 k ON k.j = c.j GROUP BY 1, 2)
+         | SELECT vec_id, cluster, d2 AS dist2 FROM (SELECT vec_id,
+         |  cluster, d2, row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY d2, cluster) AS rn FROM dt) WHERE rn = 1"""
+        .stripMargin.replaceAll("\n", " "),
+    // q157: per-source numeric aggregates over the distinct
+    // (doc, value) measurement bindings — SUM exact, AVG by integer
+    // division (operands non-negative, so // and DIV agree)
+    "q157_bgp_sum_avg" ->
+      s"""WITH meas AS (${measurementsSql(4096)}),
+         | vals AS (SELECT DISTINCT m.doc_id, m.value_si_micro FROM meas m
+         |  WHERE m.si_unit = 'm')
+         | SELECT d.source AS src, count(*)::BIGINT AS n_vals,
+         |  sum(v.value_si_micro)::BIGINT AS total_micro,
+         |  (sum(v.value_si_micro) // count(*))::BIGINT AS avg_micro
+         | FROM vals v JOIN documents d ON d.doc_id = v.doc_id
+         | GROUP BY d.source""".stripMargin.replaceAll("\n", " "),
+    // q158: the HLL registers + raw estimate replayed with the same
+    // 60-bit md5 hash, bucket = low 6 bits, rank = highest-set-bit
+    // position of the remaining 54 (capped 31), harmonic fold and the
+    // final division all exact BIGINTs
+    "q158_hll_tokens" ->
+      s"""WITH tl AS (SELECT list_filter(string_split_regex(trim(text),
+         |   '\\s+'), x -> x <> '') AS l FROM documents),
+         | tok AS (SELECT unnest(l) AS tok FROM tl),
+         | hx AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         |  FROM tok),
+         | rg AS (SELECT h % 64 AS bucket,
+         |   least(31, 55 - length(bin(h // 64)))::BIGINT AS rk FROM hx),
+         | reg AS (SELECT bucket, max(rk) AS register FROM rg
+         |  GROUP BY bucket),
+         | fb AS (SELECT g.b::BIGINT AS bucket,
+         |   coalesce(reg.register, 0)::BIGINT AS register
+         |  FROM generate_series(0, 63) g(b)
+         |  LEFT JOIN reg ON reg.bucket = g.b),
+         | sm AS (SELECT sum((2 ** (31 - register))::BIGINT)::BIGINT AS s
+         |  FROM fb)
+         | SELECT fb.bucket, fb.register,
+         |  ((${graft.quality.Hll.AlphaMicro}::BIGINT * 4096 * 2147483648)
+         |    // sm.s)::BIGINT AS est_micro
+         | FROM fb CROSS JOIN sm""".stripMargin.replaceAll("\n", " "),
     // q139: longest incoming path per node via the recursive path-depth
     // CTE over the same co-purchase DAG (u < v, so it terminates)
     "q139_dag_layers" ->

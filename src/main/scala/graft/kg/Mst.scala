@@ -1,0 +1,90 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimum spanning forest by Borůvka rounds — the backbone-extraction
+  * operator beside the density family ([[Triangles]], k-truss) and the
+  * connectivity family ([[ConnectedComponents]]): the MSF is the
+  * cheapest subgraph that preserves connectivity, the standard skeleton
+  * for weighted-graph visualization, hierarchical clustering
+  * (single-linkage = MSF + cut), and network-cost analytics.
+  *
+  * Edges are totally ordered by `(w, u, v)` — weight first, canonical
+  * endpoints as tiebreak — so the forest is UNIQUE (the classic
+  * distinct-weights argument applied to the total order), which is what
+  * makes the operator deterministic across runs, partitionings, and
+  * engines, and lets the oracle replay it round-free via the cut
+  * property: an edge is in the MSF iff its endpoints are NOT connected
+  * by strictly smaller edges (Kruskal's invariant under the same order).
+  *
+  * Borůvka round: label both endpoints of every edge with their current
+  * component, keep cross-component edges, and let EACH component pick
+  * its minimum incident cross edge via one map-side-combinable
+  * `min(struct(w, u, v, ...))` aggregate — every picked edge is in the
+  * unique MSF by the cut property, and at least half the components
+  * retire per round, so rounds are O(log n). Component merging runs on
+  * the COMPONENT graph (one node per surviving component, one edge per
+  * picked edge — at most half the current component count), not the
+  * input graph: [[ConnectedComponents.runStar]] contracts it in
+  * O(log²) star rounds, and the node labeling composes through one
+  * label-keyed join. Per-round lineage is truncated with eager
+  * `localCheckpoint`; only the endpoint-labeled edge list and the
+  * persistent edge set are re-referenced within a round.
+  */
+object Mst {
+
+  /** The minimum-spanning-forest edge set `(u, v, w)` of the canonical
+    * weighted undirected graph `(u, v, w)`, unique under the total order
+    * `(w, u, v)`. `maxRounds` is a safety bound far above the O(log n)
+    * Borůvka requirement; the loop exits exactly when no cross-component
+    * edge remains. */
+  def forest(spark: SparkSession, weighted: DataFrame,
+      maxRounds: Int = 32): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = weighted.select(col("u"), col("v"), col("w")).distinct()
+      .persist(lvl)
+    var comp = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var msf = edges.limit(0).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val lab = edges
+        .join(comp.select(col("node").as("u"), col("comp").as("cu")), "u")
+        .join(comp.select(col("node").as("v"), col("comp").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+      // each component's minimum incident cross edge under (w, u, v);
+      // cu/cv ride along behind the ordering keys — (w, u, v) already
+      // identifies the edge uniquely, so they never influence the min
+      val picked = lab
+        .select(col("cu").as("comp"),
+          struct(col("w"), col("u"), col("v"), col("cu"), col("cv")).as("e"))
+        .union(lab.select(col("cv").as("comp"),
+          struct(col("w"), col("u"), col("v"), col("cu"), col("cv")).as("e")))
+        .groupBy("comp").agg(min(col("e")).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"),
+          col("e.cu").as("cu"), col("e.cv").as("cv"))
+        .distinct()
+        .localCheckpoint()
+      converged = picked.isEmpty
+      if (!converged) {
+        msf = msf.unionByName(picked.select("u", "v", "w")).localCheckpoint()
+        // contract on the component graph: one edge per picked MSF edge,
+        // nodes = component labels — at most half the components survive
+        val contracted = ConnectedComponents.runStar(spark,
+          picked.select(col("cu").as("src"), col("cv").as("dst")))
+        comp = comp
+          .join(contracted.withColumnRenamed("node", "comp"),
+            Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("component"), col("comp")).as("comp"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    msf
+  }
+}

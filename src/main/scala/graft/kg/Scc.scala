@@ -186,8 +186,13 @@ object Scc {
     * of the [[run]] fixpoint; self-loops and intra-component edges
     * drop before the aggregate. */
   def condensation(spark: SparkSession, edges: DataFrame,
-      maxRounds: Int = 300, localCutoff: Long = 2000000L): DataFrame = {
-    val labels = run(spark, edges, maxRounds, localCutoff)
+      maxRounds: Int = 300, localCutoff: Long = 2000000L): DataFrame =
+    condenseWith(run(spark, edges, maxRounds, localCutoff), edges)
+
+  /** [[condensation]]'s label-joining core over an ALREADY-computed
+    * labeling — shared with [[reachability]] so the composition never
+    * runs the SCC fixpoint twice. */
+  private def condenseWith(labels: DataFrame, edges: DataFrame): DataFrame = {
     val e = edges.select("src", "dst").filter(col("src") =!= col("dst"))
       .distinct()
     e.join(labels.withColumnRenamed("node", "src")
@@ -196,6 +201,50 @@ object Scc {
         .withColumnRenamed("scc", "cdst"), "dst")
       .filter(col("csrc") =!= col("cdst"))
       .groupBy("csrc", "cdst").agg(count(lit(1)).as("n_edges"))
+  }
+
+  /** FULL directed reachability `(src, dst)` — every ordered pair
+    * connected by a path of ≥ 1 edges, cycles included — via Purdom's
+    * factorization: transitive closure is constant on strongly
+    * connected components, so collapse FIRST ([[run]]), run the
+    * semi-naive fixpoint ([[TriplePatterns.closureFixpoint]]) on the
+    * condensation DAG — orders of magnitude smaller than the input
+    * graph, and acyclic so the delta loop terminates in DAG-depth
+    * rounds — then expand component pairs back to node pairs:
+    *
+    *   - intra: every ordered pair (self included — a node on a cycle
+    *     reaches itself) within each component of size ≥ 2;
+    *   - inter: members(csrc) × members(cdst) for every closure pair
+    *     of the condensation;
+    *   - self-loops on singleton components (the one cycle the
+    *     collapse cannot see) patched back explicitly.
+    *
+    * The three parts are disjoint by construction (same-vs-different
+    * component, and the self-loop patch anti-joins the multi-member
+    * side), each internally duplicate-free, so the union needs NO
+    * final distinct — the expansion emits exactly the output pairs,
+    * never a wasted intermediate. The output is the closure itself:
+    * quadratic in component sizes by definition, which is the
+    * inherent bound, not a plan artifact. */
+  def reachability(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 300, localCutoff: Long = 2000000L): DataFrame = {
+    val labels = run(spark, edges, maxRounds, localCutoff)
+    val cond = condenseWith(labels, edges)
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+    val cc = TriplePatterns.closureFixpoint(cond)
+      .select(col("src").as("cs"), col("dst").as("cd"))
+    val sizes = labels.groupBy("scc").agg(count(lit(1)).as("sz"))
+    val multi = labels.join(sizes.filter(col("sz") >= 2).select("scc"), "scc")
+    val intra = multi.as("a").join(multi.as("b"), "scc")
+      .select(col("a.node").as("src"), col("b.node").as("dst"))
+    val inter = labels.select(col("node").as("src"), col("scc").as("cs"))
+      .join(cc, "cs")
+      .join(labels.select(col("node").as("dst"), col("scc").as("cd")), "cd")
+      .select("src", "dst")
+    val selfExtra = edges.filter(col("src") === col("dst"))
+      .select("src", "dst").distinct()
+      .join(multi.select(col("node").as("src")), Seq("src"), "left_anti")
+    intra.unionByName(inter).unionByName(selfExtra)
   }
 
   /** Iterative (explicit-stack) Tarjan over the collected residue —

@@ -99,6 +99,45 @@ object TriplePatterns {
     df.select(vars.map(col): _*)
   }
 
+  /** SPARQL ASK (§16.3): does the BGP have at least one solution?
+    * Returns ONE row `(ask BOOLEAN)`. The plan is an existence probe,
+    * not a count: the compiled solutions are `limit(1)`-gated before
+    * the aggregate, so Spark's `CollectLimit` short-circuits scanning
+    * as soon as the first solution materializes — the engine never
+    * pays for the full solution set to answer a boolean. */
+  def bgpAsk(triples: DataFrame,
+      patterns: Seq[(String, String, String)]): DataFrame =
+    bgp(triples, patterns).limit(1)
+      .agg((count(lit(1)) > 0).as("ask"))
+
+  /** SPARQL DESCRIBE (§16.4) under the symmetric concise-bounded-
+    * description convention: every triple whose subject OR object is a
+    * binding of `describeVar` in the BGP's solutions — the entity-card
+    * query a KG front-end issues per page. The spec leaves the
+    * description form to the implementation; symmetric CBD (outgoing
+    * plus incoming facts, one hop) is the common choice and the useful
+    * one for doc-grounded graphs where provenance points AT entities.
+    *
+    * Scale shape: the solutions project to ONE distinct node column,
+    * then the triple store is probed twice by left-SEMI equi-join
+    * (subject side, object side) — semi joins never widen the triple
+    * rows, AQE broadcasts the node set while it measures small, and
+    * the final distinct collapses the subject∩object overlap. */
+  def bgpDescribe(triples: DataFrame,
+      patterns: Seq[(String, String, String)],
+      describeVar: String): DataFrame = {
+    val sols = bgp(triples, patterns)
+    require(describeVar.startsWith("?") &&
+      sols.columns.contains(describeVar.drop(1)),
+      s"DESCRIBE $describeVar must be a bound variable of the BGP")
+    val nodes = sols.select(col(describeVar.drop(1)).as("node")).distinct()
+    val t = triples.select("subj", "pred", "obj")
+    t.join(nodes.withColumnRenamed("node", "subj"), Seq("subj"), "left_semi")
+      .unionByName(t.join(nodes.withColumnRenamed("node", "obj"),
+        Seq("obj"), "left_semi").select("subj", "pred", "obj"))
+      .distinct()
+  }
+
   /** [[bgp]] with SPARQL OPTIONAL groups: each group in `optionals` is a
     * BGP compiled like the required `patterns` and LEFT-joined onto the
     * solutions bound so far on their shared variables (groups bind
@@ -273,7 +312,8 @@ object TriplePatterns {
     val keys = groupBy.map(varName(_, "GROUP BY variable"))
     require(aggs.nonEmpty, "aggregate projection needs at least one aggregate")
     val aggCols = aggs.map { case (fn, v, alias) =>
-      val c = col(varName(v, s"$fn argument"))
+      val name = varName(v, s"$fn argument")
+      val c = col(name)
       (fn match {
         case "count" => count(c)
         case "count_distinct" => countDistinct(c)
@@ -282,6 +322,14 @@ object TriplePatterns {
         // deterministic GROUP_CONCAT: distinct + sorted (collect_set's
         // arrival order is run-dependent; array_sort pins it)
         case "group_concat" => array_join(array_sort(collect_set(c)), "|")
+        // §11 numeric aggregates over integer-literal bindings (the
+        // exact-micros discipline: terms are BIGINT, so SUM is exact
+        // and AVG is one integer division — `DIV` truncates like
+        // DuckDB's `//` floors only on non-negative operands, which
+        // micro-encoded quantities are by construction)
+        case "sum" => sum(c.cast("long"))
+        case "avg" => expr(
+          s"sum(CAST(`$name` AS BIGINT)) DIV count(`$name`)")
         case other => throw new IllegalArgumentException(
           s"unsupported aggregate '$other'")
       }).as(alias)
@@ -463,6 +511,45 @@ object TriplePatterns {
       frontier = next
     }
     reached.select(col("src").as("subj"), col("dst").as("obj"), col("hops"))
+  }
+
+  /** UNBOUNDED reachability (SPARQL `p+` proper) to a fixpoint — the
+    * datalog semi-naive evaluation [[closure]]'s fixed hop bound
+    * approximates: every ordered `(src, dst)` pair connected by a
+    * directed path of ≥ 1 edges, SET semantics, cycles included
+    * (a node on a cycle reaches itself). Each round extends ONLY the
+    * delta — the pairs first discovered last round — by one edge and
+    * anti-joins the accumulated set (a pair is discovered exactly at
+    * its minimal hop count, so the delta shrinks to empty at the true
+    * transitive closure), with an exact empty-delta early exit. Rounds
+    * are data-dependent (the graph's directed diameter), bounded by
+    * `maxRounds` against pathological chains; per-round deltas are
+    * persisted (each is anti-joined and re-unioned every later round),
+    * the cumulative union — a free re-concatenation of cached deltas —
+    * never is: the [[Bfs]] residency contract. The output is the
+    * closure itself, quadratic in the worst case; callers with cyclic
+    * graphs should prefer [[Scc.reachability]], which collapses
+    * strongly connected components FIRST and runs this loop on the
+    * (small) condensation DAG. */
+  def closureFixpoint(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    var reached = e
+    var delta = e
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = delta.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid"), col("dst")), "mid")
+        .select("src", "dst").distinct()
+        .join(reached, Seq("src", "dst"), "left_anti")
+        .persist(lvl)
+      converged = next.isEmpty
+      reached = reached.unionByName(next)
+      delta = next
+      round += 1
+    }
+    reached
   }
 
   /** [[bgp]] with a SPARQL MINUS group: solutions of `patterns` that are

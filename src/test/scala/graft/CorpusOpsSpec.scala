@@ -1017,4 +1017,144 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(2), r.getString(3))).sortBy(identity)
     assert(got.toSeq == Seq((4L, "2,000", "m"), (4L, "7.25", "m")))
   }
+
+  test("closureFixpoint reaches the full transitive closure, cycles included") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    // chain a→b→c→d plus cycle d→b: b,c,d all reach each other AND
+    // themselves; a reaches everything but is reached by nothing
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "b"))
+      .toDF("src", "dst")
+    val got = TriplePatterns.closureFixpoint(e).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val cyc = Set("b", "c", "d")
+    val expect = cyc.flatMap(x => cyc.map(x -> _)) ++ cyc.map("a" -> _)
+    assert(got == expect)
+    // early exit: a DAG chain converges in depth rounds under any cap
+    val dag = TriplePatterns.closureFixpoint(
+      Seq(("1", "2"), ("2", "3")).toDF("src", "dst")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dag == Set(("1", "2"), ("2", "3"), ("1", "3")))
+  }
+
+  test("Scc.reachability equals a driver-side closure on a mixed graph") {
+    import spark.implicits._
+    import graft.kg.Scc
+    // two cycles bridged into a DAG, a singleton self-loop, a pendant:
+    // {1,2,3} cycle → 4 → {5,6} cycle → 7; 8→8; 9→1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 5L), (6L, 7L), (8L, 8L), (9L, 1L)).toDF("src", "dst")
+    // reference: iterate boolean matrix closure on the driver
+    val es = Seq((1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5),
+      (6, 7), (8, 8), (9, 1))
+    var reach = es.toSet
+    var grew = true
+    while (grew) {
+      val next = reach ++ (for ((a, b) <- reach; (c, d) <- es if b == c)
+        yield (a, d))
+      grew = next.size != reach.size
+      reach = next
+    }
+    val got = Scc.reachability(spark, edges).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt)).toSet
+    assert(got == reach)
+  }
+
+  test("bgpDescribe returns the symmetric CBD of the bound entities") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("e1", "uses_tool", "doc://1"), ("e1", "performs", "doc://2"),
+      ("e2", "cooccurs_with", "e1"), ("e2", "performs", "doc://3"),
+      ("e3", "performs", "doc://4")).toDF("subj", "pred", "obj")
+    // ?e binds only e1; description = e1's outgoing facts PLUS the
+    // incoming cooccurs edge; e2's own performs and e3 stay out
+    val got = TriplePatterns.bgpDescribe(tr,
+      Seq(("?e", "uses_tool", "?d")), "?e").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("e1", "uses_tool", "doc://1"), ("e1", "performs", "doc://2"),
+      ("e2", "cooccurs_with", "e1")))
+    // unbound variable name is a caller bug, not a silent empty result
+    intercept[IllegalArgumentException] {
+      TriplePatterns.bgpDescribe(tr, Seq(("?e", "uses_tool", "?d")), "?zz")
+    }
+  }
+
+  test("KMeans.assign: hand-computed 2-round Lloyd with a reassignment") {
+    import spark.implicits._
+    import graft.sim.KMeans
+    // v2 starts as its own seed centroid, then round 2 reassigns it to
+    // cluster 1 after the means move — the step that distinguishes
+    // Lloyd from one-shot nearest-seed
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f)),
+      (3L, Seq(10.0f, 10.0f)), (4L, Seq(10.0f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    val got = KMeans.assign(spark, emb, 2, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 0L)), 2L -> ((1L, 1000000L)),
+      3L -> ((2L, 2178000000L)), 4L -> ((2L, 2245000000L))))
+  }
+
+  test("Hll.tokenSketch matches a driver-side register replay") {
+    import spark.implicits._
+    import graft.quality.Hll
+    val docs = Seq((1L, "alpha beta gamma  alpha"), (2L, "delta beta eps"))
+      .toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val regs = Array.fill(64)(0L)
+    Seq("alpha", "beta", "gamma", "delta", "eps").foreach { tok =>
+      val h = java.lang.Long.parseLong(md5hex(tok).take(15), 16)
+      val w = h >> 6
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(w)
+      val rank = math.min(31L, 55L - bitlen)
+      val b = (h % 64).toInt
+      regs(b) = math.max(regs(b), rank)
+    }
+    val s = regs.map(r => 1L << (31 - r)).sum
+    val est = Hll.AlphaMicro * 4096L * 2147483648L / s
+    val got = Hll.tokenSketch(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == regs.zipWithIndex
+      .map { case (r, b) => (b.toLong, r, est) }.toSet)
+    // set semantics by construction: duplicate tokens change nothing
+    val dup = Hll.tokenSketch(spark,
+      Seq((1L, "alpha alpha alpha beta gamma delta beta eps"))
+        .toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dup == got)
+  }
+
+  test("bgpAggregate sum and avg fold exact integers per group") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("d1", "qty", "10"), ("d1", "src", "a"),
+      ("d2", "qty", "20"), ("d2", "src", "a"),
+      ("d3", "qty", "7"), ("d3", "src", "b")).toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgpAggregate(tr,
+      Seq(("?d", "qty", "?v"), ("?d", "src", "?s")),
+      groupBy = Seq("?s"),
+      aggs = Seq(("sum", "?v", "tot"), ("avg", "?v", "avg_v")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map("a" -> ((30L, 15L)), "b" -> ((7L, 7L))))
+  }
+
+  test("bgpAsk answers existence without enumerating solutions") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(("e1", "performs", "doc://1")).toDF("subj", "pred", "obj")
+    assert(TriplePatterns.bgpAsk(tr, Seq(("?e", "performs", "?d")))
+      .collect().map(_.getBoolean(0)).toSeq == Seq(true))
+    assert(TriplePatterns.bgpAsk(tr, Seq(("?e", "defragments", "?d")))
+      .collect().map(_.getBoolean(0)).toSeq == Seq(false))
+    // a two-pattern BGP with no join partner is also a clean false
+    assert(TriplePatterns.bgpAsk(tr,
+      Seq(("?e", "performs", "?d"), ("?d", "in_lang", "?lg")))
+      .collect().map(_.getBoolean(0)).toSeq == Seq(false))
+  }
 }

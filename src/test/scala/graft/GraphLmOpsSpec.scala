@@ -909,4 +909,96 @@ class GraphLmOpsSpec extends AnyFunSuite {
     assert(h(2L) == ((2L, 1000000L + 333333L)))// 1 hop + 3 hops
     assert(!h.contains(8L) && !h.contains(9L)) // unreached component
   }
+
+  private def wedges(triples: (Long, Long, Long)*) = {
+    import spark.implicits._
+    triples.toDF("u", "v", "w")
+  }
+
+  test("Sssp nearestSeed: closed forms — tie-break, hop bound, unreached") {
+    import spark.implicits._
+    import graft.kg.Sssp
+    // 1-2(1), 2-3(1), 1-3(5), 3-4(2); seeds {1, 4}: node 3 is dist 2
+    // from BOTH seeds (1→2→3 and 4→3) — the tie must break to seed 1
+    val g = wedges((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 2L))
+    val got = Sssp.nearestSeed(spark, g, Seq(1L, 4L).toDF("node"), 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((0L, 1L)), 4L -> ((0L, 4L)),
+      2L -> ((1L, 1L)), 3L -> ((2L, 1L))))
+    // hop bound: chain 1-2-3 with maxHops 1 never reaches 3; and the
+    // cheap-but-long path loses to the direct edge under the bound
+    val chain = wedges((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 9L))
+    val capped = Sssp.nearestSeed(spark, chain, Seq(1L).toDF("node"), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 9L))
+    // disconnected 8-9 stays unreached
+    val disc = Sssp.nearestSeed(spark,
+      wedges((1L, 2L, 1L), (8L, 9L, 1L)), Seq(1L).toDF("node"), 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(disc == Set(1L, 2L))
+  }
+
+  test("Sssp nearestSeed: differential vs driver-side Dijkstra") {
+    import graft.kg.Sssp
+    // deterministic pseudo-random graph: 24 nodes, md5-free arithmetic mix
+    val tri = (0 until 60).map { i =>
+      val a = (i * 37 + 11) % 24; val b = (i * 53 + 7) % 24
+      (math.min(a, b).toLong, math.max(a, b).toLong, ((i * 29) % 9 + 1).toLong)
+    }.filter(t => t._1 != t._2).distinct
+    val seeds = Seq(0L, 7L, 13L)
+    // reference: lexicographic-(dist, seed) Dijkstra over the same graph
+    val adj = (tri.map(t => (t._1, (t._2, t._3))) ++
+      tri.map(t => (t._2, (t._1, t._3)))).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val maxHops = 8
+    // bounded Bellman-Ford on the driver: exact replay of the semantics
+    var best = seeds.map(s => s -> ((0L, s))).toMap
+    (1 to maxHops).foreach { _ =>
+      val cand = best.toSeq.flatMap { case (n, (d, s)) =>
+        adj.getOrElse(n, Nil).map { case (m, w) => m -> ((d + w, s)) } }
+      val merged = (best.toSeq ++ cand).groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).min }
+      best = merged
+    }
+    val got = Sssp.nearestSeed(spark,
+      wedges(tri: _*), { import spark.implicits._; seeds.toDF("node") },
+      maxHops)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == best)
+  }
+
+  test("Mst forest: closed forms — triangle cut, tie order, two components") {
+    import graft.kg.Mst
+    // triangle 1-2(1) 2-3(2) 1-3(3) + separate component 5-6(4): the
+    // heaviest triangle edge is cut, the isolated pair keeps its edge
+    val got = Mst.forest(spark,
+      wedges((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L), (5L, 6L, 4L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (5L, 6L, 4L)))
+    // equal weights: the (w, u, v) total order drops (2,3) — Kruskal
+    // under that order adds (1,2) then (1,3) and rejects the cycle edge
+    val tie = Mst.forest(spark,
+      wedges((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tie == Set((1L, 2L, 1L), (1L, 3L, 1L)))
+  }
+
+  test("Mst forest: differential vs driver-side Kruskal") {
+    import graft.kg.Mst
+    val tri = (0 until 70).map { i =>
+      val a = (i * 41 + 5) % 20; val b = (i * 59 + 13) % 20
+      (math.min(a, b).toLong, math.max(a, b).toLong, ((i * 31) % 7 + 1).toLong)
+    }.filter(t => t._1 != t._2).distinct
+    // reference: Kruskal with union-find under the same (w, u, v) order
+    val parent = scala.collection.mutable.Map((0L until 20L).map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    val expect = tri.sortBy(t => (t._3, t._1, t._2)).flatMap { case (u, v, w) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+    }.toSet
+    val got = Mst.forest(spark, wedges(tri: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
 }
