@@ -596,6 +596,11 @@ object SparkEntry {
     * a majority backbone. */
   private val KTrussK = 4
 
+  /** q161's filter width: small enough that deterministic false
+    * positives actually appear at verify scale (the interesting rows),
+    * large enough that the pass set stays selective. */
+  private val BloomBits = 4096
+
   /** q148's engine-measured peel depth per sf dir — the [[KCoreRoundsMemo]]
     * contract for the truss. */
   private val KTrussRoundsMemo =
@@ -2188,6 +2193,38 @@ object SparkEntry {
     // primitive (see quality.Hll)
     "q158_hll_tokens" -> ((s, dir) =>
       graft.quality.Hll.tokenSketch(s, t(s, dir, "documents"))),
+    // gaps-and-islands interval coalescing: per-user event validity
+    // windows (deterministic duration from event_id) merged into
+    // minimal disjoint extents — the temporal-KG canonicalization
+    // beside q142's SCD2 (see kg.Intervals)
+    "q159_interval_islands" -> ((s, dir) => {
+      val sec = col("ts").cast("timestamp").cast("long")
+      val iv = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        sec.as("s"), (sec + (col("event_id") % 300 + 60)).as("e"))
+      graft.kg.Intervals.coalesceIslands(iv, "user_id", "event_id", "s", "e")
+    }),
+    // EXACT all-pairs set-similarity join by prefix filtering over
+    // 3-gram shingle prints — the lossless counterpart of q15's LSH
+    // (see dedup.SetSim; theorem-complete candidates, integer Jaccard)
+    "q160_setsim_join" -> ((s, dir) =>
+      graft.dedup.SetSim.join(s,
+        graft.dedup.Decontam.gramFingerprints(t(s, dir, "documents"), 3)
+          .select(col("doc_id"), col("gh").as("item")), 500000L)),
+    // Bloom-filter join pre-filtering: bits built from the negative-
+    // balance customer keys, orders probed BEFORE any shuffle; output
+    // keeps the deterministic false positives visible (see core.Bloom)
+    "q161_bloom_join" -> ((s, dir) => {
+      val neg = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"))
+      val bits = graft.core.Bloom.build(neg, "c_custkey", BloomBits, 3)
+      val passed = graft.core.Bloom.mightContain(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        "o_custkey", bits, BloomBits, 3)
+      passed.join(neg.select(col("c_custkey").as("o_custkey"),
+          lit(false).as("is_fp")), Seq("o_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"),
+          coalesce(col("is_fp"), lit(true)).as("is_fp"))
+    }),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3763,6 +3800,71 @@ object SparkEntry {
          |  ((${graft.quality.Hll.AlphaMicro}::BIGINT * 4096 * 2147483648)
          |    // sm.s)::BIGINT AS est_micro
          | FROM fb CROSS JOIN sm""".stripMargin.replaceAll("\n", " "),
+    // q159: the gaps-and-islands window replayed verbatim — new island
+    // when start exceeds the running max of previous ends
+    "q159_interval_islands" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |   floor(epoch(ts::timestamp))::bigint AS s,
+        |   floor(epoch(ts::timestamp))::bigint + event_id % 300 + 60 AS e
+        |  FROM events),
+        | fl AS (SELECT user_id, event_id, s, e,
+        |   CASE WHEN max(e) OVER pm IS NULL OR s > max(e) OVER pm
+        |    THEN 1 ELSE 0 END AS isnew
+        |  FROM iv WINDOW pm AS (PARTITION BY user_id
+        |   ORDER BY s, e, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        | isl AS (SELECT user_id, s, e, sum(isnew) OVER
+        |   (PARTITION BY user_id ORDER BY s, e, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM fl)
+        | SELECT user_id, island::BIGINT AS island,
+        |  min(s)::BIGINT AS island_start, max(e)::BIGINT AS island_end,
+        |  count(*)::BIGINT AS n_intervals
+        | FROM isl GROUP BY user_id, island"""
+        .stripMargin.replaceAll("\n", " "),
+    // q160: brute-force all-pairs Jaccard over the same 3-gram prints —
+    // the prefix filter is lossless by theorem, so the exhaustive
+    // replay IS the contract; the gate cross-multiplies, no division
+    "q160_setsim_join" ->
+      """WITH toks AS (SELECT doc_id,
+        |   string_split_regex(trim(text), '\s+') AS t FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, len(t) - 1),
+        |   i -> list_aggregate(t[i:i+2], 'string_agg', ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        | fp AS (SELECT DISTINCT doc_id,
+        |   ('0x' || substr(md5(g), 1, 12))::BIGINT AS gh FROM sh),
+        | ln AS (SELECT doc_id, count(*) AS len FROM fp GROUP BY doc_id),
+        | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   count(*) AS inter FROM fp a JOIN fp b ON a.gh = b.gh
+        |   AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        | SELECT p.doc_a, p.doc_b, p.inter::BIGINT AS inter,
+        |  (la.len + lb.len - p.inter)::BIGINT AS union_sz,
+        |  ((p.inter * 1000000) // (la.len + lb.len - p.inter))::BIGINT
+        |   AS jacc_micro
+        | FROM pairs p JOIN ln la ON la.doc_id = p.doc_a
+        |  JOIN ln lb ON lb.doc_id = p.doc_b
+        | WHERE p.inter * 1000000 >= (la.len + lb.len - p.inter) * 500000"""
+        .stripMargin.replaceAll("\n", " "),
+    // q161: the filter bits and all three salted probes replayed with
+    // the shared md5 bucket formula; is_fp = passed but not a member
+    "q161_bloom_join" ->
+      s"""WITH neg AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+         | bits AS (SELECT DISTINCT ('0x' || substr(md5(
+         |    c_custkey::varchar || '#' || i), 1, 8))::BIGINT % $BloomBits
+         |   AS bit FROM neg CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+         | pass AS (SELECT o_orderkey, o_custkey FROM orders p
+         |  WHERE EXISTS (SELECT 1 FROM bits b WHERE b.bit = ('0x' ||
+         |    substr(md5(p.o_custkey::varchar || '#0'), 1, 8))::BIGINT
+         |     % $BloomBits)
+         |   AND EXISTS (SELECT 1 FROM bits b WHERE b.bit = ('0x' ||
+         |    substr(md5(p.o_custkey::varchar || '#1'), 1, 8))::BIGINT
+         |     % $BloomBits)
+         |   AND EXISTS (SELECT 1 FROM bits b WHERE b.bit = ('0x' ||
+         |    substr(md5(p.o_custkey::varchar || '#2'), 1, 8))::BIGINT
+         |     % $BloomBits))
+         | SELECT p.o_orderkey, p.o_custkey, (n.c_custkey IS NULL) AS is_fp
+         | FROM pass p LEFT JOIN neg n ON n.c_custkey = p.o_custkey"""
+        .stripMargin.replaceAll("\n", " "),
     // q139: longest incoming path per node via the recursive path-depth
     // CTE over the same co-purchase DAG (u < v, so it terminates)
     "q139_dag_layers" ->

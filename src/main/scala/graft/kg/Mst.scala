@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
   * retire per round, so rounds are O(log n). Component merging runs on
   * the COMPONENT graph (one node per surviving component, one edge per
   * picked edge — at most half the current component count), not the
-  * input graph: [[ConnectedComponents.runStar]] contracts it in
-  * O(log²) star rounds, and the node labeling composes through one
-  * label-keyed join. Per-round lineage is truncated with eager
+  * input graph, behind a MEASURED size gate: a comp graph under the
+  * cutoff contracts by union-find on the driver (the q42 / Scc-residue
+  * bounded-collect discipline — nesting the distributed star loop
+  * inside every Borůvka round costs hundreds of tiny scheduler
+  * round-trips, measured 13.7 → 4.1 s at sf0.1), while one above it
+  * takes [[ConnectedComponents.runStar]]'s O(log²) distributed star
+  * rounds; the node labeling composes through one label-keyed join
+  * either way. Per-round lineage is truncated with eager
   * `localCheckpoint`; only the endpoint-labeled edge list and the
   * persistent edge set are re-referenced within a round.
   */
@@ -40,7 +45,7 @@ object Mst {
     * Borůvka requirement; the loop exits exactly when no cross-component
     * edge remains. */
   def forest(spark: SparkSession, weighted: DataFrame,
-      maxRounds: Int = 32): DataFrame = {
+      maxRounds: Int = 32, localCutoff: Long = 2000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = weighted.select(col("u"), col("v"), col("w")).distinct()
       .persist(lvl)
@@ -73,9 +78,16 @@ object Mst {
       if (!converged) {
         msf = msf.unionByName(picked.select("u", "v", "w")).localCheckpoint()
         // contract on the component graph: one edge per picked MSF edge,
-        // nodes = component labels — at most half the components survive
-        val contracted = ConnectedComponents.runStar(spark,
-          picked.select(col("cu").as("src"), col("cv").as("dst")))
+        // nodes = component labels — at most half the components
+        // survive. The comp graph is MEASURED: below the cutoff it is
+        // union-find on the driver (the q42 / Scc-residue bounded-
+        // collect discipline — the iterative star loop on a tiny graph
+        // costs hundreds of scheduler round-trips, measured 13.7 vs
+        // 4.1 s at sf0.1); above it, the distributed O(log²) star loop.
+        val cedges = picked.select(col("cu").as("src"), col("cv").as("dst"))
+        val contracted =
+          if (picked.count() <= localCutoff) driverContract(spark, cedges)
+          else ConnectedComponents.runStar(spark, cedges)
         comp = comp
           .join(contracted.withColumnRenamed("node", "comp"),
             Seq("comp"), "left")
@@ -86,5 +98,43 @@ object Mst {
       round += 1
     }
     msf
+  }
+
+  /** Union-find contraction of the (measured-bounded, collected)
+    * component graph, labels = class minimum under the natural
+    * ordering — the same output contract as
+    * [[ConnectedComponents.runStar]], so the two gate arms are
+    * interchangeable. Iterative find with full path compression: no
+    * recursion, so a worst-case chain cannot overflow the stack. */
+  private def driverContract(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rows = edges.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) parent(ra) = rb
+    }
+    val cmp = Ordering.fromLessThan[Any](
+      (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+    val labels = rows.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+      .groupBy(find).values.flatMap { members =>
+        val mn = members.min(cmp)
+        members.map(m => Row(m, mn))
+      }.toSeq
+    val dt = edges.schema(0).dataType
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(labels, 1),
+      StructType(Seq(StructField("node", dt), StructField("component", dt))))
   }
 }

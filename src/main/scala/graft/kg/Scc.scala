@@ -207,10 +207,11 @@ object Scc {
     * connected by a path of ≥ 1 edges, cycles included — via Purdom's
     * factorization: transitive closure is constant on strongly
     * connected components, so collapse FIRST ([[run]]), run the
-    * semi-naive fixpoint ([[TriplePatterns.closureFixpoint]]) on the
-    * condensation DAG — orders of magnitude smaller than the input
-    * graph, and acyclic so the delta loop terminates in DAG-depth
-    * rounds — then expand component pairs back to node pairs:
+    * path-doubling fixpoint ([[TriplePatterns.closureFixpoint]]) on
+    * the condensation DAG — orders of magnitude smaller than the
+    * input graph, and acyclic so the loop converges in
+    * ⌈log₂ depth⌉ + 1 doubling rounds — then expand component pairs
+    * back to node pairs:
     *
     *   - intra: every ordered pair (self included — a node on a cycle
     *     reaches itself) within each component of size ≥ 2;

@@ -1144,6 +1144,89 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Map("a" -> ((30L, 15L)), "b" -> ((7L, 7L))))
   }
 
+  test("Intervals.coalesceIslands merges touching, splits gapped") {
+    import spark.implicits._
+    import graft.kg.Intervals
+    // key 1: [0,10] overlaps [5,15], [15,20] TOUCHES (closed semantics)
+    // → one island; [30,40] gapped → its own. key 2: single interval
+    val iv = Seq(
+      (1L, 10L, 0L, 10L), (1L, 11L, 5L, 15L), (1L, 12L, 15L, 20L),
+      (1L, 13L, 30L, 40L), (2L, 20L, 7L, 9L))
+      .toDF("user_id", "event_id", "s", "e")
+    val got = Intervals.coalesceIslands(iv, "user_id", "event_id", "s", "e")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 1L, 0L, 20L, 3L), (1L, 2L, 30L, 40L, 1L), (2L, 1L, 7L, 9L, 1L)))
+    // an interval CONTAINED in a prior one must not split the island:
+    // [0,100], [10,20], [30,40] is ONE island (running-max, not lag)
+    val contained = Intervals.coalesceIslands(
+      Seq((1L, 1L, 0L, 100L), (1L, 2L, 10L, 20L), (1L, 3L, 30L, 40L))
+        .toDF("user_id", "event_id", "s", "e"),
+      "user_id", "event_id", "s", "e").collect()
+    assert(contained.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq == Seq((0L, 100L, 3L)))
+  }
+
+  test("SetSim.join: closed form and lossless vs brute force") {
+    import spark.implicits._
+    import graft.dedup.SetSim
+    val items = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "e"),
+      (3L, "z")).map { case (d, i) => (d, i) }.toDF("doc_id", "item")
+    val got = SetSim.join(spark, items, 500000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set((1L, 2L, 3L, 5L, 600000L)))
+    // lossless property on a pseudo-random instance: every pair the
+    // brute force finds, the prefix-filtered join must also find
+    val rnd = (0 until 30).flatMap { d =>
+      (0 until 12).map(i => (d.toLong, s"t${(d * 7 + i * 11) % 40}"))
+    }.distinct
+    val sets = rnd.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if inter * 1000000L >= uni * 500000L
+    } yield (a, b, inter.toLong, uni.toLong,
+        inter * 1000000L / uni)).toSet
+    val eng = SetSim.join(spark, rnd.toDF("doc_id", "item"), 500000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(eng == brute)
+  }
+
+  test("Bloom: no false negatives; false positives match a driver replay") {
+    import spark.implicits._
+    import graft.core.Bloom
+    val members = (1L to 40L).filter(_ % 3 == 0)
+    val keys = members.toDF("k")
+    val m = 64
+    val bits = Bloom.build(keys, "k", m, 3)
+    val probe = (1L to 200L).toDF("k")
+    val got = Bloom.mightContain(probe, "k", bits, m, 3)
+      .collect().map(_.getLong(0)).toSet
+    // driver replay of the same md5 bit math
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bit(key: Long, i: Int) =
+      java.lang.Long.parseLong(md5hex(s"$key#$i").take(8), 16) % m
+    val bitSet = members.flatMap(k => (0 until 3).map(i => bit(k, i))).toSet
+    val expect = (1L to 200L)
+      .filter(k => (0 until 3).forall(i => bitSet(bit(k, i)))).toSet
+    assert(got == expect)
+    assert(members.toSet.subsetOf(got)) // the Bloom guarantee
+    // multiplicity preserved: duplicate probe rows survive as rows
+    val dup = Bloom.mightContain(
+      Seq(3L, 3L, 5L).toDF("k"), "k", bits, m, 3).count()
+    assert(dup == 2L || dup == 3L) // 3 twice; 5 only if a false positive
+    assert(dup == (if (expect(5L)) 3L else 2L))
+  }
+
   test("bgpAsk answers existence without enumerating solutions") {
     import spark.implicits._
     import graft.kg.TriplePatterns
