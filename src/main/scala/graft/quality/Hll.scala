@@ -54,9 +54,15 @@ object Hll {
       .select(col("bucket"),
         coalesce(col("register"), lit(0L)).as("register"))
     val numer = AlphaMicro * Buckets * Buckets // fits: ~2.9e9
-    val est = full
-      .agg(sum(expr("CAST(power(2, 31 - register) AS BIGINT)")).as("s"))
-      .select(expr(s"${numer}L * 2147483648L DIV s").as("est_micro"))
-    full.crossJoin(est)
+    // the harmonic fold rides an unpartitioned window — over exactly
+    // the m = 64 register rows, so the single-task frame is a constant,
+    // never a corpus funnel (and no 1-row cross join enters the plan)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    full
+      .withColumn("s",
+        sum(expr("CAST(power(2, 31 - register) AS BIGINT)")).over(w))
+      .withColumn("est_micro", expr(s"${numer}L * 2147483648L DIV s"))
+      .drop("s")
   }
 }
