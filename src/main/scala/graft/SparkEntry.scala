@@ -2225,6 +2225,23 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"),
           coalesce(col("is_fp"), lit(true)).as("is_fp"))
     }),
+    // ordered-step funnel: view → click → purchase within 7 days of
+    // the previous step — per-user step times with NULL-preserving
+    // drop-off (see events.Funnel)
+    "q162_funnel" -> ((s, dir) =>
+      graft.events.Funnel.run(t(s, dir, "events"),
+        Seq("view", "click", "purchase"), 604800L)),
+    // equi-depth histogram statistics over l_extendedprice: 16 buckets
+    // from exact round-4 percentile boundaries, tie-stable assignment
+    // by boundary count (see core.EquiDepth)
+    "q163_equidepth_hist" -> ((s, dir) =>
+      graft.core.EquiDepth.histogram(
+        t(s, dir, "lineitem"), "l_extendedprice", 16)),
+    // exact edit-distance-1 join over customer names via FastSS
+    // deletion-neighborhood blocking — complete by theorem, verified
+    // by codegen'd levenshtein (see text.EditJoin)
+    "q164_editdist_join" -> ((s, dir) =>
+      graft.text.EditJoin.pairs(t(s, dir, "customer"), "c_name")),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3864,6 +3881,49 @@ object SparkEntry {
          |     % $BloomBits))
          | SELECT p.o_orderkey, p.o_custkey, (n.c_custkey IS NULL) AS is_fp
          | FROM pass p LEFT JOIN neg n ON n.c_custkey = p.o_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+    // q162: the funnel's conditional-min cascade replayed step by step
+    // — CASE-gated mins so out-of-window users keep NULL, not a drop
+    "q162_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   floor(epoch(ts::timestamp))::bigint AS sec FROM events),
+        | s1 AS (SELECT user_id, min(sec) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT s1.user_id, s1.t1,
+        |   min(CASE WHEN e.sec > s1.t1 AND e.sec <= s1.t1 + 604800
+        |    THEN e.sec END) AS t2
+        |  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |   AND e.event_type = 'click' GROUP BY 1, 2),
+        | s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+        |   min(CASE WHEN e.sec > s2.t2 AND e.sec <= s2.t2 + 604800
+        |    THEN e.sec END) AS t3
+        |  FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |   AND e.event_type = 'purchase' GROUP BY 1, 2, 3)
+        | SELECT user_id, t1, t2, t3,
+        |  (1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS reached
+        | FROM s3""".stripMargin.replaceAll("\n", " "),
+    // q163: boundaries re-derived as round-4 quantile_cont (the q55
+    // pairing), assignment replayed as a list_filter count
+    "q163_equidepth_hist" ->
+      s"""WITH bs AS (SELECT list_transform(quantile_cont(
+         |   l_extendedprice, [${(1 until 16).map(i => i / 16.0)
+             .mkString(", ")}]), x -> round(x, 4)) AS b FROM lineitem),
+         | v AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem)
+         | SELECT len(list_filter(bs.b, x -> x < v.v))::BIGINT AS bucket,
+         |  count(*)::BIGINT AS n, count(DISTINCT v.v)::BIGINT AS ndv,
+         |  min(v.v) AS min_v, max(v.v) AS max_v
+         | FROM v CROSS JOIN bs GROUP BY 1"""
+        .stripMargin.replaceAll("\n", " "),
+    // q164: brute-force levenshtein over all distinct name pairs — the
+    // deletion-neighborhood blocking is complete for k = 1 by theorem,
+    // so the exhaustive replay IS the contract (the q160 pattern)
+    "q164_editdist_join" ->
+      """WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+        | SELECT a.name AS a, b.name AS b,
+        |  levenshtein(a.name, b.name)::BIGINT AS dist
+        | FROM n a JOIN n b ON a.name < b.name
+        | WHERE levenshtein(a.name, b.name) <= 1"""
         .stripMargin.replaceAll("\n", " "),
     // q139: longest incoming path per node via the recursive path-depth
     // CTE over the same co-purchase DAG (u < v, so it terminates)

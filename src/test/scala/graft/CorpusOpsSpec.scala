@@ -1227,6 +1227,59 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(dup == (if (expect(5L)) 3L else 2L))
   }
 
+  test("Funnel.run: conversion, out-of-window, pre-anchor, and no-anchor") {
+    import spark.implicits._
+    import graft.events.Funnel
+    // u1 converts fully; u2's click lands outside the 7-day window (so
+    // the later purchase can't count either); u3's first click precedes
+    // the view anchor (ignored) and its purchase precedes the counted
+    // click; u4 never views — no row at all
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "view", 100L), (2L, "click", 604901L), (2L, "purchase", 604902L),
+      (3L, "click", 50L), (3L, "view", 100L), (3L, "click", 180L),
+      (3L, "purchase", 170L),
+      (4L, "click", 10L))
+      .toDF("user_id", "event_type", "ep")
+      .withColumn("ts", col("ep").cast("timestamp"))
+    val got = Funnel.run(ev, Seq("view", "click", "purchase"), 604800L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((Some(100L), Some(200L), Some(300L), 3L)),
+      2L -> ((Some(100L), None, None, 1L)),
+      3L -> ((Some(100L), Some(180L), None, 2L))))
+  }
+
+  test("EquiDepth.histogram: uniform 1..16 into four exact buckets") {
+    import spark.implicits._
+    import graft.core.EquiDepth
+    val df = (1 to 16).map(_.toDouble).toDF("x")
+    val got = EquiDepth.histogram(df, "x", 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // boundaries (round-4): 4.75, 8.5, 12.25 → 4 rows per bucket
+    assert(got == Map(
+      0L -> ((4L, 4L, 1.0, 4.0)), 1L -> ((4L, 4L, 5.0, 8.0)),
+      2L -> ((4L, 4L, 9.0, 12.0)), 3L -> ((4L, 4L, 13.0, 16.0))))
+  }
+
+  test("EditJoin.pairs: FastSS candidates complete, verification exact") {
+    import spark.implicits._
+    import graft.text.EditJoin
+    // acb shares deletion variants with abc but sits at distance 2 —
+    // the verification must kill it; ab~acb is a middle insertion the
+    // blocking must FIND (they share variant 'ab')
+    val names = Seq("abc", "abd", "ab", "xabc", "acb", "zzz").toDF("n")
+    val got = EditJoin.pairs(names, "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("ab", "abc", 1L), ("ab", "abd", 1L), ("ab", "acb", 1L),
+      ("abc", "abd", 1L), ("abc", "xabc", 1L)))
+  }
+
   test("bgpAsk answers existence without enumerating solutions") {
     import spark.implicits._
     import graft.kg.TriplePatterns
