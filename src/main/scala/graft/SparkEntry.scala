@@ -446,6 +446,32 @@ object SparkEntry {
       |  UNION ALL SELECT v AS u, u AS v, w FROM wcanon)"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** q151/q165 shared oracle CTEs appended after [[WeightedEdgeCtes]]:
+    * the bounded weighted-walk recursion down to `best (node, dist,
+    * seed)` — the (dist, seed) semiring fixpoint both queries read. */
+  private val SsspBestCtes =
+    """walk(seed, node, dist, hops) AS (
+      |  SELECT node, node, 0::BIGINT, 0 FROM seeds
+      |  UNION SELECT wa.seed, e.v, wa.dist + e.w, wa.hops + 1
+      |   FROM walk wa JOIN wsym e ON e.u = wa.node WHERE wa.hops < 6),
+      | bestd AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+      | best AS (SELECT b.node, b.dist, min(wa.seed) AS seed FROM bestd b
+      |  JOIN walk wa ON wa.node = b.node AND wa.dist = b.dist
+      |  GROUP BY b.node, b.dist)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** q166's standalone weighted-edge derivation (the
+    * [[weightedLandmarkEdges]] twin as one nested subquery, for oracle
+    * builders that need a self-contained edges SQL). */
+  private lazy val WeightedLandmarkEdgesSql =
+    s"""SELECT u, v, 1 + ('0x' || substr(md5(u::varchar || '|' ||
+       |  v::varchar), 1, 8))::BIGINT % 9 AS w
+       | FROM (SELECT u, v FROM (SELECT u, v,
+       |   ('0x' || substr(md5(u::varchar || '|' ||
+       |    v::varchar), 1, 8))::BIGINT % 10 AS h
+       |  FROM ($Mod5CooccurSql)) WHERE h < 2)"""
+      .stripMargin.replaceAll("\n", " ")
+
   /** q138/q150 shared oracle CTEs: the [[sccEdges]] derivation, the
     * bounded transitive-closure recursion, and the mutual-reachability
     * labeling down to `scc (node, scc)` — one definition so the SCC
@@ -2242,6 +2268,22 @@ object SparkEntry {
     // by codegen'd levenshtein (see text.EditJoin)
     "q164_editdist_join" -> ((s, dir) =>
       graft.text.EditJoin.pairs(t(s, dir, "customer"), "c_name")),
+    // routing tree over the q151 distance frame: materialized next-hop
+    // parents (min predecessor on the semiring arg-min), seeds NULL
+    "q165_routing_tree" -> ((s, dir) => {
+      val w = weightedLandmarkEdges(s, dir)
+      graft.kg.Sssp.routingTree(s, w, landmarkSeeds(w), 6)
+    }),
+    // weight-biased deterministic walks: inverse-CDF neighbor choice
+    // over cumulative weights, every md5 draw oracle-replayable
+    "q166_weighted_walks" -> ((s, dir) =>
+      graft.kg.RandomWalks.weightedWalks(s, weightedLandmarkEdges(s, dir),
+        WalksPerNode, WalkSteps)),
+    // 2-D Pareto skyline of (price, quantity), both minimized — the
+    // two-phase bucketed sweep, no global window (see core.Skyline)
+    "q167_skyline" -> ((s, dir) =>
+      graft.core.Skyline.pareto(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity")),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3679,15 +3721,38 @@ object SparkEntry {
     // graph; best dist per node, then min seed among paths achieving it
     // — the (dist, seed) lexicographic semiring replayed set-wise
     "q151_weighted_sssp" ->
-      s"""WITH RECURSIVE $LandmarkBfsCtes, $WeightedEdgeCtes,
-         | walk(seed, node, dist, hops) AS (
-         |  SELECT node, node, 0::BIGINT, 0 FROM seeds
-         |  UNION SELECT wa.seed, e.v, wa.dist + e.w, wa.hops + 1
-         |   FROM walk wa JOIN wsym e ON e.u = wa.node WHERE wa.hops < 6),
-         | best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
-         | SELECT b.node, b.dist, min(wa.seed) AS seed FROM best b
-         |  JOIN walk wa ON wa.node = b.node AND wa.dist = b.dist
-         | GROUP BY b.node, b.dist"""
+      s"""WITH RECURSIVE $LandmarkBfsCtes, $WeightedEdgeCtes, $SsspBestCtes
+         | SELECT node, dist, seed FROM best"""
+        .stripMargin.replaceAll("\n", " "),
+    // q165: the routing tree on top of the SAME best frame — parent =
+    // min neighbor whose dist + edge weight lands exactly on the
+    // node's dist with the same seed; seeds keep NULL
+    "q165_routing_tree" ->
+      s"""WITH RECURSIVE $LandmarkBfsCtes, $WeightedEdgeCtes, $SsspBestCtes,
+         | par AS (SELECT e.v AS node, min(e.u) AS parent
+         |  FROM wsym e JOIN best p ON p.node = e.u
+         |   JOIN best nn ON nn.node = e.v
+         |  WHERE p.dist + e.w = nn.dist AND p.seed = nn.seed
+         |  GROUP BY e.v)
+         | SELECT b.node, b.dist, b.seed, par.parent FROM best b
+         | LEFT JOIN par ON par.node = b.node"""
+        .stripMargin.replaceAll("\n", " "),
+    // q166: the weighted walks unrolled with the same inverse-CDF
+    // interval arithmetic over the cumulative-weight window
+    "q166_weighted_walks" ->
+      graft.kg.RandomWalks.weightedOracleSql(WeightedLandmarkEdgesSql,
+        WalksPerNode, WalkSteps),
+    // q167: the same sweep with one single-node window — candidates
+    // per x, survivor iff every smaller x has larger min-y
+    "q167_skyline" ->
+      """WITH p AS (SELECT DISTINCT l_extendedprice::DOUBLE AS x,
+        |   l_quantity::DOUBLE AS y FROM lineitem),
+        | perx AS (SELECT x, min(y) AS my FROM p GROUP BY x),
+        | pm AS (SELECT x, my, min(my) OVER (ORDER BY x
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmin
+        |  FROM perx)
+        | SELECT x, my AS y FROM pm
+        | WHERE prevmin IS NULL OR prevmin > my"""
         .stripMargin.replaceAll("\n", " "),
     // q152: the round-free cut-property replay of the unique MSF — an
     // edge is IN iff its endpoints are not connected by strictly

@@ -88,4 +88,76 @@ object RandomWalks {
        | $rounds
        | SELECT walk_id, path FROM w$steps""".stripMargin.replaceAll("\n", " ")
   }
+
+  /** WEIGHT-BIASED deterministic walks — node2vec's weighted-graph
+    * regime: at each step the neighbor is drawn with probability
+    * ∝ edge weight by INVERSE-CDF over the neighbor list's cumulative
+    * weights (each neighbor owns the half-open interval
+    * `[cumw − w, cumw)` of `[0, totw)`; the md5 draw
+    * `md5(walk_id|step) mod totw` picks the interval it lands in —
+    * the [[graft.core.Buckets]] primitive over the q146 prefix-sum
+    * discipline, applied per adjacency list). Same determinism
+    * contract as [[walks]]: every choice replays on any engine.
+    *
+    * Scale shape: the cumulative-weight relation is ONE window
+    * partitioned by node (adjacency-list sized frames), built once and
+    * persisted; each fixed step is two frontier joins. Integer weights
+    * only — the draw and every interval bound are exact BIGINTs. */
+  def weightedWalks(spark: SparkSession, weighted: DataFrame,
+      walksPerNode: Int, steps: Int): DataFrame = {
+    require(walksPerNode >= 1 && steps >= 1,
+      s"need walksPerNode/steps >= 1, got $walksPerNode/$steps")
+    val und = weighted.select(col("u").as("nw"), col("v").as("n"), col("w"))
+      .union(weighted.select(col("v").as("nw"), col("u").as("n"), col("w")))
+    val cum = und.withColumn("cumw",
+        sum("w").over(Window.partitionBy("nw").orderBy("n")))
+      .persist()
+    val tot = und.groupBy("nw").agg(sum("w").as("tw"))
+      .select(col("nw").as("tn"), col("tw")).persist()
+    var frontier = tot
+      .select(col("tn").as("cur"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("r"))
+      .select((col("cur") * walksPerNode + col("r")).as("walk_id"),
+        col("cur"), col("cur").cast("string").as("path"))
+    for (step <- 1 to steps) {
+      val choice = frontier.join(tot, frontier("cur") === col("tn"))
+        .withColumn("pick", Buckets.md5Bucket(
+          concat_ws("|", col("walk_id"), lit(step)), col("tw")))
+      frontier = choice
+        .join(cum, choice("cur") === cum("nw") &&
+          choice("pick") >= cum("cumw") - cum("w") &&
+          choice("pick") < cum("cumw"))
+        .select(col("walk_id"), col("n").as("cur"),
+          concat(col("path"), lit("->"), col("n").cast("string")).as("path"))
+    }
+    frontier.select(col("walk_id"), col("path"))
+  }
+
+  /** DuckDB oracle for [[weightedWalks]] over a weighted-edge CTE body
+    * (columns u, v, w). */
+  def weightedOracleSql(edgesSql: String, walksPerNode: Int,
+      steps: Int): String = {
+    val rounds = (1 to steps).map { s =>
+      val prev = s"w${s - 1}"
+      s"""w$s AS (SELECT walk_id, c.n AS cur, path || '->' || c.n AS path
+         | FROM $prev JOIN tot ON tot.nw = $prev.cur
+         | JOIN cum c ON c.nw = $prev.cur
+         |  AND (('0x' || substr(md5(walk_id || '|' || $s), 1, 8))::BIGINT
+         |    % tot.tw) >= c.cumw - c.w
+         |  AND (('0x' || substr(md5(walk_id || '|' || $s), 1, 8))::BIGINT
+         |    % tot.tw) < c.cumw)"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(", ")
+    s"""WITH wedges AS MATERIALIZED ($edgesSql),
+       | wund AS MATERIALIZED (SELECT u AS nw, v AS n, w FROM wedges
+       |   UNION ALL SELECT v AS nw, u AS n, w FROM wedges),
+       | cum AS MATERIALIZED (SELECT nw, n, w,
+       |   sum(w) OVER (PARTITION BY nw ORDER BY n) AS cumw FROM wund),
+       | tot AS MATERIALIZED (SELECT nw, sum(w) AS tw FROM wund GROUP BY nw),
+       | w0 AS (SELECT t.nw * $walksPerNode + g.j AS walk_id, t.nw AS cur,
+       |   t.nw::varchar AS path
+       |  FROM tot t CROSS JOIN generate_series(0, ${walksPerNode - 1}) g(j)),
+       | $rounds
+       | SELECT walk_id, path FROM w$steps""".stripMargin.replaceAll("\n", " ")
+  }
 }

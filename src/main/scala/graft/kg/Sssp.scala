@@ -75,4 +75,34 @@ object Sssp {
     }
     best
   }
+
+  /** The ROUTING TREE over [[nearestSeed]]'s distance frame:
+    * `(node, dist, seed, parent)` where `parent` is the smallest
+    * neighbor p with `dist(p) + w(p, node) = dist(node)` and
+    * `seed(p) = seed(node)` — an arg-min predecessor of the semiring
+    * fixpoint, so following parents strictly decreases `dist` (every
+    * edge weight is positive) and terminates at the seed, whose own
+    * parent is NULL (no neighbor can close a 0-cost hop). The
+    * materialized next-hop table a path-serving layer reads instead of
+    * re-traversing per query.
+    *
+    * Scale shape: [[nearestSeed]] plus ONE edge⋈frame join, one
+    * map-side-combinable min, and one left join back — no iteration
+    * beyond the distance fixpoint itself. */
+  def routingTree(spark: SparkSession, weighted: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val best = nearestSeed(spark, weighted, seeds, maxHops)
+    val sym = weighted.select(col("u"), col("v"), col("w"))
+      .union(weighted.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val parents = sym
+      .join(best.select(col("node").as("u"), col("dist").as("pd"),
+        col("seed").as("ps")), "u")
+      .join(best.select(col("node").as("v"), col("dist"), col("seed")), "v")
+      .filter(col("pd") + col("w") === col("dist") &&
+        col("ps") === col("seed"))
+      .groupBy(col("v").as("node"))
+      .agg(min(col("u")).as("parent"))
+    best.join(parents, Seq("node"), "left")
+      .select(col("node"), col("dist"), col("seed"), col("parent"))
+  }
 }

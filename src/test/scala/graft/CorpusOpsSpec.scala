@@ -1280,6 +1280,74 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("abc", "abd", 1L), ("abc", "xabc", 1L)))
   }
 
+  test("Sssp.routingTree: parents respect dist AND seed consistency") {
+    import spark.implicits._
+    import graft.kg.Sssp
+    // node 3 is dist 2 from both seeds; its label is seed 1, so node 4
+    // (dist-valid: 0 + 2 = 2, but seed 4) must NOT become its parent
+    val g = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 2L))
+      .toDF("u", "v", "w")
+    val got = Sssp.routingTree(spark, g, Seq(1L, 4L).toDF("node"), 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got == Map(
+      1L -> ((0L, 1L, None)), 4L -> ((0L, 4L, None)),
+      2L -> ((1L, 1L, Some(1L))), 3L -> ((2L, 1L, Some(2L)))))
+  }
+
+  test("weightedWalks: md5 interval choices replayed on the driver") {
+    import spark.implicits._
+    import graft.kg.RandomWalks
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 2L))
+      .toDF("u", "v", "w")
+    val got = RandomWalks.weightedWalks(spark, edges, 2, 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // driver replay: cumulative intervals over ascending neighbors
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val adj = Map( // node -> neighbors ascending with weights
+      1L -> Seq((2L, 1L), (3L, 3L)),
+      2L -> Seq((1L, 1L), (3L, 2L)),
+      3L -> Seq((1L, 3L), (2L, 2L)))
+    val expect = (for {
+      node <- Seq(1L, 2L, 3L); r <- 0 until 2
+    } yield {
+      val walkId = node * 2 + r
+      var cur = node
+      val path = new StringBuilder(cur.toString)
+      (1 to 3).foreach { step =>
+        val ns = adj(cur)
+        val tot = ns.map(_._2).sum
+        val pick = java.lang.Long.parseLong(
+          md5hex(s"$walkId|$step").take(8), 16) % tot
+        var acc = 0L
+        val nxt = ns.find { case (_, w) =>
+          acc += w; pick < acc }.get._1
+        cur = nxt; path.append("->").append(nxt)
+      }
+      walkId -> path.toString
+    }).toMap
+    assert(got == expect)
+  }
+
+  test("Skyline.pareto: sweep frontier with same-x collapse and ties") {
+    import spark.implicits._
+    import graft.core.Skyline
+    // (3,4) dominated by (2,3); (5,1) dominated by (4,1) on the tie;
+    // (2,9) collapses into x=2's min; duplicates are harmless
+    val pts = Seq((1.0, 5.0), (2.0, 3.0), (2.0, 3.0), (2.0, 9.0),
+      (3.0, 4.0), (4.0, 1.0), (5.0, 1.0), (6.0, 0.0)).toDF("x", "y")
+    val got = Skyline.pareto(pts, "x", "y", buckets = 2).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got == Set((1.0, 5.0), (2.0, 3.0), (4.0, 1.0), (6.0, 0.0)))
+    // single-bucket degenerate (all x equal) keeps exactly the min y
+    val flat = Skyline.pareto(
+      Seq((7.0, 2.0), (7.0, 1.0)).toDF("x", "y"), "x", "y").collect()
+    assert(flat.map(r => (r.getDouble(0), r.getDouble(1))).toSeq ==
+      Seq((7.0, 1.0)))
+  }
+
   test("bgpAsk answers existence without enumerating solutions") {
     import spark.implicits._
     import graft.kg.TriplePatterns
