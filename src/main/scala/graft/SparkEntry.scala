@@ -2284,6 +2284,33 @@ object SparkEntry {
     "q167_skyline" -> ((s, dir) =>
       graft.core.Skyline.pareto(t(s, dir, "lineitem"),
         "l_extendedprice", "l_quantity")),
+    // SPARQL §15 solution modifiers: DISTINCT + ORDER + OFFSET/LIMIT
+    // paging with a determinism-extended sort key
+    "q168_bgp_modifiers" -> ((s, dir) => {
+      val linked = Kg.disambiguate(
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      val store = Kg.triples(linked, NerSpark.Predicates)
+        .select("subj", "pred", "obj").unionByName(cooccurFacts(linked))
+      graft.kg.TriplePatterns.bgpSelect(store,
+        Seq(("?e", "performs", "?d")), distinct = true,
+        orderBy = Seq("-e", "d"), offset = 5, limit = Some(20))
+    }),
+    // rendezvous (HRW) shard routing: consistent assignment by salted
+    // md5 argmax — one codegen'd expression, no shuffle
+    "q169_rendezvous" -> ((s, dir) =>
+      graft.core.Rendezvous.assign(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        Seq("shard-a", "shard-b", "shard-c", "shard-d", "shard-e"))),
+    // score-binned reliability table for the q72 classifier against
+    // the planted language outcome (see quality.Calibration)
+    "q170_calibration" -> ((s, dir) => {
+      val scored = graft.quality.Classifier.score(s,
+          t(s, dir, "documents"), 64)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id")
+        .withColumn("is_en", col("lang") === "en")
+      graft.quality.Calibration.table(scored, "quality", "is_en", 10)
+    }),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3754,6 +3781,54 @@ object SparkEntry {
         | SELECT x, my AS y FROM pm
         | WHERE prevmin IS NULL OR prevmin > my"""
         .stripMargin.replaceAll("\n", " "),
+    // q168: the modifier stack replayed — DISTINCT solutions, the
+    // determinism-extended total order, then the page cut
+    "q168_bgp_modifiers" ->
+      s"""WITH dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men
+         |  UNION
+         |  SELECT DISTINCT a.entity_id, 'cooccurs_with', b.entity_id
+         |  FROM men a JOIN men b ON a.doc_id = b.doc_id
+         |   AND a.entity_id <> b.entity_id)
+         | SELECT subj AS e, obj AS d FROM (SELECT DISTINCT subj, obj
+         |  FROM tr WHERE pred = 'performs')
+         | ORDER BY subj DESC, obj ASC LIMIT 20 OFFSET 5"""
+        .stripMargin.replaceAll("\n", " "),
+    // q169: the HRW argmax replayed with the same salted md5 and the
+    // same (h DESC, shard DESC) tie rule
+    "q169_rendezvous" ->
+      """WITH sh(shard) AS (VALUES ('shard-a'), ('shard-b'), ('shard-c'),
+        |  ('shard-d'), ('shard-e')),
+        | h AS (SELECT doc_id, shard, ('0x' || substr(md5(
+        |    doc_id::varchar || '#' || shard), 1, 8))::BIGINT
+        |    % 1000000007 AS h
+        |  FROM documents CROSS JOIN sh),
+        | r AS (SELECT doc_id, shard, row_number() OVER
+        |   (PARTITION BY doc_id ORDER BY h DESC, shard DESC) AS rn
+        |  FROM h)
+        | SELECT doc_id, shard FROM r WHERE rn = 1"""
+        .stripMargin.replaceAll("\n", " "),
+    // q170: the q72 score replay binned fixed-width against the
+    // planted language outcome
+    "q170_calibration" ->
+      s"""WITH $HashedTfCtes,
+         | cells AS (SELECT dense.doc_id, j::int AS j,
+         |   coalesce(round(raw / nullif(n2, 0), 6), 0.0) AS v
+         |  FROM dense JOIN nrm ON dense.doc_id = nrm.doc_id),
+         | sc AS (SELECT doc_id, round(1 / (1 + exp(-raw)), 4) AS quality
+         |  FROM (SELECT doc_id, sum(v * (((j % 7) - 3) / 3.0)) AS raw
+         |        FROM cells GROUP BY doc_id)),
+         | b AS (SELECT least(9, floor(quality * 10))::BIGINT AS bin,
+         |   quality, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS o
+         |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+         | SELECT bin, count(*)::BIGINT AS n,
+         |  round(avg(quality), 4) AS mean_score,
+         |  round(avg(o), 4) AS outcome_rate
+         | FROM b GROUP BY bin""".stripMargin.replaceAll("\n", " "),
     // q152: the round-free cut-property replay of the unique MSF — an
     // edge is IN iff its endpoints are not connected by strictly
     // (w, u, v)-smaller edges (Kruskal's invariant under the total

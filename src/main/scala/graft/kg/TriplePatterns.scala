@@ -99,6 +99,47 @@ object TriplePatterns {
     df.select(vars.map(col): _*)
   }
 
+  /** SPARQL §15 solution modifiers on a plain SELECT: DISTINCT,
+    * ORDER BY, OFFSET, LIMIT — the paging query every KG front-end
+    * issues. The ordering keys are caller-chosen variables (`-` prefix
+    * = descending), but the APPLIED sort key is always extended with
+    * every remaining output variable ascending, so the total order —
+    * and therefore any OFFSET/LIMIT page cut — is deterministic even
+    * when the requested keys tie (SPARQL leaves tie order to the
+    * engine; an irreproducible page boundary is a bug in practice).
+    *
+    * Scale shape: ORDER+LIMIT without OFFSET plans as
+    * `TakeOrderedAndProject` (per-partition top-k, one k-sized merge);
+    * with OFFSET Spark still sorts per-partition and cuts
+    * offset+limit rows through one final merge — never a full global
+    * sort materialization for a page-sized cut. */
+  def bgpSelect(triples: DataFrame,
+      patterns: Seq[(String, String, String)],
+      distinct: Boolean = false,
+      orderBy: Seq[String] = Nil,
+      offset: Int = 0,
+      limit: Option[Int] = None): DataFrame = {
+    val sols0 = bgp(triples, patterns)
+    val sols = if (distinct) sols0.distinct() else sols0
+    val ordered =
+      if (orderBy.isEmpty && offset == 0 && limit.isEmpty) sols
+      else {
+        val explicit = orderBy.map { o =>
+          val (name, desc) =
+            if (o.startsWith("-")) (o.drop(1), true) else (o, false)
+          require(sols.columns.contains(name),
+            s"ORDER BY $name must be a bound variable")
+          (name, if (desc) col(name).desc else col(name).asc)
+        }
+        val rest = sols.columns.filterNot(explicit.map(_._1).contains)
+          .map(col(_).asc)
+        sols.orderBy(explicit.map(_._2) ++ rest: _*)
+      }
+    val paged = if (offset > 0) ordered.offset(offset) else ordered
+    limit.fold(paged)(n => { require(n >= 1, s"LIMIT must be >= 1, got $n")
+      paged.limit(n) })
+  }
+
   /** SPARQL ASK (§16.3): does the BGP have at least one solution?
     * Returns ONE row `(ask BOOLEAN)`. The plan is an existence probe,
     * not a count: the compiled solutions are `limit(1)`-gated before

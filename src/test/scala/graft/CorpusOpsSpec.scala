@@ -1348,6 +1348,59 @@ class CorpusOpsSpec extends AnyFunSuite {
       Seq((7.0, 1.0)))
   }
 
+  test("bgpSelect pages deterministically under DISTINCT + ORDER + OFFSET") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("e3", "performs", "d1"), ("e1", "performs", "d2"),
+      ("e2", "performs", "d3"), ("e4", "performs", "d4"),
+      ("e1", "performs", "d2")).toDF("subj", "pred", "obj")
+    val got = TriplePatterns.bgpSelect(tr, Seq(("?e", "performs", "?d")),
+      distinct = true, orderBy = Seq("-e"), offset = 1, limit = Some(2))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("e3", "d1"), ("e2", "d3")))
+    // unknown order key is a caller bug
+    intercept[IllegalArgumentException] {
+      TriplePatterns.bgpSelect(tr, Seq(("?e", "performs", "?d")),
+        orderBy = Seq("zz"))
+    }
+  }
+
+  test("Rendezvous.assign matches a driver replay; removals are minimal") {
+    import spark.implicits._
+    import graft.core.Rendezvous
+    val keys = (1L to 120L).toDF("k")
+    val five = Seq("s-a", "s-b", "s-c", "s-d", "s-e")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(k: Long, s: String) =
+      java.lang.Long.parseLong(md5hex(s"$k#$s").take(8), 16) % 1000000007L
+    val got = Rendezvous.assign(keys, "k", five).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = (1L to 120L).map(k =>
+      k -> five.map(s => (h(k, s), s)).max._2).toMap
+    assert(got == expect)
+    // the HRW property: dropping one shard moves ONLY its keys
+    val four = Rendezvous.assign(keys, "k", five.dropRight(1)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 120L).foreach { k =>
+      if (got(k) != "s-e") assert(four(k) == got(k))
+    }
+    assert(got.values.toSet.contains("s-e")) // the drop actually moved some
+  }
+
+  test("Calibration.table bins fixed-width with capped top bin") {
+    import spark.implicits._
+    import graft.quality.Calibration
+    val df = Seq((0.05, true), (0.05, false), (0.95, true), (1.0, true))
+      .toDF("score", "out")
+    val got = Calibration.table(df, "score", "out", 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 0.05, 0.5)), 9L -> ((2L, 0.975, 1.0))))
+  }
+
   test("bgpAsk answers existence without enumerating solutions") {
     import spark.implicits._
     import graft.kg.TriplePatterns
