@@ -460,17 +460,49 @@ object SparkEntry {
       |  GROUP BY b.node, b.dist)"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** The [[landmarkEdges]] twin as one self-contained nested subquery,
+    * for oracle builders that take a standalone edges SQL. */
+  private lazy val LandmarkCanonSql =
+    s"""SELECT u, v FROM (SELECT u, v,
+       |  ('0x' || substr(md5(u::varchar || '|' ||
+       |   v::varchar), 1, 8))::BIGINT % 10 AS h
+       | FROM ($Mod5CooccurSql)) WHERE h < 2"""
+      .stripMargin.replaceAll("\n", " ")
+
   /** q166's standalone weighted-edge derivation (the
     * [[weightedLandmarkEdges]] twin as one nested subquery, for oracle
     * builders that need a self-contained edges SQL). */
   private lazy val WeightedLandmarkEdgesSql =
     s"""SELECT u, v, 1 + ('0x' || substr(md5(u::varchar || '|' ||
        |  v::varchar), 1, 8))::BIGINT % 9 AS w
-       | FROM (SELECT u, v FROM (SELECT u, v,
-       |   ('0x' || substr(md5(u::varchar || '|' ||
-       |    v::varchar), 1, 8))::BIGINT % 10 AS h
-       |  FROM ($Mod5CooccurSql)) WHERE h < 2)"""
+       | FROM ($LandmarkCanonSql)"""
       .stripMargin.replaceAll("\n", " ")
+
+  /** q158/q173 shared whole-corpus HLL replay: registers from the
+    * 60-bit md5 hash (bucket = low 6 bits, rank = highest-set-bit of
+    * the rest, capped 31), harmonic fold and estimate as exact
+    * BIGINTs. q173 merges two shard sketches and checks against THIS
+    * — the merge-law proof. */
+  private lazy val HllTokensSql =
+    s"""WITH tl AS (SELECT list_filter(string_split_regex(trim(text),
+       |   '\\s+'), x -> x <> '') AS l FROM documents),
+       | tok AS (SELECT unnest(l) AS tok FROM tl),
+       | hx AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+       |  FROM tok),
+       | rg AS (SELECT h % 64 AS bucket,
+       |   least(31, 55 - length(bin(h // 64)))::BIGINT AS rk FROM hx),
+       | reg AS (SELECT bucket, max(rk) AS register FROM rg
+       |  GROUP BY bucket),
+       | fb AS (SELECT g.b::BIGINT AS bucket,
+       |   coalesce(reg.register, 0)::BIGINT AS register
+       |  FROM generate_series(0, 63) g(b)
+       |  LEFT JOIN reg ON reg.bucket = g.b),
+       | sm AS (SELECT sum((2 ** (31 - register))::BIGINT)::BIGINT AS s
+       |  FROM fb)
+       | SELECT fb.bucket, fb.register,
+       |  ((${graft.quality.Hll.AlphaMicro}::BIGINT * 4096 * 2147483648)
+       |    // sm.s)::BIGINT AS est_micro
+       | FROM fb CROSS JOIN sm""".stripMargin.replaceAll("\n", " ")
 
   /** q138/q150 shared oracle CTEs: the [[sccEdges]] derivation, the
     * bounded transitive-closure recursion, and the mutual-reachability
@@ -630,6 +662,12 @@ object SparkEntry {
   /** q148's engine-measured peel depth per sf dir — the [[KCoreRoundsMemo]]
     * contract for the truss. */
   private val KTrussRoundsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** q171's engine-measured Luby round count per sf dir — same memo
+    * contract; extra unrolled rounds are idempotent (empty winner sets
+    * change nothing), fewer are not. */
+  private val MisRoundsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Int]
 
   /** q144/q145's landmark graph: [[sccEdges]]' thinned derivation kept
@@ -2311,6 +2349,34 @@ object SparkEntry {
         .withColumn("is_en", col("lang") === "en")
       graft.quality.Calibration.table(scored, "quality", "is_en", 10)
     }),
+    // Luby's maximal independent set with deterministic md5 priorities
+    // — the distributed symmetry-breaking primitive; rounds measured
+    // and memoized for the oracle unroll (see kg.Mis)
+    "q171_mis" -> ((s, dir) => {
+      val (out, rounds) =
+        graft.kg.Mis.misWithRounds(s, landmarkEdges(s, dir))
+      MisRoundsMemo.put(dir, rounds)
+      out
+    }),
+    // regular-path-query closure: (performs/^consumes)+ — one
+    // pathSequence hop composed with the doubling fixpoint; the
+    // entity-influence reachability an RPQ engine evaluates
+    "q172_rpq_closure" -> ((s, dir) => {
+      val hop = graft.kg.TriplePatterns.pathSequence(
+        kgTriples(s, dir), Seq("performs", "^consumes"))
+        .select(col("subj").as("src"), col("obj").as("dst"))
+      graft.kg.TriplePatterns.closureFixpoint(hop)
+    }),
+    // HLL shard merge: sketch two md5 halves independently, merge by
+    // register-wise max — the oracle is the WHOLE-CORPUS replay, so a
+    // green row PROVES the merge law, not just the arithmetic
+    "q173_hll_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val half = graft.core.Buckets.md5Bucket(col("doc_id"), 2)
+      graft.quality.Hll.merge(
+        graft.quality.Hll.tokenSketch(s, docs.filter(half === 0)),
+        graft.quality.Hll.tokenSketch(s, docs.filter(half === 1)))
+    }),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3812,6 +3878,25 @@ object SparkEntry {
         |  FROM h)
         | SELECT doc_id, shard FROM r WHERE rn = 1"""
         .stripMargin.replaceAll("\n", " "),
+    // q171 static fallback: 12 unrolled Luby rounds (extra rounds are
+    // idempotent); oracleSqlFor replaces with the measured count
+    "q171_mis" -> graft.kg.Mis.oracleSql(LandmarkCanonSql, 12),
+    // q172: the (performs/^consumes) hop + its recursive closure —
+    // the engine's doubling fixpoint against the linear recursion
+    "q172_rpq_closure" ->
+      s"""WITH RECURSIVE dict(category, surface, entity_id) AS $AliasValues,
+         | men AS MATERIALIZED (SELECT DISTINCT d.doc_id, dict.category,
+         |   dict.entity_id FROM documents d CROSS JOIN dict
+         |  WHERE position(surface in d.text) > 0),
+         | tr AS (SELECT DISTINCT entity_id AS subj, $PredCase AS pred,
+         |   'doc://' || doc_id AS obj FROM men),
+         | hop AS MATERIALIZED (SELECT DISTINCT p.subj AS src,
+         |   c.subj AS dst FROM tr p JOIN tr c ON c.obj = p.obj
+         |   AND c.pred = 'consumes' WHERE p.pred = 'performs'),
+         | reach(src, dst) AS (SELECT src, dst FROM hop
+         |  UNION SELECT r.src, h.dst FROM reach r
+         |   JOIN hop h ON h.src = r.dst)
+         | SELECT src, dst FROM reach""".stripMargin.replaceAll("\n", " "),
     // q170: the q72 score replay binned fixed-width against the
     // planted language outcome
     "q170_calibration" ->
@@ -3937,26 +4022,10 @@ object SparkEntry {
     // 60-bit md5 hash, bucket = low 6 bits, rank = highest-set-bit
     // position of the remaining 54 (capped 31), harmonic fold and the
     // final division all exact BIGINTs
-    "q158_hll_tokens" ->
-      s"""WITH tl AS (SELECT list_filter(string_split_regex(trim(text),
-         |   '\\s+'), x -> x <> '') AS l FROM documents),
-         | tok AS (SELECT unnest(l) AS tok FROM tl),
-         | hx AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-         |  FROM tok),
-         | rg AS (SELECT h % 64 AS bucket,
-         |   least(31, 55 - length(bin(h // 64)))::BIGINT AS rk FROM hx),
-         | reg AS (SELECT bucket, max(rk) AS register FROM rg
-         |  GROUP BY bucket),
-         | fb AS (SELECT g.b::BIGINT AS bucket,
-         |   coalesce(reg.register, 0)::BIGINT AS register
-         |  FROM generate_series(0, 63) g(b)
-         |  LEFT JOIN reg ON reg.bucket = g.b),
-         | sm AS (SELECT sum((2 ** (31 - register))::BIGINT)::BIGINT AS s
-         |  FROM fb)
-         | SELECT fb.bucket, fb.register,
-         |  ((${graft.quality.Hll.AlphaMicro}::BIGINT * 4096 * 2147483648)
-         |    // sm.s)::BIGINT AS est_micro
-         | FROM fb CROSS JOIN sm""".stripMargin.replaceAll("\n", " "),
+    "q158_hll_tokens" -> HllTokensSql,
+    // q173: the SAME whole-corpus replay — a green row against the
+    // shard-merged engine output proves the HLL merge law exactly
+    "q173_hll_merge" -> HllTokensSql,
     // q159: the gaps-and-islands window replayed verbatim — new island
     // when start exceeds the running max of previous ends
     "q159_interval_islands" ->
@@ -4785,6 +4854,14 @@ object SparkEntry {
           graft.kg.KTruss.trussWithRounds(spark,
             mod5CooccurPairs(spark, sfDir), KTrussK)._2)
         graft.kg.KTruss.oracleSql(Mod5CooccurSql, KTrussK, rounds + 1)
+      },
+      // q171: Luby rounds are data-dependent — unroll the measured
+      // count (+1 idempotent slack: an empty winner round is a no-op)
+      "q171_mis" -> {
+        val rounds = MisRoundsMemo.getOrElseUpdate(sfDir,
+          graft.kg.Mis.misWithRounds(spark,
+            landmarkEdges(spark, sfDir))._2)
+        graft.kg.Mis.oracleSql(LandmarkCanonSql, rounds + 1)
       },
       // q75's cap is the engine-measured p75 degree percentile — reuse the
       // query run's memo, or measure here if the oracle is generated first

@@ -53,10 +53,26 @@ object Hll {
       .join(regs, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("register"), lit(0L)).as("register"))
+    withEstimate(full)
+  }
+
+  /** MERGE two sketches — register-wise max, the same aggregate that
+    * builds a sketch, then re-estimate. The merge law (max over a
+    * union of key streams = max of per-stream maxes) makes the merged
+    * sketch EQUAL to the sketch of the combined corpus, exactly —
+    * which is why shards can sketch independently and the q173 oracle
+    * can check the merged output against the whole-corpus replay. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    withEstimate(a.select("bucket", "register")
+      .unionByName(b.select("bucket", "register"))
+      .groupBy("bucket").agg(max(col("register")).as("register")))
+
+  /** The harmonic fold + raw estimate over a full 64-row register
+    * relation. The fold rides an unpartitioned window — over exactly
+    * the m = 64 register rows, so the single-task frame is a constant,
+    * never a corpus funnel (and no 1-row cross join enters the plan). */
+  private def withEstimate(full: DataFrame): DataFrame = {
     val numer = AlphaMicro * Buckets * Buckets // fits: ~2.9e9
-    // the harmonic fold rides an unpartitioned window — over exactly
-    // the m = 64 register rows, so the single-task frame is a constant,
-    // never a corpus funnel (and no 1-row cross join enters the plan)
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)
     full

@@ -1401,6 +1401,67 @@ class CorpusOpsSpec extends AnyFunSuite {
       0L -> ((2L, 0.05, 0.5)), 9L -> ((2L, 0.975, 1.0))))
   }
 
+  test("Mis: independent, maximal, and equal to a driver Luby replay") {
+    import spark.implicits._
+    import graft.kg.Mis
+    val tri = (0 until 40).map { i =>
+      val a = (i * 13 + 3) % 16; val b = (i * 23 + 7) % 16
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(t => t._1 != t._2).distinct
+    val (out, rounds) = Mis.misWithRounds(spark, tri.toDF("u", "v"))
+    val got = out.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rounds >= 1)
+    // driver replay with the identical pk arithmetic
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def pk(n: Long) = java.lang.Long.parseLong(md5hex(n.toString).take(8),
+      16) % 1000000007L * 2147483648L + n
+    val adj = (tri ++ tri.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var active = adj.keySet
+    var mis = Set.empty[Long]
+    while (active.nonEmpty) {
+      val w = active.filter(n =>
+        (adj(n) & active).forall(m => pk(n) < pk(m)))
+      mis ++= w
+      active = active -- w -- w.flatMap(adj)
+    }
+    assert(got == adj.keySet.map(n => n -> mis(n)).toMap)
+    // structural: independence and maximality
+    tri.foreach { case (u, v) => assert(!(got(u) && got(v))) }
+    got.collect { case (n, false) => n }.foreach(n =>
+      assert(adj(n).exists(got)))
+  }
+
+  test("RPQ closure: (performs/^consumes)+ reaches through the cycle") {
+    import spark.implicits._
+    import graft.kg.TriplePatterns
+    val tr = Seq(
+      ("e1", "performs", "d1"), ("e2", "consumes", "d1"),
+      ("e2", "performs", "d2"), ("e3", "consumes", "d2"),
+      ("e3", "performs", "d3"), ("e1", "consumes", "d3"))
+      .toDF("subj", "pred", "obj")
+    val hop = TriplePatterns.pathSequence(tr, Seq("performs", "^consumes"))
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    val got = TriplePatterns.closureFixpoint(hop).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val es = Set("e1", "e2", "e3")
+    assert(got == es.flatMap(a => es.map(a -> _))) // full cyclic closure
+  }
+
+  test("Hll.merge of disjoint shards equals the whole-corpus sketch") {
+    import spark.implicits._
+    import graft.quality.Hll
+    val a = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val b = Seq((2L, "beta delta eps zeta")).toDF("doc_id", "text")
+    val all = Seq((1L, "alpha beta gamma"), (2L, "beta delta eps zeta"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Hll.merge(Hll.tokenSketch(spark, a),
+      Hll.tokenSketch(spark, b))) == rows(Hll.tokenSketch(spark, all)))
+  }
+
   test("bgpAsk answers existence without enumerating solutions") {
     import spark.implicits._
     import graft.kg.TriplePatterns
