@@ -42,7 +42,7 @@ object EditJoin {
         col("x.vr") === col("y.vr") && col("x.name") < col("y.name"))
       .select(col("x.name").as("a"), col("y.name").as("b"))
       .distinct()
-      .filter(levenshtein(col("a"), col("b")) <= 1)
       .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("dist") <= 1)
   }
 }
