@@ -670,6 +670,14 @@ object SparkEntry {
   private val MisRoundsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Int]
 
+  /** q175's strength threshold — picked by SIMULATING the peel at
+    * sf0.01: 18 survives 148 nodes after a 14-round cascade (20 empties
+    * the graph, 16 barely cascades), so the fixpoint exercises a real
+    * cascade AND keeps a core. Measured-round memo beside it. */
+  private val SCoreS = 18L
+  private val SCoreRoundsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
   /** q144/q145's landmark graph: [[sccEdges]]' thinned derivation kept
     * UNDIRECTED (canonical u < v, no parity orientation) — the same
     * mod-5 + 2-in-10 md5 thinning that gives the graph long paths and a
@@ -2377,6 +2385,19 @@ object SparkEntry {
         graft.quality.Hll.tokenSketch(s, docs.filter(half === 0)),
         graft.quality.Hll.tokenSketch(s, docs.filter(half === 1)))
     }),
+    // Broder bow-tie census of the directed q138 graph: core / in /
+    // out / other via component-level semi-joins against the
+    // condensation closure (see kg.Scc.bowtie)
+    "q174_bowtie" -> ((s, dir) =>
+      graft.kg.Scc.bowtie(s, sccEdges(s, dir))),
+    // weighted s-core: peel strength < 25 to fixpoint over the shared
+    // weighted graph; measured rounds memoized for the oracle unroll
+    "q175_score" -> ((s, dir) => {
+      val (str, rounds) = graft.kg.KCore.strengthCoreWithRounds(s,
+        weightedLandmarkEdges(s, dir), SCoreS)
+      SCoreRoundsMemo.put(dir, rounds)
+      str
+    }),
     // SPARQL FILTER NOT EXISTS: operations on pages with NO actor
     // involvement — the correlated-negation half of the q119 MINUS pair
     // (they coincide here; they diverge on no-shared-variable groups,
@@ -3881,6 +3902,29 @@ object SparkEntry {
     // q171 static fallback: 12 unrolled Luby rounds (extra rounds are
     // idempotent); oracleSqlFor replaces with the measured count
     "q171_mis" -> graft.kg.Mis.oracleSql(LandmarkCanonSql, 12),
+    // q174: bow-tie regions replayed over the q138 CTEs — core = the
+    // largest SCC (min-label tie), in/out via node-level reach
+    // EXISTS against core members (equivalent to the engine's
+    // component-level closure tests: a node reaches the core iff its
+    // component does)
+    "q174_bowtie" ->
+      s"""WITH RECURSIVE $SccOracleCtes,
+         | sz AS (SELECT scc, count(*) AS sz FROM scc GROUP BY scc),
+         | core AS (SELECT scc FROM sz ORDER BY sz DESC, scc ASC LIMIT 1)
+         | SELECT s.node,
+         |  CASE WHEN s.scc = (SELECT scc FROM core) THEN 'core'
+         |   WHEN EXISTS (SELECT 1 FROM reach r JOIN scc t
+         |     ON t.node = r.dst WHERE r.src = s.node
+         |      AND t.scc = (SELECT scc FROM core)) THEN 'in'
+         |   WHEN EXISTS (SELECT 1 FROM reach r JOIN scc t
+         |     ON t.node = r.src WHERE r.dst = s.node
+         |      AND t.scc = (SELECT scc FROM core)) THEN 'out'
+         |   ELSE 'other' END AS region
+         | FROM scc s""".stripMargin.replaceAll("\n", " "),
+    // q175 static fallback: 12 unrolled peel rounds; oracleSqlFor
+    // replaces with the measured count (+1 idempotent slack)
+    "q175_score" ->
+      graft.kg.KCore.strengthOracleSql(WeightedLandmarkEdgesSql, SCoreS, 12),
     // q172: the (performs/^consumes) hop + its recursive closure —
     // the engine's doubling fixpoint against the linear recursion
     "q172_rpq_closure" ->
@@ -4862,6 +4906,14 @@ object SparkEntry {
           graft.kg.Mis.misWithRounds(spark,
             landmarkEdges(spark, sfDir))._2)
         graft.kg.Mis.oracleSql(LandmarkCanonSql, rounds + 1)
+      },
+      // q175: the s-core peel depth, measured like q73's
+      "q175_score" -> {
+        val rounds = SCoreRoundsMemo.getOrElseUpdate(sfDir,
+          graft.kg.KCore.strengthCoreWithRounds(spark,
+            weightedLandmarkEdges(spark, sfDir), SCoreS)._2)
+        graft.kg.KCore.strengthOracleSql(WeightedLandmarkEdgesSql,
+          SCoreS, rounds + 1)
       },
       // q75's cap is the engine-measured p75 degree percentile — reuse the
       // query run's memo, or measure here if the oracle is generated first

@@ -69,6 +69,70 @@ object KCore {
   def core(spark: SparkSession, canonical: DataFrame, k: Int): DataFrame =
     coreWithRounds(spark, canonical, k)._1
 
+  /** WEIGHTED s-core (Eidsaa–Almaas "s-core network decomposition",
+    * PRE'13): peel nodes whose STRENGTH — the sum of incident edge
+    * weights — falls below `s`, to a fixpoint. The weighted analog of
+    * [[coreWithRounds]] for graphs where tie strength, not tie count,
+    * carries the signal (co-occurrence multiplicities, similarity
+    * weights). Same loop shape (per round one strength aggregate + two
+    * semi-joins), same measured-round memo contract, same loud
+    * non-fixpoint failure. Integer weights — strengths fold exactly.
+    * Input: canonical weighted edges `(u, v, w)`. */
+  def strengthCoreWithRounds(spark: SparkSession, weighted: DataFrame,
+      s: Long, maxIter: Int = 200): (DataFrame, Int) = {
+    require(s >= 1, s"s must be >= 1, got $s")
+    def strengths(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"), col("w"))
+        .union(e.select(col("v").as("node"), col("w")))
+        .groupBy("node").agg(sum(col("w")).as("strength"))
+
+    var edges = weighted.select("u", "v", "w").localCheckpoint()
+    var nEdges = edges.count()
+    var str = strengths(edges)
+    var rounds = 0
+    var converged = nEdges == 0L
+    while (!converged && rounds < maxIter) {
+      val keep = str.filter(col("strength") >= s).select("node")
+      val next = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v", "w")
+        .localCheckpoint()
+      val nNext = next.count()
+      rounds += 1
+      converged = nNext == nEdges
+      edges = next
+      nEdges = nNext
+      str = strengths(edges)
+      if (nEdges == 0L) converged = true
+    }
+    require(converged,
+      s"s-core did not reach a fixpoint in $maxIter rounds ($nEdges edges live)")
+    (str, rounds)
+  }
+
+  /** DuckDB oracle for [[strengthCoreWithRounds]]: the peel unrolled
+    * `rounds` times over a weighted-edge CTE body (columns u, v, w). */
+  def strengthOracleSql(edgesSql: String, s: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT node, sum(w)::BIGINT AS st FROM
+         | (SELECT u AS node, w FROM $prev
+         |  UNION ALL SELECT v, w FROM $prev) GROUP BY node),
+         | k$i AS MATERIALIZED (SELECT node FROM d$i WHERE st >= $s),
+         | e$i AS MATERIALIZED (SELECT u, v, w FROM $prev
+         |  WHERE u IN (SELECT node FROM k$i)
+         |   AND v IN (SELECT node FROM k$i))"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(", ")
+    val last = s"e$rounds"
+    val chain = if (rounds == 0) "" else s", $steps"
+    s"""WITH e0 AS MATERIALIZED ($edgesSql)$chain
+       | SELECT node, sum(w)::BIGINT AS strength FROM
+       | (SELECT u AS node, w FROM $last UNION ALL SELECT v, w FROM $last)
+       | GROUP BY node""".stripMargin.replaceAll("\n", " ")
+  }
+
   /** DuckDB oracle: the identical peel unrolled `rounds` times over the
     * caller-supplied canonical-edge CTE body (must expose columns u, v). */
   def oracleSql(edgesSql: String, k: Int, rounds: Int): String = {

@@ -248,6 +248,43 @@ object Scc {
     intra.unionByName(inter).unionByName(selfExtra)
   }
 
+  /** Broder bow-tie decomposition (Broder et al., "Graph structure in
+    * the web", WWW'00) — THE web-graph structural census: `(node,
+    * region)` with the largest strongly connected component as `core`
+    * (size tie broken to the smallest label), `in` = nodes that reach
+    * the core, `out` = nodes the core reaches, `other` = tendrils,
+    * tubes, and disconnected mass. Built entirely from pieces this
+    * module already verifies: [[run]]'s labels, [[condenseWith]]'s
+    * DAG, and the doubling closure — the IN/OUT tests are
+    * COMPONENT-level semi-joins against the condensation closure
+    * (a node reaches the core iff its component does), never
+    * node-level traversals, so the classification costs two semi-joins
+    * past the SCC fixpoint. The 1-row core pick is a bounded driver
+    * collect (the q42 discipline). */
+  def bowtie(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 300, localCutoff: Long = 2000000L): DataFrame = {
+    val labels = run(spark, edges, maxRounds, localCutoff)
+    val cond = condenseWith(labels, edges)
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+    val cc = TriplePatterns.closureFixpoint(cond)
+      .select(col("src").as("cs"), col("dst").as("cd"))
+    val coreScc = labels.groupBy("scc").agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc, col("scc").asc).limit(1)
+      .head().get(0)
+    val inSet = cc.filter(col("cd") === lit(coreScc))
+      .select(col("cs").as("scc")).distinct()
+    val outSet = cc.filter(col("cs") === lit(coreScc))
+      .select(col("cd").as("scc")).distinct()
+    labels
+      .join(inSet.withColumn("in_f", lit(true)), Seq("scc"), "left")
+      .join(outSet.withColumn("out_f", lit(true)), Seq("scc"), "left")
+      .select(col("node"),
+        when(col("scc") === lit(coreScc), "core")
+          .when(col("in_f"), "in")
+          .when(col("out_f"), "out")
+          .otherwise("other").as("region"))
+  }
+
   /** Iterative (explicit-stack) Tarjan over the collected residue —
     * after trim-to-fixpoint every residue node has both an in- and an
     * out-edge, so the edge endpoints ARE the node set. Returns

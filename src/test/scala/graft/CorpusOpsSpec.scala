@@ -1462,6 +1462,38 @@ class CorpusOpsSpec extends AnyFunSuite {
       Hll.tokenSketch(spark, b))) == rows(Hll.tokenSketch(spark, all)))
   }
 
+  test("Scc.bowtie: core, in, out, and disconnected-other regions") {
+    import spark.implicits._
+    import graft.kg.Scc
+    // cycle {1,2,3} is the (largest) core; 6→0→1 feeds IN; 3→4→5 is
+    // OUT; the separate 2-cycle {7,8} is neither — OTHER
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (0L, 1L), (6L, 0L),
+      (3L, 4L), (4L, 5L), (7L, 8L), (8L, 7L)).toDF("src", "dst")
+    val got = Scc.bowtie(spark, edges).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "core", 2L -> "core", 3L -> "core",
+      0L -> "in", 6L -> "in", 4L -> "out", 5L -> "out",
+      7L -> "other", 8L -> "other"))
+  }
+
+  test("KCore.strengthCoreWithRounds: cascade peel to the exact fixpoint") {
+    import spark.implicits._
+    import graft.kg.KCore
+    // chain 1-2(12), 2-3(6), 3-4(6), s=12: node 4 falls (6), then 3
+    // (its surviving strength 6), then fixpoint at the single edge
+    val (str, rounds) = KCore.strengthCoreWithRounds(spark,
+      Seq((1L, 2L, 12L), (2L, 3L, 6L), (3L, 4L, 6L)).toDF("u", "v", "w"),
+      12L)
+    assert(rounds == 3)
+    assert(str.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 12L, 2L -> 12L))
+    // empty core when everything peels
+    val (gone, _) = KCore.strengthCoreWithRounds(spark,
+      Seq((1L, 2L, 3L)).toDF("u", "v", "w"), 100L)
+    assert(gone.count() == 0L)
+  }
+
   test("bgpAsk answers existence without enumerating solutions") {
     import spark.implicits._
     import graft.kg.TriplePatterns
