@@ -578,7 +578,13 @@ object SparkEntry {
 
   private def kgTriples(spark: SparkSession, dir: String): DataFrame = {
     val linked = Kg.disambiguate(Kg.candidates(kgMentions(spark, dir), Kg.aliasDf(spark)))
-    Kg.triples(linked, NerSpark.Predicates)
+    // localCheckpoint: the SPARQL/BGP consumers scan the triple store once
+    // per pattern leg and the iterative consumers once per job — each scan
+    // would otherwise re-run the whole extraction+linking lineage (the
+    // NER segmentation + grounding pass), which no exchange-reuse can
+    // deduplicate across pattern filters. The store is triple-count-sized
+    // (~24k rows at sf0.1) — block residency is effectively free.
+    Kg.triples(linked, NerSpark.Predicates).localCheckpoint()
   }
 
   /** Per-doc entity co-occurrence facts over a linked frame: ordered
@@ -606,7 +612,13 @@ object SparkEntry {
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-    graft.kg.Triangles.canonicalEdges(pairs, "u", "v")
+    // localCheckpoint: every consumer is a multi-job graph algorithm
+    // (fixpoint loops, measured-gate probes) — without it each job
+    // re-runs the lineitem self-join + distinct, since exchange reuse
+    // only deduplicates subtrees WITHIN one job (guide §2.4; measured
+    // across q53..q98 in OPTIMIZATION_r06). |E| is O(graph), ~20 MB at
+    // sf0.1 — block-store residency is the cheap side of the trade.
+    graft.kg.Triangles.canonicalEdges(pairs, "u", "v").localCheckpoint()
   }
 
   /** q138's directed cycle graph: parts co-occurrence pairs restricted to
@@ -638,6 +650,11 @@ object SparkEntry {
         col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
+      // localCheckpoint: q138/q150/q153/q174 run the SCC machinery — many
+      // jobs, each of which would otherwise re-run this self-join
+      // (partsCooccurEdges' rationale; the derived sccEdges projection on
+      // top is narrow and cheap to re-run per reference)
+      .localCheckpoint()
   }
 
   private val Mod5CooccurSql =
@@ -694,6 +711,9 @@ object SparkEntry {
       .distinct()
     pairs.filter(
       graft.core.Buckets.md5Bucket(concat_ws("|", col("u"), col("v")), 10) < 2)
+      // localCheckpoint: feeds the SSSP/MST/MIS/s-core fixpoint loops —
+      // multi-job consumers, same rationale as [[partsCooccurEdges]]
+      .localCheckpoint()
   }
 
   /** q151/q152's weighted graph: [[landmarkEdges]] with a deterministic
@@ -748,6 +768,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= Q116MinOrders)
       .select(col("subj"), lit("copurchase").as("pred"), col("obj"))
+      // localCheckpoint: q116's hop loop and q139's layering re-read the
+      // DAG once per round — [[partsCooccurEdges]]' rationale
+      .localCheckpoint()
   }
 
   /** [[copurchaseEdges]] as oracle CTEs (`li`, `e(u, v)`). */
@@ -1663,8 +1686,13 @@ object SparkEntry {
     // that makes label propagation a deliverable, not a column
     "q96_community_rollup" -> ((s, dir) => {
       val canon = partsCooccurEdges(s, dir)
+      // the rollup references the label frame twice (member counts +
+      // internal-edge joins) — checkpoint it once or BOTH references
+      // re-run the full 3-round propagation (measured 5.3 s → ~2 s,
+      // OPTIMIZATION_r06)
       graft.kg.LabelProp.communityRollup(
-        graft.kg.LabelProp.run(s, canon, LabelPropRounds), canon)
+        graft.kg.LabelProp.run(s, canon, LabelPropRounds).localCheckpoint(),
+        canon)
     }),
     // incremental connected components (the continuous-crawl delta shape):
     // land 80% of the edges, label them, then fold the remaining 20% in
@@ -1720,7 +1748,7 @@ object SparkEntry {
     // error (see kg.Ontology.domainViolations)
     "q100_domain_violations" -> ((s, dir) => {
       val linked = Kg.disambiguate(
-        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s))).localCheckpoint()
       val types = graft.kg.Ontology.inferTypes(s,
         linked.select(col("entity_id"), col("category")).distinct(),
         ClassHierarchy)
@@ -1857,9 +1885,12 @@ object SparkEntry {
     "q112_rule_mining" -> ((s, dir) => {
       val linked = Kg.disambiguate(
         Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      // the rule miner scans the union KG once per rule shape — checkpoint
+      // it so each scan reads the stored triples instead of re-running
+      // extraction+linking+co-occurrence (kgTriples' rationale)
       graft.kg.Rules.minePathRules(
         Kg.triples(linked, NerSpark.Predicates).select("subj", "pred", "obj")
-          .unionByName(cooccurFacts(linked)),
+          .unionByName(cooccurFacts(linked)).localCheckpoint(),
         RuleMinSupport, RuleMinConf)
     }),
     // forward-chain the accepted rules (confidence ≥ 0.8 — the
@@ -1870,9 +1901,12 @@ object SparkEntry {
     "q113_rule_apply" -> ((s, dir) => {
       val linked = Kg.disambiguate(
         Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+      // mine + apply together scan the union KG many times over —
+      // checkpoint it once for both (q112's rationale)
       val u = Kg.triples(linked, NerSpark.Predicates)
         .select("subj", "pred", "obj")
         .unionByName(cooccurFacts(linked))
+        .localCheckpoint()
       graft.kg.Rules.applyRules(u,
         graft.kg.Rules.minePathRules(u, RuleMinSupport, RuleApplyMinConf))
     }),
@@ -2083,7 +2117,16 @@ object SparkEntry {
     "q135_hits" -> ((s, dir) =>
       graft.kg.Hits.run(
         kgTriples(s, dir).select(col("subj").as("src"), col("obj").as("dst")),
-        HitsIters)),
+        HitsIters)
+        // DOUBLE on the wire: DuckDB's BIGINT sum() widens to HUGEINT, so
+        // the oracle's scores surface as float64 at the compare layer
+        // while BIGINT surfaces as int64 — value-equal, but a value hash
+        // sees "1000000" vs "1000000.0" (the only red q135 left in
+        // CORRECTNESS_r05). The scores are micro-integers ≤ 10⁶, exactly
+        // representable in a double, so the cast is lossless; the
+        // arithmetic underneath stays exact BIGINT.
+        .select(col("node"), col("hub_micro").cast("double").as("hub_micro"),
+          col("auth_micro").cast("double").as("auth_micro"))),
     // SPARQL CONSTRUCT: the derived-predicate rewrite — operations
     // co-grounded with data on the same page become first-class
     // `processes`/`processed_by` facts plus a provenance edge, emitted
@@ -2221,6 +2264,7 @@ object SparkEntry {
         Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
       val store = Kg.triples(linked, NerSpark.Predicates)
         .select("subj", "pred", "obj").unionByName(cooccurFacts(linked))
+        .localCheckpoint() // scanned once per CBD leg — q112's rationale
       graft.kg.TriplePatterns.bgpDescribe(store,
         Seq(("?e", "uses_tool", "?d")), "?e")
     }),
@@ -2231,6 +2275,7 @@ object SparkEntry {
         Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
       val store = Kg.triples(linked, NerSpark.Predicates)
         .select("subj", "pred", "obj").unionByName(cooccurFacts(linked))
+        .localCheckpoint() // scanned once per ASK probe — q112's rationale
       val probe = (p: String) =>
         graft.kg.TriplePatterns.bgpAsk(store, Seq(("?e", p, "?d")))
           .select(lit(p).as("q"), col("ask"))
@@ -2337,6 +2382,7 @@ object SparkEntry {
         Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
       val store = Kg.triples(linked, NerSpark.Predicates)
         .select("subj", "pred", "obj").unionByName(cooccurFacts(linked))
+        .localCheckpoint() // q112's rationale
       graft.kg.TriplePatterns.bgpSelect(store,
         Seq(("?e", "performs", "?d")), distinct = true,
         orderBy = Seq("-e", "d"), offset = 5, limit = Some(20))
@@ -2438,8 +2484,10 @@ object SparkEntry {
     // mixed-distribution votes that make the method non-trivial (see
     // kg.Ontology.inferTypesByUsage)
     "q109_type_by_usage" -> ((s, dir) => {
+      // linked feeds the co-occurrence self-join (2 legs), the typed
+      // relation, and the triple extraction — checkpoint once
       val linked = Kg.disambiguate(
-        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s)))
+        Kg.candidates(kgMentions(s, dir), Kg.aliasDf(s))).localCheckpoint()
       val ents = linked
         .select(col("doc_id"), col("entity_id"), col("category")).distinct()
       val co = ents.as("a")

@@ -646,11 +646,30 @@ object Dedup {
 
   private def directContainment(rare: DataFrame, sizes: DataFrame,
       minOverlap: Double): DataFrame = {
-    val post = rare.select("doc_id", "g")
-    val pairs = post.as("a")
-      .join(post.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Pair enumeration via per-shingle sorted doc arrays + posexplode/
+    // slice (identical (doc_a < doc_b, n_shared) rows as the former
+    // posting self-join — each shingle contributes each ordered doc pair
+    // exactly once either way). Two wins over the equi-join (measured
+    // 20.6 s → ~6 s at sf0.1, OPTIMIZATION_r06): no join at all for the
+    // Σ df² fan-out, and — decisive — the vocabulary-sized array frame is
+    // ROUND-ROBIN REPARTITIONED before the explode, so the quadratic
+    // enumeration work of the hottest shingles (df up to the stop cap)
+    // spreads over every core. Under the join plan the same work sat on
+    // the few post-shuffle partitions the ~10³ capped shingles hash into
+    // — a rows-PRODUCED skew that AQE, which only sees rows read, cannot
+    // split (guide §2.5).
+    val shufflePartitions =
+      rare.sparkSession.sessionState.conf.numShufflePartitions
+    val glists = rare.groupBy("g")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select("ds")
+      .repartition(shufflePartitions)
+    val pairs = glists
+      .select(posexplode(col("ds")).as(Seq("i", "da")), col("ds"))
+      // slice is 1-based: docs strictly after position i (0-based da)
+      .select(col("da").as("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
     scoreContainment(pairs, sizes, minOverlap)
   }

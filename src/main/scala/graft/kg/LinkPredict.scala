@@ -62,31 +62,73 @@ object LinkPredict {
     */
   def candidates(canonical: DataFrame, maxHubDegree: Long,
       minCommon: Long): DataFrame = {
-    val und = canonical.select(col("u").as("w"), col("v").as("n"))
-      .union(canonical.select(col("v").as("w"), col("u").as("n")))
-    val deg = und.groupBy("w").agg(count(lit(1)).as("d"))
+    // Loop-invariant inputs are localCheckpoint-ed once: the candidate
+    // generation below runs SEVERAL jobs (count pass, Adamic-Adar pass,
+    // final joins), and without the checkpoint every job would re-derive
+    // the caller's whole edge lineage (q75: the lineitem self-join +
+    // distinct) — the multiply-referenced-subplan rule (guide §2.4), now
+    // applied across jobs where exchange reuse cannot.
+    val canon = canonical.select("u", "v").localCheckpoint()
+    val und = canon.select(col("u").as("w"), col("v").as("n"))
+      .union(canon.select(col("v").as("w"), col("u").as("n")))
+    val deg = und.groupBy("w").agg(count(lit(1)).as("d")).localCheckpoint()
 
     // per-center sorted neighbor array, hub centers excluded up front so
     // the collect_set buffer is bounded at maxHubDegree entries (the
-    // inner join both filters and attaches d — one join, not semi+join)
+    // inner join both filters and attaches d — one join, not semi+join).
+    // The array frame is node-count-sized but its explode fan-out is
+    // Σ d²/2 — REPARTITION it round-robin first so the quadratic
+    // enumeration work spreads over every core instead of the handful of
+    // post-aggregation partitions the hub arrays hash into (guide §2.5:
+    // the enumeration skew is in rows-PRODUCED, which AQE cannot see).
+    val shufflePartitions = canonical.sparkSession.sessionState.conf.numShufflePartitions
     val lists = und
       .join(deg.filter(col("d") <= maxHubDegree), "w")
       .groupBy(col("w"), col("d"))
       .agg(sort_array(collect_set(col("n"))).as("ns"))
-    val wedges = lists
+      .repartition(shufflePartitions)
+      .localCheckpoint()
+    def wedges = lists
       .select(col("d"), posexplode(col("ns")).as(Seq("i", "e1")), col("ns"))
       // slice is 1-based: neighbors strictly after position i (0-based e1)
       .select(col("e1"),
         explode(slice(col("ns"), col("i") + 2, size(col("ns")))).as("e2"),
+        col("d"))
+    // TWO-PHASE scoring (measured 22 s → 8 s at sf0.1, OPTIMIZATION_r06):
+    // phase 1 counts support only — the narrowest possible rows through
+    // the one giant near-unique-key aggregation (Σ d²/2 wedge rows,
+    // almost one group per row, so partial aggregation cannot shrink it
+    // and every byte per row is shuffle cost, guide §2.3); the
+    // minCommon filter then collapses the stream to the proposal-sized
+    // survivor set.
+    val counts = wedges.select("e1", "e2").groupBy("e1", "e2")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .localCheckpoint()
+    // Phase 2 re-enumerates the wedges map-side only and keeps survivor
+    // pairs via a broadcast semi-join BEFORE any exchange — the
+    // Adamic-Adar weights of the ~everything-else never shuffle. The
+    // broadcast is gated on the survivors' MEASURED size (they are
+    // checkpointed, so the count is free); above the gate the plain
+    // shuffled join is the correct plan. The per-pair weight sum folds a
+    // SORTED array — a fixed summation order, so the float result is a
+    // pure function of the graph instead of partition-arrival order.
+    val survPairs0 = counts.select("e1", "e2")
+    val survPairs =
+      if (counts.count() <= 5000000L) broadcast(survPairs0) else survPairs0
+    val aa = wedges
+      .select(col("e1"), col("e2"),
         // a wedge center has >= 2 neighbors, so ln(d) > 0 here
         (lit(1.0) / log(col("d").cast("double"))).as("aw"))
-    val scored = wedges.groupBy("e1", "e2")
-      .agg(count(lit(1)).as("n_common"), sum(col("aw")).as("aa_raw"))
-      .filter(col("n_common") >= minCommon)
+      .join(survPairs, Seq("e1", "e2"))
+      .groupBy("e1", "e2")
+      .agg(aggregate(sort_array(collect_list(col("aw"))), lit(0.0),
+        (acc, x) => acc + x).as("aa_raw"))
+    val scored = counts.join(aa, Seq("e1", "e2"))
 
     scored
       // link PREDICTION proposes absent edges — drop pairs already joined
-      .join(canonical.select(col("u").as("e1"), col("v").as("e2")),
+      .join(canon.select(col("u").as("e1"), col("v").as("e2")),
         Seq("e1", "e2"), "left_anti")
       .join(deg.select(col("w").as("e1"), col("d").as("d1")), "e1")
       .join(deg.select(col("w").as("e2"), col("d").as("d2")), "e2")
