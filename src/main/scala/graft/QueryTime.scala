@@ -12,13 +12,21 @@ object QueryTime {
     val n = args(1).toInt
     val names = args.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
+    // session mirrors Bench.session exactly — numbers measured here must
+    // predict the frozen driver bench, so the local dir (tmpfs vs disk),
+    // split size, and AQE settings all match
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    if (new java.io.File("/dev/shm").isDirectory)
+      b.config("spark.local.dir", "/dev/shm/graft-spark-local")
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/documents.parquet").count() // warm-up
     names.foreach { name =>

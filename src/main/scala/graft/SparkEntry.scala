@@ -606,19 +606,29 @@ object SparkEntry {
     * distinct) edges between parts sharing an order — ONE definition so
     * the graph queries and the round-measuring oracle path cannot
     * diverge (its SQL twin is [[KCoreEdgesSql]]). */
-  private def partsCooccurEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val pairs = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+  private def partsCooccurEdges(spark: SparkSession, dir: String): DataFrame =
     // localCheckpoint: every consumer is a multi-job graph algorithm
     // (fixpoint loops, measured-gate probes) — without it each job
     // re-runs the lineitem self-join + distinct, since exchange reuse
     // only deduplicates subtrees WITHIN one job (guide §2.4; measured
     // across q53..q98 in OPTIMIZATION_r06). |E| is O(graph), ~20 MB at
     // sf0.1 — block-store residency is the cheap side of the trade.
-    graft.kg.Triangles.canonicalEdges(pairs, "u", "v").localCheckpoint()
+    partsCooccurEdgesRaw(spark, dir).localCheckpoint()
+
+  /** [[partsCooccurEdges]] WITHOUT the checkpoint — for consumers whose
+    * operator persists the derived graph internally at its first
+    * reference ([[graft.kg.Triangles.orientedOf]]): q53 and q88 build
+    * the IDENTICAL canonicalized plan from this helper, so the session
+    * CacheManager resolves both persists to one cached oriented list
+    * (a checkpointed input would defeat that match — every
+    * localCheckpoint call is a fresh RDD leaf). */
+  private def partsCooccurEdgesRaw(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    graft.kg.Triangles.canonicalEdges(pairs, "u", "v")
   }
 
   /** q138's directed cycle graph: parts co-occurrence pairs restricted to
@@ -768,9 +778,11 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= Q116MinOrders)
       .select(col("subj"), lit("copurchase").as("pred"), col("obj"))
-      // localCheckpoint: q116's hop loop and q139's layering re-read the
-      // DAG once per round — [[partsCooccurEdges]]' rationale
-      .localCheckpoint()
+    // NO localCheckpoint here: every consumer (closure's persist,
+    // transitiveReduction's persist, Dag's own localCheckpoint) already
+    // materializes the DAG at its first reference, so an eager
+    // checkpoint at this level only adds a blocking extra pass —
+    // measured +2 s on q116 and q120 in OPTIMIZATION_r06.
   }
 
   /** [[copurchaseEdges]] as oracle CTEs (`li`, `e(u, v)`). */
@@ -1311,15 +1323,12 @@ object SparkEntry {
     // degree-ordered distributed triangle count (Suri–Vassilvitskii) over
     // the parts-sharing-an-order co-occurrence graph — the orientation
     // bounds wedge fan-out at O(sqrt(|E|)) per node regardless of skew
-    "q53_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val pairs = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      graft.kg.Triangles.count(s,
-        graft.kg.Triangles.canonicalEdges(pairs, "u", "v"))
-    }),
+    "q53_triangles" -> ((s, dir) =>
+      // the RAW (un-checkpointed) edge plan, shared verbatim with q88:
+      // orientedOf's internal persist is the reuse point, and identical
+      // canonicalized plans let the CacheManager serve both queries from
+      // one cached oriented list (see partsCooccurEdgesRaw)
+      graft.kg.Triangles.count(s, partsCooccurEdgesRaw(s, dir))),
     // corpus-level TF-IDF top-3 terms per doc: the one text statistic
     // needing a corpus-wide aggregate (df) joined back per row — vocab-
     // sized broadcast, rank-k window with partial WindowGroupLimit
@@ -1629,7 +1638,8 @@ object SparkEntry {
     // per-entity "how clique-like is this neighborhood" signal — hubs
     // score low, single-topic entities high (see kg.ClusteringCoeff)
     "q88_clustering_coeff" -> ((s, dir) =>
-      graft.kg.ClusteringCoeff.run(s, partsCooccurEdges(s, dir))),
+      // RAW plan shared with q53 — one oriented-list cache for both
+      graft.kg.ClusteringCoeff.run(s, partsCooccurEdgesRaw(s, dir))),
     // deterministic synchronous label propagation (3 rounds, min-label
     // tie-break): community detection between CC (too coarse) and
     // modularity methods (too expensive) — see kg.LabelProp for why the

@@ -73,57 +73,102 @@ object LinkPredict {
       .union(canon.select(col("v").as("w"), col("u").as("n")))
     val deg = und.groupBy("w").agg(count(lit(1)).as("d")).localCheckpoint()
 
+    // capped adjacency (centers with d ≤ maxHubDegree only): feeds both
+    // the wedge arrays and phase 2's survivor re-scoring — checkpointed
+    // once, O(|E|) rows of three columns.
+    val capped = und.join(deg.filter(col("d") <= maxHubDegree), "w")
+      .localCheckpoint()
     // per-center sorted neighbor array, hub centers excluded up front so
-    // the collect_set buffer is bounded at maxHubDegree entries (the
-    // inner join both filters and attaches d — one join, not semi+join).
+    // the collect_set buffer is bounded at maxHubDegree entries.
     // The array frame is node-count-sized but its explode fan-out is
     // Σ d²/2 — REPARTITION it round-robin first so the quadratic
     // enumeration work spreads over every core instead of the handful of
     // post-aggregation partitions the hub arrays hash into (guide §2.5:
     // the enumeration skew is in rows-PRODUCED, which AQE cannot see).
+    // The task COUNT is sized from the MEASURED wedge fan-out (deg is
+    // checkpointed, so the probe aggregate is one cheap job), targeting
+    // ~250k enumerated wedges per task: the near-unique-key partial
+    // aggregation below degrades sharply once a task's hash table runs
+    // to millions of entries (measured 23 s at 32 tasks vs 7.7 s
+    // fan-out-sized at sf0.1, OPTIMIZATION_r06) — AQE cannot make this
+    // call because the skew is in rows PRODUCED by the explode.
     val shufflePartitions = canonical.sparkSession.sessionState.conf.numShufflePartitions
-    val lists = und
-      .join(deg.filter(col("d") <= maxHubDegree), "w")
+    val fanout = deg.filter(col("d") <= maxHubDegree)
+      .agg(coalesce(sum(col("d") * (col("d") - lit(1))), lit(0L)))
+      .head().getLong(0) / 2
+    val nparts = math.min(4096,
+      math.max(shufflePartitions, (fanout / 250000L).toInt))
+    val lists = capped
       .groupBy(col("w"), col("d"))
       .agg(sort_array(collect_set(col("n"))).as("ns"))
-      .repartition(shufflePartitions)
-      .localCheckpoint()
-    def wedges = lists
-      .select(col("d"), posexplode(col("ns")).as(Seq("i", "e1")), col("ns"))
-      // slice is 1-based: neighbors strictly after position i (0-based e1)
-      .select(col("e1"),
-        explode(slice(col("ns"), col("i") + 2, size(col("ns")))).as("e2"),
-        col("d"))
-    // TWO-PHASE scoring (measured 22 s → 8 s at sf0.1, OPTIMIZATION_r06):
+      .repartition(nparts)
+    // TWO-PHASE scoring — ONE Σ d²/2 wedge enumeration total:
     // phase 1 counts support only — the narrowest possible rows through
     // the one giant near-unique-key aggregation (Σ d²/2 wedge rows,
     // almost one group per row, so partial aggregation cannot shrink it
     // and every byte per row is shuffle cost, guide §2.3); the
     // minCommon filter then collapses the stream to the proposal-sized
-    // survivor set.
-    val counts = wedges.select("e1", "e2").groupBy("e1", "e2")
-      .agg(count(lit(1)).as("n_common"))
-      .filter(col("n_common") >= minCommon)
+    // survivor set. When node ids are integral, non-negative, and fit
+    // 31 bits (MEASURED on the checkpointed deg — one tiny job), the
+    // pair key is packed into ONE long (`e1·2³² + e2`, exact and
+    // bijective): half the shuffle bytes of the two-long key and a
+    // single-column aggregation map (guide §2.3 "narrower types" with a
+    // runtime proof instead of an assumption); ids outside the gate
+    // keep the two-column key — identical semantics either way.
+    val wedges = lists
+      .select(posexplode(col("ns")).as(Seq("i", "e1")), col("ns"))
+      // slice is 1-based: neighbors strictly after position i (0-based e1)
+      .select(col("e1"),
+        explode(slice(col("ns"), col("i") + 2, size(col("ns")))).as("e2"))
+    val integral = canon.schema("u").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    val packable = integral && {
+      val r = deg.agg(min(col("w").cast("long")), max(col("w").cast("long")))
+        .head()
+      !r.isNullAt(0) && r.getLong(0) >= 0L && r.getLong(1) < 2147483648L
+    }
+    val dt = canon.schema("u").dataType
+    val counts = (if (packable)
+      wedges
+        .select((col("e1").cast("long") * 4294967296L +
+          col("e2").cast("long")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= minCommon)
+        .select(expr("pk DIV 4294967296").cast(dt).as("e1"),
+          expr("pk % 4294967296").cast(dt).as("e2"), col("n_common"))
+    else
+      wedges.groupBy("e1", "e2")
+        .agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= minCommon))
       .localCheckpoint()
-    // Phase 2 re-enumerates the wedges map-side only and keeps survivor
-    // pairs via a broadcast semi-join BEFORE any exchange — the
-    // Adamic-Adar weights of the ~everything-else never shuffle. The
-    // broadcast is gated on the survivors' MEASURED size (they are
-    // checkpointed, so the count is free); above the gate the plain
-    // shuffled join is the correct plan. The per-pair weight sum folds a
-    // SORTED array — a fixed summation order, so the float result is a
-    // pure function of the graph instead of partition-arrival order.
+    // Phase 2 re-finds the few survivors' common capped centers with two
+    // adjacency equi-joins — fan-out Σ_surv deg_capped(e1), then exactly
+    // Σ_surv n_common rows — instead of re-enumerating every wedge a
+    // second time (measured: the re-enumeration doubled q75 and turned
+    // q122's train-graph replay into a second full pass,
+    // OPTIMIZATION_r06). The survivor side is broadcast under a MEASURED
+    // gate (counts is checkpointed, so the count is free); above the
+    // gate the shuffled join is the correct plan. The per-pair
+    // Adamic-Adar folds a center-sorted struct array — a fixed summation
+    // order, so the float result is a pure function of the graph
+    // instead of partition-arrival order.
     val survPairs0 = counts.select("e1", "e2")
     val survPairs =
       if (counts.count() <= 5000000L) broadcast(survPairs0) else survPairs0
-    val aa = wedges
-      .select(col("e1"), col("e2"),
-        // a wedge center has >= 2 neighbors, so ln(d) > 0 here
-        (lit(1.0) / log(col("d").cast("double"))).as("aw"))
-      .join(survPairs, Seq("e1", "e2"))
+    val wE1 = capped.select(col("n").as("e1"), col("w"), col("d"))
+      .join(survPairs, Seq("e1"))
+    val aa = wE1
+      .join(capped.select(col("n").as("e2"), col("w")), Seq("e2", "w"))
       .groupBy("e1", "e2")
-      .agg(aggregate(sort_array(collect_list(col("aw"))), lit(0.0),
-        (acc, x) => acc + x).as("aa_raw"))
+      .agg(aggregate(sort_array(collect_list(struct(col("w"), col("d")))),
+        lit(0.0),
+        // a wedge center has >= 2 neighbors, so ln(d) > 0 here
+        (acc, x) => acc + lit(1.0) / log(x.getField("d").cast("double")))
+        .as("aa_raw"))
     val scored = counts.join(aa, Seq("e1", "e2"))
 
     scored
@@ -183,7 +228,32 @@ object LinkPredict {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val held = keyed.filter(col("hb") === holdoutBucket).select("u", "v")
     val train = keyed.filter(col("hb") =!= holdoutBucket).select("u", "v")
-    val ranked = candidates(train, maxHubDegree, minCommon)
+    // The rank key is `(n_common desc, e2 asc)` — the float scores never
+    // order anything — so ranking needs ONLY the support counts: build
+    // them here instead of through [[candidates]], skipping the
+    // Adamic-Adar/Jaccard legs outright (don't compute what the query
+    // throws away, guide §1.2; the frozen DuckDB oracle ranks from the
+    // identical count-only relation). This path is deliberately LAZY —
+    // no eager checkpoint/probe jobs — a single DAG Catalyst is free to
+    // prune per action; every relation below is referenced once.
+    val und = train.select(col("u").as("w"), col("v").as("n"))
+      .union(train.select(col("v").as("w"), col("u").as("n")))
+    val deg = und.groupBy("w").agg(count(lit(1)).as("d"))
+    val shufflePartitions =
+      canonical.sparkSession.sessionState.conf.numShufflePartitions
+    val counts = und.join(deg.filter(col("d") <= maxHubDegree), "w")
+      .groupBy(col("w"), col("d"))
+      .agg(sort_array(collect_set(col("n"))).as("ns"))
+      .repartition(shufflePartitions)
+      .select(posexplode(col("ns")).as(Seq("i", "e1")), col("ns"))
+      .select(col("e1"),
+        explode(slice(col("ns"), col("i") + 2, size(col("ns")))).as("e2"))
+      .groupBy("e1", "e2")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    val ranked = counts
+      .join(train.select(col("u").as("e1"), col("v").as("e2")),
+        Seq("e1", "e2"), "left_anti")
       .withColumn("r", row_number().over(
         Window.partitionBy("e1").orderBy(desc("n_common"), asc("e2")))
         .cast("long"))
