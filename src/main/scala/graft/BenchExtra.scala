@@ -47,6 +47,10 @@ object BenchExtra {
     probe match {
       case "q75" => q75Pieces(spark, sfDir)
       case "q122" => q122Pieces(spark, sfDir)
+      case "q164" => q164Pieces(spark, sfDir)
+      case "q160" => q160Pieces(spark, sfDir)
+      case "q153" => q153Pieces(spark, sfDir)
+      case "q89" => q89Pieces(spark, sfDir)
       case "explain" =>
         // dump explain("formatted") for named queries:
         //   runMain graft.BenchExtra <sfDir> explain <outDir> <suffix> <q>...
@@ -71,6 +75,196 @@ object BenchExtra {
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
+  }
+
+  /** q153 piece-by-piece: sccEdges derivation, Scc.run labels, the
+    * condensation, the doubling closure, the expansion joins. */
+  private def q153Pieces(spark: SparkSession, dir: String): Unit = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 5 === 0)
+    val pairs0 = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val pairs = timed("mod5 pairs derive+checkpoint") { pairs0.localCheckpoint() }
+    println(s"[extra] |pairs| = ${pairs.count()}")
+    val h = graft.core.Buckets.md5Bucket(concat_ws("|", col("u"), col("v")), 10)
+    val edges = pairs.filter(h < 2).select(
+      when(h % 2 === 0, col("u")).otherwise(col("v")).as("src"),
+      when(h % 2 === 0, col("v")).otherwise(col("u")).as("dst"))
+    println(s"[extra] |edges| = ${edges.count()}")
+    val labels = timed("Scc.run") {
+      val l = graft.kg.Scc.run(spark, edges).localCheckpoint(); l.count(); l
+    }
+    println(s"[extra] |labels| = ${labels.count()}")
+    val e = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct()
+    val cond = timed("condensation agg") {
+      val c = e.join(labels.withColumnRenamed("node", "src")
+          .withColumnRenamed("scc", "csrc"), "src")
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("scc", "cdst"), "dst")
+        .filter(col("csrc") =!= col("cdst"))
+        .groupBy("csrc", "cdst").agg(count(lit(1)).as("n_edges"))
+        .select(col("csrc").as("src"), col("cdst").as("dst"))
+        .localCheckpoint()
+      c.count(); c
+    }
+    println(s"[extra] |cond| = ${cond.count()}")
+    val cc = timed("closureFixpoint (doubling)") {
+      val c = graft.kg.TriplePatterns.closureFixpoint(cond).localCheckpoint()
+      c.count(); c
+    }
+    println(s"[extra] |closure| = ${cc.count()}")
+    timed("expansion joins -> noop") {
+      val ccr = cc.select(col("src").as("cs"), col("dst").as("cd"))
+      val sizes = labels.groupBy("scc").agg(count(lit(1)).as("sz"))
+      val multi = labels.join(sizes.filter(col("sz") >= 2).select("scc"), "scc")
+      val intra = multi.as("a").join(multi.as("b"), "scc")
+        .select(col("a.node").as("src"), col("b.node").as("dst"))
+      val inter = labels.select(col("node").as("src"), col("scc").as("cs"))
+        .join(ccr, "cs")
+        .join(labels.select(col("node").as("dst"), col("scc").as("cd")), "cd")
+        .select("src", "dst")
+      noop(intra.unionByName(inter))
+    }
+  }
+
+  /** q89: one label-prop round via rank-1 window vs arg-max aggregate. */
+  private def q89Pieces(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    val canon = graft.kg.Triangles.canonicalEdges(pairs, "u", "v")
+      .localCheckpoint()
+    val und = canon.select(col("u").as("w"), col("v").as("n"))
+      .union(canon.select(col("v").as("w"), col("u").as("n")))
+      .localCheckpoint()
+    println(s"[extra] |und| = ${und.count()}")
+    val labels0 = und.select(col("w").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    val byVotes = Window.partitionBy("node")
+      .orderBy(col("votes").desc, col("label").asc)
+    (1 to 2).foreach { r =>
+      timed(s"round via window r$r") {
+        noop(und.join(labels0, und("n") === labels0("node"))
+          .select(col("w").as("node"), col("label"))
+          .groupBy("node", "label").agg(count(lit(1)).as("votes"))
+          .withColumn("rn", row_number().over(byVotes))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("label")))
+      }
+      timed(s"round via argmax agg r$r") {
+        noop(und.join(labels0, und("n") === labels0("node"))
+          .select(col("w").as("node"), col("label"))
+          .groupBy("node", "label").agg(count(lit(1)).as("votes"))
+          .groupBy("node")
+          .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("label")))
+      }
+    }
+  }
+
+  /** q160 piece-by-piece: token sets, df, prefix, candidate join,
+    * intersection verification. */
+  private def q160Pieces(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val items = graft.dedup.Decontam.gramFingerprints(docs, 3)
+      .select(col("doc_id"), col("gh").as("item"))
+    val tMicro = 500000L
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = items.select(col("doc_id"), col("item").as("tok")).distinct()
+      .persist(lvl)
+    println(s"[extra] |toks| = ${toks.count()}")
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val prefLen =
+      expr(s"len - (len * ${tMicro}L + 999999L) DIV 1000000L + 1L")
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df").asc, col("tok").asc)
+    val prefix = timed("prefix rows (join+window+checkpoint)") {
+      toks.join(df, "tok").join(lens, "doc_id")
+        .withColumn("rn", row_number().over(byRarity))
+        .filter(col("rn") <= prefLen)
+        .select("doc_id", "tok").localCheckpoint()
+    }
+    println(s"[extra] |prefix| = ${prefix.count()}")
+    val cand = timed("candidate join+distinct+checkpoint") {
+      prefix.as("a").join(prefix.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().localCheckpoint()
+    }
+    println(s"[extra] |cand| = ${cand.count()}")
+    timed("verify via double token join") {
+      noop(cand
+        .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+        .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
+          Seq("doc_b", "tok"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter")))
+    }
+    timed("verify via sorted-array intersection") {
+      val arrs = toks.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("tok"))).as("ts"))
+      noop(cand
+        .join(arrs.select(col("doc_id").as("doc_a"), col("ts").as("ta")),
+          "doc_a")
+        .join(arrs.select(col("doc_id").as("doc_b"), col("ts").as("tb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ta"), col("tb"))).as("inter")))
+    }
+  }
+
+  /** q164 piece-by-piece: variant explode, candidate join, distinct,
+    * verify — plus hash-keyed and filter-before-distinct variants. */
+  private def q164Pieces(spark: SparkSession, dir: String): Unit = {
+    val names = spark.read.parquet(s"$dir/customer.parquet")
+    val n = names.select(col("c_name").as("name")).distinct()
+    def v = n.select(col("name"), explode(array_distinct(concat(
+        array(col("name")),
+        expr("""transform(sequence(1, length(name)),
+          i -> concat(substring(name, 1, i - 1),
+                      substring(name, i + 1, length(name))))""")))))
+      .toDF("name", "vr")
+    println(s"[extra] |names| = ${n.count()}, |variants| = ${v.count()}")
+    (1 to 2).foreach { r =>
+      timed(s"candidates join+count r$r") {
+        println("[extra]   cand rows = " + v.as("x").join(v.as("y"),
+          col("x.vr") === col("y.vr") && col("x.name") < col("y.name")).count())
+      }
+      timed(s"current full (distinct then lev) r$r") {
+        noop(v.as("x").join(v.as("y"),
+            col("x.vr") === col("y.vr") && col("x.name") < col("y.name"))
+          .select(col("x.name").as("a"), col("y.name").as("b"))
+          .distinct()
+          .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+          .filter(col("dist") <= 1))
+      }
+      val cand = v.as("x").join(v.as("y"),
+          col("x.vr") === col("y.vr") && col("x.name") < col("y.name"))
+        .select(col("x.name").as("a"), col("y.name").as("b"))
+      timed(s"join -> distinct -> count r$r") {
+        println("[extra]   distinct rows = " + cand.distinct().count())
+      }
+      timed(s"join -> lev+filter -> count r$r") {
+        println("[extra]   lev<=1 rows = " + cand
+          .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+          .filter(col("dist") <= 1).count())
+      }
+      timed(s"join -> distinct -> lev noop r$r") {
+        noop(cand.distinct()
+          .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+          .filter(col("dist") <= 1))
+      }
+    }
   }
 
   /** q122 piece-by-piece: the holdout split, candidates on the train

@@ -2008,7 +2008,10 @@ object SparkEntry {
     // rank — MRR shipped as an exact integer micro-sum (see
     // kg.LinkPredict.evalRanking)
     "q122_linkpred_eval" -> ((s, dir) => {
-      val canon = partsCooccurEdges(s, dir)
+      // RAW edge plan: evalRanking persists its keyed split internally
+      // and is deliberately lazy end-to-end — an eager checkpoint here
+      // would force the graph derivation at build time for nothing
+      val canon = partsCooccurEdgesRaw(s, dir)
       val cap = LinkPredCapMemo.getOrElseUpdate(dir,
         graft.kg.LinkPredict.measuredHubCap(canon, LinkPredHubPct))
       graft.kg.LinkPredict.evalRanking(canon,

@@ -58,16 +58,28 @@ object SetSim {
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
-        Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("len_a")),
+    // Verification by per-doc sorted token ARRAYS instead of the double
+    // token equi-join: the join route shuffles |cand|·|set| element rows
+    // twice and re-aggregates them (measured 5.8 s at sf0.1, vs 1.7 s
+    // for two document-keyed array joins + one codegen'd
+    // `array_intersect` per candidate pair, OPTIMIZATION_r06). Arrays
+    // are per-document — buffers bounded by a single document's
+    // distinct-token count, never corpus-sized — and already deduped,
+    // so |array_intersect| IS |A∩B|; lengths ride as size(array),
+    // deleting the two lens joins too. The union/Jaccard arithmetic is
+    // unchanged exact-integer micros.
+    val arrs = toks.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tok"))).as("ts"))
+      .persist(lvl)
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("ts").as("ta")),
         "doc_a")
-      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("len_b")),
+      .join(arrs.select(col("doc_id").as("doc_b"), col("ts").as("tb")),
         "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        size(col("ta")).cast("long").as("len_a"),
+        size(col("tb")).cast("long").as("len_b"))
       .withColumn("union_sz", col("len_a") + col("len_b") - col("inter"))
       .filter(col("inter") * 1000000L >= col("union_sz") * tMicro)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),

@@ -42,27 +42,59 @@ object RandomWalks {
       s"need walksPerNode/steps >= 1, got $walksPerNode/$steps")
     val und = canonical.select(col("u").as("w"), col("v").as("n"))
       .union(canonical.select(col("v").as("w"), col("u").as("n")))
-    val deg = und.groupBy("w").agg(count(lit(1)).as("d")).persist()
-    val nbr = und.withColumn("idx",
-        row_number().over(Window.partitionBy("w").orderBy("n")) - 1)
-      .select(col("w").as("nw"), col("idx").as("nidx"), col("n").as("nxt"))
-      .persist()
-
-    var frontier = deg
-      .select(col("w").as("cur"),
-        explode(sequence(lit(0), lit(walksPerNode - 1))).as("r"))
-      .select((col("cur") * walksPerNode + col("r")).as("walk_id"),
-        col("cur"), col("cur").cast("string").as("path"))
-    for (step <- 1 to steps) {
-      val choice = frontier.join(deg, frontier("cur") === deg("w"))
-        .withColumn("idx",
-          Buckets.md5Bucket(concat_ws("|", col("walk_id"), lit(step)), col("d")))
-      frontier = choice
-        .join(nbr, choice("cur") === nbr("nw") && choice("idx") === nbr("nidx"))
-        .select(col("walk_id"), col("nxt").as("cur"),
-          concat(col("path"), lit("->"), col("nxt").cast("string")).as("path"))
+    // Adjacency as ONE ascending-sorted array per node:
+    // `element_at(ns, idx+1)` is definitionally the neighbor the old
+    // (row_number−1 = idx) relation row held, so each step joins the
+    // walk frontier against a NODE-count-sized relation instead of an
+    // EDGE-count-sized one, the per-node sort window disappears, and
+    // the degree is `size(ns)` (measured q86 4.8 → ~2 s at sf0.1,
+    // OPTIMIZATION_r06). Buffer hazard gate: a collect_list buffer is
+    // O(degree); above `maxArrayDegree` (one cheap measured aggregate)
+    // fall back to the exploded-relation join, which buffers nothing.
+    val maxArrayDegree = 4000000L
+    val maxDeg = und.groupBy("w").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
+    if (maxDeg <= maxArrayDegree) {
+      val adj = und.groupBy(col("w"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
+        .persist()
+      var frontier = adj
+        .select(col("w").as("cur"),
+          explode(sequence(lit(0), lit(walksPerNode - 1))).as("r"))
+        .select((col("cur") * walksPerNode + col("r")).as("walk_id"),
+          col("cur"), col("cur").cast("string").as("path"))
+      for (step <- 1 to steps) {
+        val nxt = element_at(col("ns"), (Buckets.md5Bucket(
+          concat_ws("|", col("walk_id"), lit(step)), size(col("ns")))
+          + 1).cast("int"))
+        frontier = frontier
+          .join(adj, frontier("cur") === adj("w"))
+          .select(col("walk_id"), nxt.as("cur"),
+            concat(col("path"), lit("->"), nxt.cast("string")).as("path"))
+      }
+      frontier.select(col("walk_id"), col("path"))
+    } else {
+      val deg = und.groupBy("w").agg(count(lit(1)).as("d")).persist()
+      val nbr = und.withColumn("idx",
+          row_number().over(Window.partitionBy("w").orderBy("n")) - 1)
+        .select(col("w").as("nw"), col("idx").as("nidx"), col("n").as("nxt"))
+        .persist()
+      var frontier = deg
+        .select(col("w").as("cur"),
+          explode(sequence(lit(0), lit(walksPerNode - 1))).as("r"))
+        .select((col("cur") * walksPerNode + col("r")).as("walk_id"),
+          col("cur"), col("cur").cast("string").as("path"))
+      for (step <- 1 to steps) {
+        val choice = frontier.join(deg, frontier("cur") === deg("w"))
+          .withColumn("idx",
+            Buckets.md5Bucket(concat_ws("|", col("walk_id"), lit(step)), col("d")))
+        frontier = choice
+          .join(nbr, choice("cur") === nbr("nw") && choice("idx") === nbr("nidx"))
+          .select(col("walk_id"), col("nxt").as("cur"),
+            concat(col("path"), lit("->"), col("nxt").cast("string")).as("path"))
+      }
+      frontier.select(col("walk_id"), col("path"))
     }
-    frontier.select(col("walk_id"), col("path"))
   }
 
   /** DuckDB oracle: the identical walk unrolled `steps` times over the

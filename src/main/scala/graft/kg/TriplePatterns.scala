@@ -573,22 +573,31 @@ object TriplePatterns {
     * components first precisely so this loop only ever sees the
     * condensation. Each round ends in one eager `localCheckpoint`
     * (truncates the plan AND materializes the set the next round
-    * self-joins twice); convergence is an exact new-pair emptiness
-    * probe on the anti-joined delta. */
+    * self-joins twice); convergence is an exact size-fixpoint check —
+    * `R ∪ R∘R` is a superset of R, so |next| = |R| iff no new pair
+    * appeared, and the count rides the checkpoint the round pays for
+    * anyway. (The earlier anti-join-delta probe computed the same fact
+    * with one extra join and one extra checkpoint per round; on the
+    * condensation-sized relations this loop is built for, per-round
+    * scheduling dominates data volume, and halving the round's job
+    * count measured q153's closure 3.4 → ~2 s at sf0.1,
+    * OPTIMIZATION_r06.) */
   def closureFixpoint(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     var reached = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint()
+    var n = reached.count()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val grown = reached.select(col("src"), col("dst").as("mid"))
-        .join(reached.select(col("src").as("mid"), col("dst")), "mid")
-        .select("src", "dst").distinct()
-        .join(reached, Seq("src", "dst"), "left_anti")
-        .localCheckpoint()
-      converged = grown.isEmpty
-      if (!converged)
-        reached = reached.unionByName(grown).localCheckpoint()
+      val next = reached
+        .unionByName(reached.select(col("src"), col("dst").as("mid"))
+          .join(reached.select(col("src").as("mid"), col("dst")), "mid")
+          .select("src", "dst"))
+        .distinct().localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      reached = next
+      n = m
       round += 1
     }
     reached

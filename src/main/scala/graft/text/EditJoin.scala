@@ -38,11 +38,20 @@ object EditJoin {
           i -> concat(substring(name, 1, i - 1),
                       substring(name, i + 1, length(name))))""")))))
       .toDF("name", "vr")
+    // Verification BEFORE the distinct, with the BANDED levenshtein:
+    // the threshold overload (Spark 3.5+) computes only the |k|≤1
+    // diagonal band with early exit — O(L) per pair instead of O(L²) —
+    // and returns −1 past the threshold, so `>= 0` is exactly the old
+    // `<= 1` (distance for every kept row is the true distance).
+    // Filtering first also shrinks the distinct's exchange to the
+    // qualifying pairs only (measured at sf0.1: full-matrix lev on the
+    // 977k candidates was ~5–6 s of the query's 7.3 s total; banded +
+    // filter-first runs the whole query in ~2.5 s, OPTIMIZATION_r06).
     v.as("x").join(v.as("y"),
         col("x.vr") === col("y.vr") && col("x.name") < col("y.name"))
       .select(col("x.name").as("a"), col("y.name").as("b"))
+      .withColumn("dist", levenshtein(col("a"), col("b"), 1).cast("long"))
+      .filter(col("dist") >= 0)
       .distinct()
-      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
-      .filter(col("dist") <= 1)
   }
 }

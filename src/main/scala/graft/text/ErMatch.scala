@@ -114,7 +114,14 @@ object ErMatch {
     probes
       .join(ranked.select(col("rec_id").as("id_b"), col("key").as("key_b"),
         col("rnk")), "rnk")
-      .filter(levenshtein(col("key_a"), col("key_b")) <= maxDist)
+      // BANDED levenshtein (threshold overload, Spark 3.5+): computes
+      // only the |k|≤maxDist diagonal band and returns −1 past it, so
+      // `>= 0` is exactly the old `<= maxDist` — and the distance is
+      // computed ONCE instead of once in the filter and again in the
+      // projection (the q164 lesson, OPTIMIZATION_r06)
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
@@ -122,6 +129,6 @@ object ErMatch {
           .as("key_a"),
         when(col("id_a") < col("id_b"), col("key_b")).otherwise(col("key_a"))
           .as("key_b"),
-        levenshtein(col("key_a"), col("key_b")).as("dist"))
+        col("dist"))
   }
 }
