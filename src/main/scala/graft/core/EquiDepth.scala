@@ -36,10 +36,17 @@ object EquiDepth {
   def histogram(df: DataFrame, valueCol: String, b: Int): DataFrame = {
     require(b >= 2, s"need >= 2 buckets, got $b")
     val ps = (1 until b).map(i => i.toDouble / b)
-    val bounds = df
+    val boundsRow = df
       .agg(expr(s"transform(percentile(`$valueCol`, " +
         s"array(${ps.mkString(",")})), x -> round(x, 4))"))
-      .head().getSeq[Double](0)
+      .head()
+    // empty (or all-null) input: percentile yields NULL — return the
+    // empty histogram instead of NPE-ing on the null boundary array
+    // (the Skyline.pareto isNullAt discipline)
+    if (boundsRow.isNullAt(0))
+      return df.limit(0).select(lit(0L).as("bucket"), lit(0L).as("n"),
+        lit(0L).as("ndv"), lit(0.0).as("min_v"), lit(0.0).as("max_v"))
+    val bounds = boundsRow.getSeq[Double](0)
     val arr = array(bounds.map(lit): _*)
     df.select(col(valueCol).cast("double").as("v"))
       .withColumn("bucket", size(filter(arr, x => x < col("v"))).cast("long"))

@@ -35,7 +35,15 @@ object SequencePack {
     // the range width is measured from the data, not assumed
     val maxId = weighted.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0)
     val span = maxId / nBuckets + 1
-    val bucketed = weighted.withColumn("b", (col("doc_id") / span).cast("int"))
+    // a negative weight would silently corrupt every downstream
+    // start_offset (the interval [start, start+w) inverts) — fail loudly
+    // per row instead, with zero extra jobs (codegen'd domain check)
+    val wOk = when(col("w") < 0, raise_error(concat(
+        lit("prefixOffsets: negative weight for doc_id "),
+        col("doc_id").cast("string"))).cast("long"))
+      .otherwise(col("w"))
+    val bucketed = weighted.withColumn("w", wOk)
+      .withColumn("b", (col("doc_id") / span).cast("int"))
     val totals = bucketed.groupBy("b").agg(sum("w").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     var acc = 0L

@@ -146,6 +146,11 @@ object Fusion {
     val One = 1000000L
     val c = claims.select(col("subj"), col("pred"), col("obj"),
       col("source").cast("string").as("source")).distinct().localCheckpoint()
+    // empty claims would flow a NULL max normalizer into every conf/
+    // trust cell silently — refuse loudly instead (the Drift.ks
+    // degenerate-input discipline; the probe reads one checkpointed
+    // block, not the claim lineage)
+    require(!c.isEmpty, "iterativeTruthMicro needs at least one claim")
     var trust = c.select("source").distinct()
       .select(col("source"), lit(One).as("trust"))
     var conf: DataFrame = null

@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions._
 object Mis {
 
   private[kg] def pk(node: org.apache.spark.sql.Column) =
-    Buckets.md5Bucket(node, 1000000007) * 2147483648L + node
+    // ids outside [0, 2^31) would overflow/collide the priority and
+    // surface as confusing non-convergence far from the cause — enforce
+    // the documented 31-bit contract per row, zero extra jobs
+    Buckets.md5Bucket(node, 1000000007) * 2147483648L +
+      when(node < 0 || node >= 2147483648L, raise_error(concat(
+        lit("Mis.pk: node id outside [0, 2^31) — 31-bit contract: "),
+        node.cast("string"))).cast("long"))
+      .otherwise(node)
 
   /** `((node, in_mis), rounds)` over the canonical undirected graph —
     * `in_mis` partitions nodes into the independent set and its

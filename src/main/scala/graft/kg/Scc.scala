@@ -268,9 +268,15 @@ object Scc {
       .select(col("csrc").as("src"), col("cdst").as("dst"))
     val cc = TriplePatterns.closureFixpoint(cond)
       .select(col("src").as("cs"), col("dst").as("cd"))
-    val coreScc = labels.groupBy("scc").agg(count(lit(1)).as("sz"))
+    // edgeless/empty input: no component exists — return the empty
+    // (node, region) frame instead of NoSuchElementException ([[run]]
+    // itself handles the empty case cleanly)
+    val corePick = labels.groupBy("scc").agg(count(lit(1)).as("sz"))
       .orderBy(col("sz").desc, col("scc").asc).limit(1)
-      .head().get(0)
+      .collect().headOption
+    if (corePick.isEmpty)
+      return labels.select(col("node"), lit("other").as("region"))
+    val coreScc = corePick.get.get(0)
     val inSet = cc.filter(col("cd") === lit(coreScc))
       .select(col("cs").as("scc")).distinct()
     val outSet = cc.filter(col("cs") === lit(coreScc))
