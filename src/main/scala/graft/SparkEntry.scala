@@ -1501,8 +1501,10 @@ object SparkEntry {
     // q53/q60): peel degree<80 nodes to fixpoint — 6 cascade rounds and a
     // non-empty core at sf0.01; oracle unrolls the engine-measured rounds
     "q73_kcore" -> ((s, dir) => {
+      // RAW plan: coreWithRounds checkpoints its edge input at entry —
+      // a checkpointed helper here would materialize the graph twice
       val (deg, rounds) =
-        graft.kg.KCore.coreWithRounds(s, partsCooccurEdges(s, dir), KCoreK)
+        graft.kg.KCore.coreWithRounds(s, partsCooccurEdgesRaw(s, dir), KCoreK)
       KCoreRoundsMemo.put(dir, rounds)
       deg
     }),
@@ -1645,7 +1647,9 @@ object SparkEntry {
     // modularity methods (too expensive) — see kg.LabelProp for why the
     // async textbook variant is unreplayable and wrong for this engine
     "q89_label_prop" -> ((s, dir) =>
-      graft.kg.LabelProp.run(s, partsCooccurEdges(s, dir), LabelPropRounds)),
+      // RAW plan: LabelProp checkpoints `und` at entry, and its two
+      // union legs share the self-join exchange within that one job
+      graft.kg.LabelProp.run(s, partsCooccurEdgesRaw(s, dir), LabelPropRounds)),
     // bigram-LM quality score with add-1 smoothing (the order-2 CCNet
     // filter): catches shuffled/stitched text that unigram frequencies
     // (q66) score as fluent; bigrams built narrow via arrays_zip of
@@ -1741,7 +1745,8 @@ object SparkEntry {
     // integer-exact bit-length buckets, never float log2 (boundary
     // degrees would bucket differently across engines)
     "q98_degree_histogram" -> ((s, dir) =>
-      graft.kg.Assortativity.degreeHistogram(partsCooccurEdges(s, dir))),
+      // RAW plan: a single aggregate pass — no second reference to pay for
+      graft.kg.Assortativity.degreeHistogram(partsCooccurEdgesRaw(s, dir))),
     // asymmetric shingle containment (quote / paragraph-copy detection):
     // the near-dup measure Jaccard-tuned LSH misses — the physical plan
     // (direct posting self-join vs ppjoin-style prefix filtering) chosen
