@@ -51,6 +51,14 @@ object BenchExtra {
       case "q160" => q160Pieces(spark, sfDir)
       case "q153" => q153Pieces(spark, sfDir)
       case "q89" => q89Pieces(spark, sfDir)
+      case "q61cache" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        (1 to 2).foreach { r =>
+          timed(s"clusters r$r") {
+            noop(graft.dedup.Dedup.clusters(spark, docs, 0.5,
+              portableHash = true))
+          }
+        }
       case "explain" =>
         // dump explain("formatted") for named queries:
         //   runMain graft.BenchExtra <sfDir> explain <outDir> <suffix> <q>...

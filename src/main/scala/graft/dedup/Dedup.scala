@@ -157,14 +157,31 @@ object Dedup {
       .mkString("(VALUES ", ", ", ")")
 
   /** [[minhashPairs]] with the portable md5 primitive. */
+  /** The signature row function as ONE STABLE instance: Dataset plans
+    * embed typed-closure objects and the CacheManager compares them by
+    * reference, so a fresh lambda per call would make two invocations'
+    * persisted signature tables canonicalize UNEQUAL — q117 would re-pay
+    * q61's whole signature computation instead of reading its session
+    * cache (the q53/q88 shared-plan lesson applied to typed closures). */
+  private val sigRowMd5: ((Long, String)) => Option[(Long, Array[Long])] = {
+    case (id, text) =>
+      val sh = shingleStrings(text)
+      if (sh.isEmpty) None else Some((id, signatureMd5(sh)))
+  }
+
+  /** [[sigRowMd5]] in partition-iterator form — `Dataset.flatMap` would
+    * wrap the row function in a FRESH lambda per call, defeating the
+    * reference-equality the cache match needs; `mapPartitions` stores
+    * this exact instance in the plan node. */
+  private val sigPartMd5
+      : Iterator[(Long, String)] => Iterator[(Long, Array[Long])] =
+    _.flatMap(sigRowMd5(_))
+
   def minhashPairsMd5(spark: SparkSession, docs: DataFrame, minJaccard: Double): DataFrame = {
     import spark.implicits._
     val sigs = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val sh = shingleStrings(text)
-        if (sh.isEmpty) None else Some((id, signatureMd5(sh)))
-      }
+      .mapPartitions(sigPartMd5)
       .toDF("doc_id", "sig")
     pairsFromSigs(spark, sigs, minJaccard,
       spark.sparkContext.longAccumulator("minhash.truncatedBuckets"))
